@@ -1,13 +1,719 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Driver contract (see SURVEY.md §7 and TESTDATA.md).
+  *
+  * Every query here has a DuckDB-equivalent in [[oracleSql]]; the driver
+  * hash-compares both results, so results must be *bit-identical* across
+  * engines, not just approximately equal. The parity rules used
+  * throughout:
+  *
+  *  - Sums/avgs over doubles are order-dependent in IEEE arithmetic, so
+  *    every such aggregate is computed as an exact DECIMAL sum and only
+  *    then cast to DOUBLE (`dsum`/`davg` here, `CAST(SUM(CAST(x AS
+  *    DECIMAL(30,10))) AS DOUBLE)` in SQL). Inputs have ≤2 decimals so
+  *    the decimal representation is exact; the final decimal→double
+  *    conversion is deterministic.
+  *  - Integer aggregates are cast to BIGINT on both sides (DuckDB's
+  *    SUM(BIGINT) returns HUGEINT, COUNT returns BIGINT).
+  *  - Scalar double math (ratios, scores, distances) keeps the *same
+  *    expression shape* on both sides — IEEE ops are deterministic when
+  *    the operand order matches.
+  *  - Timestamp outputs are cast to TIMESTAMP_NTZ (Spark) / TIMESTAMP
+  *    (DuckDB, microseconds) so the parquet logical types line up.
+  *  - Every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------- cross-engine numeric parity helpers ----------
+  /** Exact (order-independent) sum of a ≤2-decimal double column.
+    * DECIMAL(18,2) keeps DuckDB's accumulator on the int64/small-int128
+    * path where its DOUBLE conversion is correctly rounded; wider
+    * scales (e.g. DECIMAL(30,10)) make it drift a ulp from Spark's
+    * BigDecimal.doubleValue on unscaled values past 2^53. */
+  private val Dec2 = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(Dec2)).cast("double")
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  /** Price-magnitude decimal (values < 1e10, 2 decimals) for exact
+    * decimal squares in the moment computations. */
+  private def decP(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val DS = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+  private def S_DSUM(x: String) = DS.format(x)
+  private def S_DAVG(x: String) = s"(${DS.format(x)} / COUNT($x))"
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0):
+    * the 5-table star join q04 at the smallest scale factor. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_star_join")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Queries — one per implemented operator family (SURVEY.md §2).
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core: scans, filters, aggregation (A1-A4) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p100 = round(col("l_extendedprice") * 100, 0).cast("long")
+      val d100 = round(col("l_discount") * 100, 0).cast("long")
+      val t100 = round(col("l_tax") * 100, 0).cast("long")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          (sum(p100 * (lit(100L) - d100)).cast("double") / 10000.0).as("sum_disc_price"),
+          (sum(p100 * (lit(100L) - d100) * (lit(100L) + t100)).cast("double") / 1000000.0).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- P2/P4-style predicate + projection (parquet pushdown) ----
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_quantity") < 10.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- broadcast dimension join ----
+    "q03_join_segment" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("revenue"),
+             davg(col("o_totalprice")).as("avg_order"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- 5-table star join, broadcast dims, shuffled fact joins ----
+    "q04_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+                .cast("double") / 10000.0).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "q05_semi_join" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_discount") > 0.05),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- anti join (NOT EXISTS) ----
+    "q06_anti_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+              "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- top-k (TakeOrderedAndProject) ----
+    "q07_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- window: ranking ----
+    "q08_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- window: running aggregate (exact decimal accumulation) ----
+    "q09_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                sum(col("l_quantity").cast(Dec2)).over(w)
+                  .cast("double").as("running_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- exact distinct aggregation ----
+    "q10_distinct_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- grouping sets (ROLLUP) ----
+    "q11_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+                col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- set operations ----
+    "q12_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.intersect(y97).orderBy("o_custkey")
+    }),
+    "q13_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.except(y97).orderBy("o_custkey")
+    }),
+
+    // ---- describe-style moments (A7): mean/std via exact sums ----
+    "q14_stats_moments" -> ((s, dir) => {
+      val agg = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("s_q"),
+        sum(decP(col("l_quantity")) * decP(col("l_quantity"))).cast("double").as("ss_q"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dsum(col("l_extendedprice")).as("s_p"),
+        sum(decP(col("l_extendedprice")) * decP(col("l_extendedprice"))).cast("double").as("ss_p"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      val nd = col("n").cast("double")
+      agg.select(
+        col("n"),
+        round(col("s_q") / nd, 6).as("mean_qty"),
+        round(sqrt((col("ss_q") - col("s_q") * col("s_q") / nd) / (nd - 1.0)), 6).as("std_qty"),
+        col("min_qty"), col("max_qty"),
+        round(col("s_p") / nd, 6).as("mean_price"),
+        round(sqrt((col("ss_p") - col("s_p") * col("s_p") / nd) / (nd - 1.0)), 6).as("std_price"),
+        col("min_price"), col("max_price"))
+    }),
+
+    // ---- per-column null counting (A5/A6) ----
+    "q15_null_counts" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("value"))).as("null_value"),
+        (count(lit(1)) - count(col("props"))).as("null_props"),
+        (count(lit(1)) - count(col("user_id"))).as("null_user"))
+    }),
+
+    // ---- tumbling time window (batch analog of streaming agg) ----
+    "q16_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("hour").cast("timestamp_ntz").as("hour"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- sliding window (1h window, 30m slide) ----
+    "q17_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("ws"),
+                col("n"), col("sum_value"))
+        .orderBy("ws")
+    }),
+
+    // ---- session windows (30m gap) per user ----
+    "q18_sessionize" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+        .select(col("user_id"),
+                col("session_start").cast("timestamp_ntz").as("session_start"),
+                col("session_end").cast("timestamp_ntz").as("session_end"),
+                col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- JSON extraction (F11 analog) ----
+    "q19_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- grid-cell mapping (reference F4-F9 as columnar math) ----
+    "q20_grid_cells" -> ((s, dir) => {
+      val lat = lit(10.0) + (col("value") % lit(45.0))
+      val lon = lit(-85.0) + (col("value") % lit(15.0))
+      val clat = least(greatest(lat, lit(10.0)), lit(55.0))
+      val clon = least(greatest(lon, lit(-85.0)), lit(-70.0))
+      val latIdx = least(greatest(floor((lit(55.0) - clat) / lit(0.25) + lit(0.5)),
+                                  lit(0.0)), lit(90.0)).cast("bigint")
+      val lonIdx = least(greatest(floor((clon - lit(-85.0)) / lit(0.25) + lit(0.5)),
+                                  lit(0.0)), lit(60.0)).cast("bigint")
+      val tIdx = least(greatest((year(col("ts")) - 1955) * 12 + month(col("ts")) - 1,
+                                lit(0)), lit(71)).cast("bigint")
+      val mIdx = (((year(col("ts")) - 1955) * 12 + month(col("ts")) - 1) % 72).cast("bigint")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        latIdx.as("lat_idx"), lonIdx.as("lon_idx"),
+        (lit(55.0) - latIdx.cast("double") * lit(0.25)).as("snap_lat"),
+        (lit(-85.0) + lonIdx.cast("double") * lit(0.25)).as("snap_lon"),
+        tIdx.as("t_idx"), mIdx.as("m_idx"))
+        .orderBy("event_id")
+    }),
+
+    // ---- exact deduplication over documents ----
+    "q21_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    }),
+
+    // ---- token statistics per language ----
+    "q22_token_stats" -> ((s, dir) => {
+      val tokens = (length(col("text")) -
+                    length(expr("replace(text, ' ', '')")) + 1).cast("bigint")
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), tokens.as("tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("tokens")).as("sum_tokens"),
+             (sum(col("tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+             (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- per-document quality scoring ----
+    "q23_text_quality" -> ((s, dir) => {
+      val tokens = (length(col("text")) -
+                    length(expr("replace(text, ' ', '')")) + 1).cast("bigint")
+      val stopCnt = floor((length(col("text")) -
+                    length(expr("replace(text, 'the', '')"))).cast("double") / 3.0)
+        .cast("bigint")
+      val flags = when(stopCnt === 0, 1).otherwise(0) +
+                  when(col("n_chars") < 100, 1).otherwise(0)
+      Tables.documents(s, dir).select(
+        col("doc_id"), tokens.as("tokens"), stopCnt.as("stop_cnt"),
+        (stopCnt.cast("double") / tokens.cast("double")).as("stop_ratio"),
+        (least(lit(1.0), tokens.cast("double") / 100.0) *
+          (lit(1.0) - lit(0.1) * flags.cast("double"))).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic (marker-token scoring) ----
+    "q24_langid" -> ((s, dir) => {
+      def occ(word: String): Column =
+        floor((length(col("text")) -
+          length(expr(s"replace(text, '$word', '')"))).cast("double") /
+          lit(word.length.toDouble)).cast("bigint")
+      val (en, de, fr, es, zh) =
+        (occ("the"), occ("table"), occ("filter"), occ("data"), occ("query"))
+      val pred = when(en >= de && en >= fr && en >= es && en >= zh, "en")
+        .when(de >= fr && de >= es && de >= zh, "de")
+        .when(fr >= es && fr >= zh, "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+      Tables.documents(s, dir).select(
+        col("doc_id"), pred.as("pred_lang"),
+        when(pred === col("lang"), 1).otherwise(0).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint ----
+    "q25_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                conv(substring(md5(col("text")), 1, 15), 16, 10)
+                  .cast("bigint").as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- MinHash signatures over 8-char shingles ----
+    "q26_minhash_sig" -> ((s, dir) => {
+      val P = 1000003L
+      val perms = Seq((961748941L, 101L), (982451653L, 202L),
+                      (899809343L, 303L), (472882027L, 404L))
+      val shingled = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("explode(transform(sequence(1, greatest(1, length(text) - 7)), " +
+             "i -> substring(text, i, 8)))").as("sh"))
+      val hashed = shingled.select(
+        col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("bigint") % P).as("hm"))
+      val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+        min((col("hm") * a + b) % P).as(s"mh${i + 1}")
+      }
+      hashed.groupBy("doc_id")
+        .agg(sigs.head, sigs.tail: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine top-k over embeddings ----
+    "q27_knn_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+                          lit(0.0), (acc, x) => acc + x)
+      val nv  = aggregate(transform(col("v"),  x => x * x), lit(0.0), (a, x) => a + x)
+      val nq  = aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x)
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+                round(dot / (sqrt(nv) * sqrt(nq)), 6).as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(20)
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles — same semantics, same output column names, same
+  // ORDER BY, same numeric parity tricks.
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${S_DSUM("l_quantity")} AS sum_qty,
+         |  ${S_DSUM("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT)) * (100 + CAST(round(l_tax*100,0) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+         |  ${S_DAVG("l_quantity")} AS avg_qty,
+         |  ${S_DAVG("l_extendedprice")} AS avg_price,
+         |  ${S_DAVG("l_discount")} AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_segment" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${S_DSUM("o_totalprice")} AS revenue,
+         |  ${S_DAVG("o_totalprice")} AS avg_order
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_distinct_agg" ->
+      s"""SELECT o_orderstatus,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${S_DSUM("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         |  ${S_DSUM("l_quantity")} AS sum_qty,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q12_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q13_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_stats_moments" ->
+      """SELECT n,
+        |  round(s_q / CAST(n AS DOUBLE), 6) AS mean_qty,
+        |  round(sqrt((ss_q - s_q * s_q / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_qty,
+        |  min_qty, max_qty,
+        |  round(s_p / CAST(n AS DOUBLE), 6) AS mean_price,
+        |  round(sqrt((ss_p - s_p * s_p / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_price,
+        |  min_price, max_price
+        |FROM (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+        |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_p,
+        |    MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |  FROM lineitem) t""".stripMargin,
+
+    "q15_null_counts" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_value,
+        |  CAST(COUNT(*) - COUNT(props) AS BIGINT) AS null_props,
+        |  CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user
+        |FROM events""".stripMargin,
+
+    "q16_tumbling_window" ->
+      s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+         |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${S_DSUM("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q17_sliding_window" ->
+      s"""WITH e AS (
+         |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, value
+         |  FROM events),
+         |w AS (
+         |  SELECT b AS ws, value FROM e
+         |  UNION ALL
+         |  SELECT b - INTERVAL '30 minutes' AS ws, value FROM e)
+         |SELECT ws, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${S_DSUM("value")} AS sum_value
+         |FROM w
+         |GROUP BY ws
+         |ORDER BY ws""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM z
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q20_grid_cells" ->
+      """WITH g AS (
+        |  SELECT event_id, ts,
+        |    least(greatest(10.0 + fmod(value, 45.0), 10.0), 55.0) AS clat,
+        |    least(greatest(-85.0 + fmod(value, 15.0), -85.0), -70.0) AS clon
+        |  FROM events),
+        |i AS (
+        |  SELECT event_id, ts,
+        |    CAST(least(greatest(floor((55.0 - clat) / 0.25 + 0.5), 0.0), 90.0) AS BIGINT) AS lat_idx,
+        |    CAST(least(greatest(floor((clon - (-85.0)) / 0.25 + 0.5), 0.0), 60.0) AS BIGINT) AS lon_idx
+        |  FROM g)
+        |SELECT event_id, lat_idx, lon_idx,
+        |  55.0 - CAST(lat_idx AS DOUBLE) * 0.25 AS snap_lat,
+        |  -85.0 + CAST(lon_idx AS DOUBLE) * 0.25 AS snap_lon,
+        |  CAST(least(greatest((year(ts) - 1955) * 12 + month(ts) - 1, 0), 71) AS BIGINT) AS t_idx,
+        |  CAST(((year(ts) - 1955) * 12 + month(ts) - 1) % 72 AS BIGINT) AS m_idx
+        |FROM i
+        |ORDER BY event_id""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS text_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+
+    "q22_token_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens
+        |      FROM documents) t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q23_text_quality" ->
+      """SELECT doc_id, tokens, stop_cnt,
+        |  CAST(stop_cnt AS DOUBLE) / CAST(tokens AS DOUBLE) AS stop_ratio,
+        |  least(1.0, CAST(tokens AS DOUBLE) / 100.0) *
+        |    (1.0 - 0.1 * CAST(flags AS DOUBLE)) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) AS BIGINT) AS stop_cnt,
+        |    (CASE WHEN floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS flags
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) AS BIGINT) AS c_en,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'table', '')) AS DOUBLE) / 5.0) AS BIGINT) AS c_de,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'filter', '')) AS DOUBLE) / 6.0) AS BIGINT) AS c_fr,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'data', '')) AS DOUBLE) / 4.0) AS BIGINT) AS c_es,
+        |    CAST(floor(CAST(length(text) - length(replace(text, 'query', '')) AS DOUBLE) / 5.0) AS BIGINT) AS c_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        |         WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        |         WHEN c_es >= c_zh THEN 'es'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM c)
+        |SELECT doc_id, pred_lang,
+        |  CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS is_match
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q26_minhash_sig" ->
+      """WITH pos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |                          i -> substr(text, CAST(i AS INTEGER), 8))) AS sh
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 1000003 AS hm
+        |  FROM pos)
+        |SELECT doc_id,
+        |  MIN((hm * 961748941 + 101) % 1000003) AS mh1,
+        |  MIN((hm * 982451653 + 202) % 1000003) AS mh2,
+        |  MIN((hm * 899809343 + 303) % 1000003) AS mh3,
+        |  MIN((hm * 472882027 + 404) % 1000003) AS mh4
+        |FROM sh
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |    AS cosine
+        |FROM e, q
+        |ORDER BY cosine DESC, vec_id
+        |LIMIT 20""".stripMargin
+  )
 }
