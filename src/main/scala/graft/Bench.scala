@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
 
 /** Benchmark main (driver-run per round → BENCH_r{N}.json).
   *
@@ -8,36 +11,62 @@ import org.apache.spark.sql.SparkSession
   * one JSON line. Results are forced through the "noop" sink so the
   * full plan executes (a bare .count() would let Catalyst prune
   * projections and undercount the real work).
+  *
+  * Protocol decisions:
+  *  - Warm-up exercises the REAL hot paths (parquet scan + hash agg +
+  *    the nanos-events read) so the first measured query doesn't absorb
+  *    one-time JVM/codegen/reader setup; a `spark.range` warm-up does
+  *    not touch those and previously inflated q01 by ~8 s.
+  *  - A query that throws is reported in an `"errors"` object and the
+  *    process exits nonzero — a broken query must never silently read
+  *    as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("graft-bench")
 
-    // Warm the JVM/codegen paths once so the first measured query
-    // doesn't absorb one-time session setup cost.
-    spark.range(1000000).selectExpr("sum(id)").write
-      .format("noop").mode("overwrite").save()
+    // Warm-up failure must not abort the run: the measured loop below
+    // reports per-query errors in the JSON, which is strictly more
+    // useful to the driver than a bare stack trace and no output.
+    try warmUp(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
 
+    var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors += name -> msg.linesIterator.next().take(200)
+        System.err.println(s"[bench] $name failed: $msg")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Touch each scan/codegen path the measured queries rely on:
+    * parquet vectorized read, whole-stage hash aggregation, shuffle,
+    * and the legacy nanos-long events column. */
+  private def warmUp(spark: SparkSession, sfDir: String): Unit = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"))
+      .groupBy("event_type").agg(max(col("ts")))
+      .write.format("noop").mode("overwrite").save()
+    Tables.documents(spark, sfDir).agg(sum(length(col("text"))))
+      .write.format("noop").mode("overwrite").save()
   }
 }

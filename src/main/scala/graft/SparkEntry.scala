@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.core.Tables
+import graft.core.{Grid, Tables}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -40,9 +40,6 @@ object SparkEntry {
   private val Dec2 = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(Dec2)).cast("double")
   private def davg(c: Column): Column = dsum(c) / count(c)
-  /** Price-magnitude decimal (values < 1e10, 2 decimals) for exact
-    * decimal squares in the moment computations. */
-  private def decP(c: Column): Column = c.cast(DecimalType(12, 2))
   private val DS = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
   private def S_DSUM(x: String) = DS.format(x)
   private def S_DAVG(x: String) = s"(${DS.format(x)} / COUNT($x))"
@@ -204,25 +201,36 @@ object SparkEntry {
     }),
 
     // ---- describe-style moments (A7): mean/std via exact sums ----
+    // std uses the all-integer form D = n·Σx₁₀₀² − (Σx₁₀₀)² accumulated
+    // exactly (DECIMAL(38,0) here, HUGEINT in DuckDB), so the only
+    // float step is the final correctly-rounded cast of D — no
+    // catastrophic cancellation in doubles (round-1 ADVICE item).
     "q14_stats_moments" -> ((s, dir) => {
+      val q100 = round(col("l_quantity") * 100, 0).cast("long")
+      val p100 = round(col("l_extendedprice") * 100, 0).cast("long")
+      val D38 = DecimalType(38, 0)
       val agg = Tables.lineitem(s, dir).agg(
         count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("s_q"),
-        sum(decP(col("l_quantity")) * decP(col("l_quantity"))).cast("double").as("ss_q"),
+        sum(q100.cast(D38)).as("s_q100"),
+        sum(q100.cast(D38) * q100).as("ss_q100"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         dsum(col("l_extendedprice")).as("s_p"),
-        sum(decP(col("l_extendedprice")) * decP(col("l_extendedprice"))).cast("double").as("ss_p"),
+        sum(p100.cast(D38)).as("s_p100"),
+        sum(p100.cast(D38) * p100).as("ss_p100"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
       val nd = col("n").cast("double")
+      val dQ = (col("n").cast(D38) * col("ss_q100") - col("s_q100") * col("s_q100")).cast("double")
+      val dP = (col("n").cast(D38) * col("ss_p100") - col("s_p100") * col("s_p100")).cast("double")
       agg.select(
         col("n"),
         round(col("s_q") / nd, 6).as("mean_qty"),
-        round(sqrt((col("ss_q") - col("s_q") * col("s_q") / nd) / (nd - 1.0)), 6).as("std_qty"),
+        round(sqrt(dQ / (nd * (nd - 1.0))) / 100.0, 6).as("std_qty"),
         col("min_qty"), col("max_qty"),
         round(col("s_p") / nd, 6).as("mean_price"),
-        round(sqrt((col("ss_p") - col("s_p") * col("s_p") / nd) / (nd - 1.0)), 6).as("std_price"),
+        round(sqrt(dP / (nd * (nd - 1.0))) / 100.0, 6).as("std_price"),
         col("min_price"), col("max_price"))
     }),
 
@@ -270,35 +278,33 @@ object SparkEntry {
     }),
 
     // ---- JSON extraction (F11 analog) ----
+    // from_json with a declared schema parses each value once inside
+    // codegen; get_json_object re-ran a JsonPath interpreter per row
+    // (459× the oracle in round 1).
     "q19_json_extract" -> ((s, dir) => {
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
       Tables.events(s, dir)
         .select(col("event_type"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
+                from_json(col("props"), propsSchema).getField("k").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
     }),
 
-    // ---- grid-cell mapping (reference F4-F9 as columnar math) ----
+    // ---- grid-cell mapping (reference F4-F9, via Grid's Column API) ----
     "q20_grid_cells" -> ((s, dir) => {
       val lat = lit(10.0) + (col("value") % lit(45.0))
       val lon = lit(-85.0) + (col("value") % lit(15.0))
-      val clat = least(greatest(lat, lit(10.0)), lit(55.0))
-      val clon = least(greatest(lon, lit(-85.0)), lit(-70.0))
-      val latIdx = least(greatest(floor((lit(55.0) - clat) / lit(0.25) + lit(0.5)),
-                                  lit(0.0)), lit(90.0)).cast("bigint")
-      val lonIdx = least(greatest(floor((clon - lit(-85.0)) / lit(0.25) + lit(0.5)),
-                                  lit(0.0)), lit(60.0)).cast("bigint")
-      val tIdx = least(greatest((year(col("ts")) - 1955) * 12 + month(col("ts")) - 1,
-                                lit(0)), lit(71)).cast("bigint")
-      val mIdx = (((year(col("ts")) - 1955) * 12 + month(col("ts")) - 1) % 72).cast("bigint")
+      val latIdx = Grid.latIdxCol(lat)
+      val lonIdx = Grid.lonIdxCol(lon)
       Tables.events(s, dir).select(
         col("event_id"),
         latIdx.as("lat_idx"), lonIdx.as("lon_idx"),
-        (lit(55.0) - latIdx.cast("double") * lit(0.25)).as("snap_lat"),
-        (lit(-85.0) + lonIdx.cast("double") * lit(0.25)).as("snap_lon"),
-        tIdx.as("t_idx"), mIdx.as("m_idx"))
+        Grid.idxToLatCol(latIdx).as("snap_lat"),
+        Grid.idxToLonCol(lonIdx).as("snap_lon"),
+        Grid.timeIdxCol(col("ts")).as("t_idx"),
+        Grid.monthIdxCol(col("ts")).as("m_idx"))
         .orderBy("event_id")
     }),
 
@@ -370,41 +376,52 @@ object SparkEntry {
     }),
 
     // ---- MinHash signatures over 8-char shingles ----
+    // Computed entirely per-row: shingle→hash array via transform(
+    // sequence(...)), then array_min per permutation. Zero explode,
+    // zero shuffle — the round-1 explode+groupBy formulation shuffled
+    // ~8× the corpus bytes, a 100 TB scale-killer (VERDICT r1).
     "q26_minhash_sig" -> ((s, dir) => {
       val P = 1000003L
       val perms = Seq((961748941L, 101L), (982451653L, 202L),
                       (899809343L, 303L), (472882027L, 404L))
-      val shingled = Tables.documents(s, dir).select(
-        col("doc_id"),
-        expr("explode(transform(sequence(1, greatest(1, length(text) - 7)), " +
-             "i -> substring(text, i, 8)))").as("sh"))
-      val hashed = shingled.select(
-        col("doc_id"),
-        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("bigint") % P).as("hm"))
       val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
-        min((col("hm") * a + b) % P).as(s"mh${i + 1}")
+        array_min(transform(col("hm"), h => (h * a + b) % P)).as(s"mh${i + 1}")
       }
-      hashed.groupBy("doc_id")
-        .agg(sigs.head, sigs.tail: _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), minhashShingleHashes(col("text")).as("hm"))
+        .select((col("doc_id") +: sigs): _*)
         .orderBy("doc_id")
     }),
 
     // ---- brute-force cosine top-k over embeddings ----
+    // The query vector's norm is computed ONCE on the broadcast side
+    // (round 1 recomputed it per row).
     "q27_knn_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"),
+                sqrt(aggregate(transform(col("v"), x => x * x),
+                               lit(0.0), (a, x) => a + x)).as("qnorm"))
       val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
                           lit(0.0), (acc, x) => acc + x)
       val nv  = aggregate(transform(col("v"),  x => x * x), lit(0.0), (a, x) => a + x)
-      val nq  = aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x)
       emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
-                round(dot / (sqrt(nv) * sqrt(nq)), 6).as("cosine"))
+                round(dot / (sqrt(nv) * col("qnorm")), 6).as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(20)
     })
   )
+
+  /** Per-row MinHash shingle-hash array (shared by q26 and the LSH
+    * banding join q31): 8-char shingles, first 8 hex chars of md5,
+    * mod the prime 1000003. */
+  private def minhashShingleHashes(text: Column): Column =
+    transform(
+      sequence(lit(1), greatest(lit(1), length(text) - 7)),
+      i => conv(substring(md5(text.substr(i, lit(8))), 1, 8), 16, 10)
+             .cast("bigint") % 1000003L)
 
   // =====================================================================
   // DuckDB oracles — same semantics, same output column names, same
@@ -528,20 +545,23 @@ object SparkEntry {
     "q14_stats_moments" ->
       """SELECT n,
         |  round(s_q / CAST(n AS DOUBLE), 6) AS mean_qty,
-        |  round(sqrt((ss_q - s_q * s_q / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_qty,
+        |  round(sqrt(d_q / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6) AS std_qty,
         |  min_qty, max_qty,
         |  round(s_p / CAST(n AS DOUBLE), 6) AS mean_price,
-        |  round(sqrt((ss_p - s_p * s_p / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS std_price,
+        |  round(sqrt(d_p / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6) AS std_price,
         |  min_price, max_price
         |FROM (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+        |    CAST(COUNT(*) * SUM(q100 * q100) - SUM(q100) * SUM(q100) AS DOUBLE) AS d_q,
         |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_p,
+        |    CAST(COUNT(*) * SUM(p100 * p100) - SUM(p100) * SUM(p100) AS DOUBLE) AS d_p,
         |    MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
-        |  FROM lineitem) t""".stripMargin,
+        |  FROM (SELECT l_quantity, l_extendedprice,
+        |          CAST(round(l_quantity * 100, 0) AS BIGINT) AS q100,
+        |          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p100
+        |        FROM lineitem) raw) t""".stripMargin,
 
     "q15_null_counts" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -598,7 +618,7 @@ object SparkEntry {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) t
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -684,33 +704,30 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q26_minhash_sig" ->
-      """WITH pos AS (
+      """WITH h AS (
         |  SELECT doc_id,
-        |    unnest(list_transform(range(1, greatest(1, length(text) - 7) + 1),
-        |                          i -> substr(text, CAST(i AS INTEGER), 8))) AS sh
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 1000003 AS hm
-        |  FROM pos)
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM documents)
         |SELECT doc_id,
-        |  MIN((hm * 961748941 + 101) % 1000003) AS mh1,
-        |  MIN((hm * 982451653 + 202) % 1000003) AS mh2,
-        |  MIN((hm * 899809343 + 303) % 1000003) AS mh3,
-        |  MIN((hm * 472882027 + 404) % 1000003) AS mh4
-        |FROM sh
-        |GROUP BY doc_id
+        |  list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |  list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |  list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |  list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |FROM h
         |ORDER BY doc_id""".stripMargin,
 
     "q27_knn_cosine" ->
       """WITH q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |  SELECT qv, sqrt(list_dot_product(qv, qv)) AS qnorm
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |        FROM embeddings WHERE vec_id = 0)),
         |e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id,
         |  round(list_dot_product(v, qv) /
-        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |        (sqrt(list_dot_product(v, v)) * qnorm), 6)
         |    AS cosine
         |FROM e, q
         |ORDER BY cosine DESC, vec_id

@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so every entry point
+  * (Bench, Verify, Pipeline CLI, tests) runs with identical semantics.
+  *
+  * Session-level decisions made here, not scattered per-caller:
+  *  - UTC session time zone: the reference's timestamps are UTC ISO
+  *    strings (e.g. `data/sea_surface_sample.csv:3`) and the DuckDB
+  *    oracle compares TIMESTAMP (no TZ), so all string→timestamp casts
+  *    must resolve in UTC.
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the driver-generated
+  *    `events` table carries nanosecond parquet timestamps, which the
+  *    Spark reader otherwise rejects. Setting it once at build time
+  *    keeps [[Tables]] free of hidden config mutation (the conf only
+  *    affects nanos-typed columns; all other tables are micros).
+  *  - AQE on with partition coalescing: local[32] with 32 shuffle
+  *    partitions needs runtime coalescing for the many tiny-input
+  *    queries in the corpus; at cluster scale the same setting handles
+  *    skew and post-filter shrinkage.
+  */
+object GraftSession {
+  val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(appName: String, cpus: String = DefaultCpus): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

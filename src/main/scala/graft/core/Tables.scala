@@ -25,15 +25,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** The events table is written with nanosecond parquet timestamps,
-    * which Spark's parquet reader rejects. Read `ts` as a long of
-    * nanos (legacy conf) and truncate to microsecond TIMESTAMP —
-    * the same truncation DuckDB applies (its TIMESTAMP is micros).
+    * which Spark's parquet reader rejects. The session must be built
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[GraftSession]]) so `ts` arrives as a long of nanos; here it is
+    * truncated to microsecond TIMESTAMP — the same truncation DuckDB
+    * applies (its TIMESTAMP is micros). No session config is mutated
+    * here: loaders stay side-effect free.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events").withColumn(
       "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
