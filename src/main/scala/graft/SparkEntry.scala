@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
+import graft.ops.{Clean, Quality}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -381,12 +382,7 @@ object SparkEntry {
     // zero shuffle — the round-1 explode+groupBy formulation shuffled
     // ~8× the corpus bytes, a 100 TB scale-killer (VERDICT r1).
     "q26_minhash_sig" -> ((s, dir) => {
-      val P = 1000003L
-      val perms = Seq((961748941L, 101L), (982451653L, 202L),
-                      (899809343L, 303L), (472882027L, 404L))
-      val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
-        array_min(transform(col("hm"), h => (h * a + b) % P)).as(s"mh${i + 1}")
-      }
+      val sigs = MinhashPerms.indices.map(i => minhashPerm(i).as(s"mh${i + 1}"))
       Tables.documents(s, dir)
         .select(col("doc_id"), minhashShingleHashes(col("text")).as("hm"))
         .select((col("doc_id") +: sigs): _*)
@@ -411,8 +407,152 @@ object SparkEntry {
                 round(dot / (sqrt(nv) * col("qnorm")), 6).as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(20)
+    }),
+
+    // ---- reference clean stage end-to-end (S3/S4, P1, F1-F3, P2, O1) ----
+    // Reads the committed dirty fixture (double header, unsorted,
+    // coerce-failing cells, partial nulls) through the real Clean ops.
+    "q28_clean_pipeline" -> ((s, _) => {
+      Clean.cleanApiResponse(
+        s.read.option("header", "true").csv(RawFixtureCsv))
+    }),
+
+    // ---- quality report A8/P9 over the cleaned fixture ----
+    // Same single-pass aggregate Quality.report runs, with the issue
+    // flags and score expressed as Columns so the whole report is one
+    // SQL-comparable row (formula: extract.py:287-288).
+    "q29_quality_report" -> ((s, _) => {
+      val cleaned = Clean.cleanApiResponse(
+        s.read.option("header", "true").csv(RawFixtureCsv))
+      val a = Quality.aggPlan(cleaned)
+      val n = col("n")
+      val nn = Seq("time", "depth", "latitude", "longitude", "temperature", "salinity")
+        .map(c => col(s"nn_$c")).reduce(_ + _)
+      val completeness = nn.cast("double") / (n * lit(6)).cast("double")
+      val issues =
+        (n < Quality.MinDataPoints).cast("int") +
+        (completeness < lit(1.0) - Quality.MaxMissingRatio).cast("int") +
+        (col("min_temperature") < Quality.TempBounds._1 ||
+         col("max_temperature") > Quality.TempBounds._2).cast("int") +
+        (col("min_salinity") < Quality.SalBounds._1 ||
+         col("max_salinity") > Quality.SalBounds._2).cast("int")
+      a.select(
+        n,
+        round(completeness, 6).as("completeness"),
+        issues.as("n_issues"),
+        round(least(lit(1.0), completeness * (lit(1.0) - issues * lit(0.1))), 6)
+          .as("quality_score"),
+        col("min_temperature").as("temp_min"), col("max_temperature").as("temp_max"),
+        round(col("sum_temperature") / col("cnt_temperature"), 6).as("temp_mean"),
+        col("cnt_temperature").as("temp_count"),
+        col("min_salinity").as("sal_min"), col("max_salinity").as("sal_max"),
+        round(col("sum_salinity") / col("cnt_salinity"), 6).as("sal_mean"),
+        col("cnt_salinity").as("sal_count"))
+    }),
+
+    // ---- nearby-cache lookup semantics (P6 analog, P7, O4, F12) ----
+    // Cache-metadata coordinates synthesized from events (same lat/lon
+    // derivation q20 established); box predicate + Manhattan ranking +
+    // per-row Euclidean distance per cache_manager.py:302-318.
+    "q30_cache_nearby" -> ((s, dir) => {
+      val qLat = 32.0; val qLon = -77.5; val r = 2.0
+      val meta = Tables.events(s, dir)
+        .filter(col("event_id") % 37 === 0)
+        .select(
+          col("event_id"),
+          (lit(10.0) + col("value") % lit(45.0)).as("latitude"),
+          (lit(-85.0) + col("value") % lit(15.0)).as("longitude"))
+      meta
+        .filter(abs(col("latitude") - qLat) < r && abs(col("longitude") - qLon) < r)
+        .select(
+          col("event_id"), col("latitude"), col("longitude"),
+          round(abs(col("latitude") - qLat) + abs(col("longitude") - qLon), 6)
+            .as("manhattan"),
+          round(sqrt(pow(col("latitude") - qLat, 2) + pow(col("longitude") - qLon, 2)), 6)
+            .as("distance_degrees"))
+        .orderBy(asc("manhattan"), asc("event_id"))
+    }),
+
+    // ---- LSH banding join: near-duplicate candidate pairs ----
+    // Bands the q26 signatures (2 bands x 2 rows), self-equi-joins on
+    // the band bucket — the scale path for many-to-many similarity:
+    // shuffle is on (band, bucket) keys, never all-pairs. Estimated
+    // Jaccard = fraction of the 4 signature components that agree.
+    "q31_neardup_pairs" -> ((s, dir) => {
+      val sigs = Tables.documents(s, dir)
+        .select(col("doc_id"), minhashShingleHashes(col("text")).as("hm"))
+        .select(
+          col("doc_id"),
+          minhashPerm(0).as("mh1"), minhashPerm(1).as("mh2"),
+          minhashPerm(2).as("mh3"), minhashPerm(3).as("mh4"))
+      val bands = sigs.select(col("*"),
+        explode(array(
+          struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),
+          struct(lit(2).as("band"), col("mh3").as("x"), col("mh4").as("y")))).as("b"))
+        .select(col("doc_id"), col("mh1"), col("mh2"), col("mh3"), col("mh4"),
+                col("b.band").as("band"), col("b.x").as("x"), col("b.y").as("y"))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b,
+          col("a.band") === col("b.band") &&
+          col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          (((col("a.mh1") === col("b.mh1")).cast("int") +
+            (col("a.mh2") === col("b.mh2")).cast("int") +
+            (col("a.mh3") === col("b.mh3")).cast("int") +
+            (col("a.mh4") === col("b.mh4")).cast("int")) / lit(4.0)).as("jaccard_est"))
+        .distinct()
+        .orderBy("doc1", "doc2")
+    }),
+
+    // ---- describe() with exact quartiles (A7, P5; pandas parity) ----
+    // Exact `percentile` (not approx) per SURVEY §7.4; std via the
+    // all-integer D = n*Σx² − (Σx)² trick shared with q14.
+    "q32_describe" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      def stats(c: String, suffix: String): Seq[Column] = {
+        val x100 = round(col(c) * 100, 0).cast("long")
+        Seq(
+          dsum(col(c)).as(s"s_$suffix"),
+          sum(x100.cast(D38)).as(s"s100_$suffix"),
+          sum(x100.cast(D38) * x100).as(s"ss100_$suffix"),
+          min(col(c)).as(s"min_$suffix"), max(col(c)).as(s"max_$suffix"),
+          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"pct_$suffix"))
+      }
+      val agg = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n"),
+        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p")): _*)
+      val nd = col("n").cast("double")
+      def out(suffix: String, label: String): Seq[Column] = {
+        val d = (col("n").cast(D38) * col(s"ss100_$suffix") -
+                 col(s"s100_$suffix") * col(s"s100_$suffix")).cast("double")
+        Seq(
+          round(col(s"s_$suffix") / nd, 6).as(s"mean_$label"),
+          round(sqrt(d / (nd * (nd - 1.0))) / 100.0, 6).as(s"std_$label"),
+          col(s"min_$suffix").as(s"min_$label"),
+          round(col(s"pct_$suffix").getItem(0), 6).as(s"q25_$label"),
+          round(col(s"pct_$suffix").getItem(1), 6).as(s"q50_$label"),
+          round(col(s"pct_$suffix").getItem(2), 6).as(s"q75_$label"),
+          col(s"max_$suffix").as(s"max_$label"))
+      }
+      agg.select((col("n") +: (out("q", "qty") ++ out("p", "price"))): _*)
     })
   )
+
+  /** Committed dirty sea_surface fixture exercising every clean-stage
+    * edge: double header, mixed ISO offsets, coerce failures, partial
+    * and total key-var nulls, out-of-range measures, unsorted rows. */
+  private val RawFixtureCsv = "/root/repo/data/fixtures/sea_surface_raw.csv"
+
+  /** MinHash permutation i applied over the shingle-hash array `hm`
+    * (shared by q26 and q31). */
+  private val MinhashPerms = Seq((961748941L, 101L), (982451653L, 202L),
+                                 (899809343L, 303L), (472882027L, 404L))
+  private def minhashPerm(i: Int): Column = {
+    val (a, b) = MinhashPerms(i)
+    array_min(transform(col("hm"), h => (h * a + b) % 1000003L))
+  }
 
   /** Per-row MinHash shingle-hash array (shared by q26 and the LSH
     * banding join q31): 8-char shingles, first 8 hex chars of md5,
@@ -731,6 +871,135 @@ object SparkEntry {
         |    AS cosine
         |FROM e, q
         |ORDER BY cosine DESC, vec_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // The clean-stage SQL mirrors Clean.cleanApiResponse step for step:
+    // units-row strip BEFORE casts, normalize names (DuckDB trims the
+    // ' Latitude ' header itself), TRY_CAST coercions, how='all' dropna
+    // on the key vars, nulls-last time sort.
+    "q28_clean_pipeline" ->
+      s"""WITH typed AS (
+        |  SELECT TRY_CAST(time AS TIMESTAMP) AS time,
+        |    TRY_CAST(depth AS DOUBLE) AS depth,
+        |    TRY_CAST("Latitude" AS DOUBLE) AS latitude,
+        |    TRY_CAST(longitude AS DOUBLE) AS longitude,
+        |    TRY_CAST("Temperature" AS DOUBLE) AS temperature,
+        |    TRY_CAST("Salinity" AS DOUBLE) AS salinity
+        |  FROM read_csv('$RawFixtureCsv', header=true, all_varchar=true)
+        |  WHERE time IS NULL OR time NOT IN ('UTC', 'units'))
+        |SELECT * FROM typed
+        |WHERE temperature IS NOT NULL OR salinity IS NOT NULL
+        |ORDER BY time NULLS LAST""".stripMargin,
+
+    "q29_quality_report" ->
+      s"""WITH typed AS (
+        |  SELECT TRY_CAST(time AS TIMESTAMP) AS time,
+        |    TRY_CAST(depth AS DOUBLE) AS depth,
+        |    TRY_CAST("Latitude" AS DOUBLE) AS latitude,
+        |    TRY_CAST(longitude AS DOUBLE) AS longitude,
+        |    TRY_CAST("Temperature" AS DOUBLE) AS temperature,
+        |    TRY_CAST("Salinity" AS DOUBLE) AS salinity
+        |  FROM read_csv('$RawFixtureCsv', header=true, all_varchar=true)
+        |  WHERE time IS NULL OR time NOT IN ('UTC', 'units')),
+        |cleaned AS (
+        |  SELECT * FROM typed
+        |  WHERE temperature IS NOT NULL OR salinity IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    COUNT(time) + COUNT(depth) + COUNT(latitude) + COUNT(longitude)
+        |      + COUNT(temperature) + COUNT(salinity) AS nn,
+        |    MIN(temperature) AS min_t, MAX(temperature) AS max_t,
+        |    CAST(SUM(CAST(temperature AS DECIMAL(18,6))) AS DOUBLE) AS sum_t,
+        |    CAST(COUNT(temperature) AS BIGINT) AS cnt_t,
+        |    MIN(salinity) AS min_s, MAX(salinity) AS max_s,
+        |    CAST(SUM(CAST(salinity AS DECIMAL(18,6))) AS DOUBLE) AS sum_s,
+        |    CAST(COUNT(salinity) AS BIGINT) AS cnt_s
+        |  FROM cleaned),
+        |f AS (
+        |  SELECT *,
+        |    CAST(nn AS DOUBLE) / CAST(n * 6 AS DOUBLE) AS completeness,
+        |    CAST(n < 1 AS INT) +
+        |    CAST(CAST(nn AS DOUBLE) / CAST(n * 6 AS DOUBLE) < 0.5 AS INT) +
+        |    CAST(min_t < -5.0 OR max_t > 35.0 AS INT) +
+        |    CAST(min_s < 0.0 OR max_s > 45.0 AS INT) AS n_issues
+        |  FROM a)
+        |SELECT n,
+        |  round(completeness, 6) AS completeness,
+        |  n_issues,
+        |  round(LEAST(1.0, completeness * (1.0 - n_issues * 0.1)), 6) AS quality_score,
+        |  min_t AS temp_min, max_t AS temp_max,
+        |  round(sum_t / cnt_t, 6) AS temp_mean, cnt_t AS temp_count,
+        |  min_s AS sal_min, max_s AS sal_max,
+        |  round(sum_s / cnt_s, 6) AS sal_mean, cnt_s AS sal_count
+        |FROM f""".stripMargin,
+
+    "q30_cache_nearby" ->
+      """WITH meta AS (
+        |  SELECT event_id,
+        |    10.0 + value % 45.0 AS latitude,
+        |    -85.0 + value % 15.0 AS longitude
+        |  FROM events
+        |  WHERE event_id % 37 = 0)
+        |SELECT event_id, latitude, longitude,
+        |  round(ABS(latitude - 32.0) + ABS(longitude - (-77.5)), 6) AS manhattan,
+        |  round(sqrt(power(latitude - 32.0, 2) + power(longitude - (-77.5), 2)), 6)
+        |    AS distance_degrees
+        |FROM meta
+        |WHERE ABS(latitude - 32.0) < 2.0 AND ABS(longitude - (-77.5)) < 2.0
+        |ORDER BY manhattan, event_id""".stripMargin,
+
+    "q31_neardup_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 AS x, mh4 AS y FROM sigs)
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  (CAST(a.mh1 = b.mh1 AS INT) + CAST(a.mh2 = b.mh2 AS INT) +
+        |   CAST(a.mh3 = b.mh3 AS INT) + CAST(a.mh4 = b.mh4 AS INT)) / 4.0 AS jaccard_est
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q32_describe" ->
+      """WITH raw AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q100,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p100
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |    CAST(COUNT(*) * SUM(q100 * q100) - SUM(q100) * SUM(q100) AS DOUBLE) AS d_q,
+        |    MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+        |    quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS pct_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |    CAST(COUNT(*) * SUM(p100 * p100) - SUM(p100) * SUM(p100) AS DOUBLE) AS d_p,
+        |    MIN(l_extendedprice) AS min_p, MAX(l_extendedprice) AS max_p,
+        |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS pct_p
+        |  FROM raw)
+        |SELECT n,
+        |  round(s_q / CAST(n AS DOUBLE), 6) AS mean_qty,
+        |  round(sqrt(d_q / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6) AS std_qty,
+        |  min_q AS min_qty,
+        |  round(pct_q[1], 6) AS q25_qty, round(pct_q[2], 6) AS q50_qty,
+        |  round(pct_q[3], 6) AS q75_qty, max_q AS max_qty,
+        |  round(s_p / CAST(n AS DOUBLE), 6) AS mean_price,
+        |  round(sqrt(d_p / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6) AS std_price,
+        |  min_p AS min_price,
+        |  round(pct_p[1], 6) AS q25_price, round(pct_p[2], 6) AS q50_price,
+        |  round(pct_p[3], 6) AS q75_price, max_p AS max_price
+        |FROM a""".stripMargin
   )
 }
