@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cache.ResultCache
+
+/** Result-cache semantics (`cache_manager.py`): key byte-parity with
+  * hashes produced by the reference's own `_generate_query_hash` on
+  * sample inputs, TTL behavior via an injectable clock, size cap,
+  * nearby ranking. */
+class CacheSpec extends AnyFunSuite with SparkTestSession {
+
+  private val vars = Seq("Temperature", "Salinity")
+
+  test("F10: key hashes match the reference's function byte-for-byte") {
+    // Expected values computed by running the reference's exact
+    // f-string + sha256[:16] on these inputs (cache_manager.py:63-74).
+    assert(ResultCache.queryHash(32.5, -70.0, "1960-01-01", "1960-02-01", vars)
+      == "ffe523f1280cd135")
+    assert(ResultCache.queryHash(10.0, -85.0, "1955-01-01", "1960-12-31", Seq("Salinity"))
+      == "fa9bdf0ae37ede06")
+    assert(ResultCache.queryHash(32.25, -70.25, "1958-06-01", "1958-06-01", Seq("Temperature"))
+      == "6db5d18bc290c301")
+    assert(ResultCache.queryHash(12.125, -84.875, "1955-02-01", "1955-03-01", vars)
+      == "0af2c8b1dc144839")
+    // variables are SORTED into the key; negative zero keeps its sign
+    assert(ResultCache.queryHash(-0.0, -70.0, "1955-01-01", "1955-01-01", Seq("B", "A", "C"))
+      == "2ca1c0837db2159f")
+  }
+
+  test("variables JSON matches json.dumps shape") {
+    assert(ResultCache.variablesJson(Seq("Temperature", "Salinity"))
+      == """["Temperature", "Salinity"]""")
+  }
+
+  private def freshCache(now: () => Instant = () => Instant.now()): ResultCache =
+    new ResultCache(spark,
+      Files.createTempDirectory("graft-cache").toString, clock = now)
+
+  private def sample = {
+    import spark.implicits._
+    Seq((1L, 21.5, 36.4), (2L, 22.0, 36.5)).toDF("id", "temperature", "salinity")
+  }
+
+  test("S8/S9: put then get roundtrips the frame") {
+    val c = freshCache()
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isEmpty)
+    assert(c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample))
+    val got = c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars)
+    assert(got.isDefined)
+    assert(got.get.count() == 2)
+    assert(got.get.columns.toSeq == Seq("id", "temperature", "salinity"))
+    // different key -> miss
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-03-01", vars).isEmpty)
+  }
+
+  test("P6: entries expire after the TTL") {
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val c = freshCache(() => now)
+    assert(c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample))
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isDefined)
+    now = now.plusSeconds(23 * 3600)
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isDefined)
+    now = now.plusSeconds(2 * 3600) // past 24 h
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isEmpty)
+  }
+
+  test("size cap: oversize entries are rejected, not stored") {
+    val c = new ResultCache(spark,
+      Files.createTempDirectory("graft-cache").toString, maxEntryBytes = 10L)
+    assert(!c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample))
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isEmpty)
+    assert(c.metadata.count() == 0)
+  }
+
+  test("P7/O4: nearby lookup ranks by Manhattan distance within the box") {
+    val c = freshCache()
+    c.put(32.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)   // d_manhattan 0.0
+    c.put(32.25, -70.0, "1960-01-01", "1960-02-01", vars, sample)  // 0.25
+    c.put(32.0, -70.4, "1960-01-01", "1960-02-01", vars, sample)   // 0.4
+    c.put(33.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)   // outside 0.5 box
+    val got = c.nearby(32.0, -70.0, radiusDegrees = 0.5)
+      .select("latitude", "longitude", "distance_degrees").collect()
+    assert(got.length == 3)
+    assert(got.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((32.0, -70.0), (32.25, -70.0), (32.0, -70.4)))
+    assert(got(1).getDouble(2) == 0.25) // Euclidean recomputed per row
+  }
+
+  test("upsert: same key overwrites (INSERT OR REPLACE)") {
+    import spark.implicits._
+    val c = freshCache()
+    c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    val bigger = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0))
+      .toDF("id", "temperature", "salinity")
+    c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, bigger)
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).get.count() == 3)
+    assert(c.metadata.count() == 1)
+  }
+
+  test("stats + cleanupExpired") {
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val c = freshCache(() => now)
+    c.put(32.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    now = now.plusSeconds(25 * 3600)
+    c.put(32.25, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    val s = c.stats
+    assert(s("total_entries") == 2L)
+    assert(s("active_entries") == 1L)
+    assert(s("expired_entries") == 1L)
+    assert(c.cleanupExpired() == 1)
+    assert(c.metadata.count() == 1)
+    c.clearAll()
+    assert(c.metadata.count() == 0)
+  }
+}
