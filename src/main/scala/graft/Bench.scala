@@ -68,5 +68,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     Tables.documents(spark, sfDir).agg(sum(length(col("text"))))
       .write.format("noop").mode("overwrite").save()
+    // RDD sort machinery (range partitioner, sampler, shuffle writer
+    // classes) loads lazily and costs ~8 s the first time; q32's exact
+    // percentile uses it.
+    spark.sparkContext.parallelize(1 to 1000, 4).sortBy(identity).count()
   }
 }

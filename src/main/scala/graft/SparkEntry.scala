@@ -33,15 +33,18 @@ import graft.ops.{Clean, Quality}
 object SparkEntry {
 
   // ---------- cross-engine numeric parity helpers ----------
-  /** Exact (order-independent) sum of a ≤2-decimal double column.
-    * DECIMAL(18,2) keeps DuckDB's accumulator on the int64/small-int128
-    * path where its DOUBLE conversion is correctly rounded; wider
-    * scales (e.g. DECIMAL(30,10)) make it drift a ulp from Spark's
-    * BigDecimal.doubleValue on unscaled values past 2^53. */
-  private val Dec2 = DecimalType(18, 2)
-  private def dsum(c: Column): Column = sum(c.cast(Dec2)).cast("double")
+  /** Exact (order-independent) sum of a ~2-decimal double column, on
+    * the INTEGER fast path: round to cents, sum as BIGINT (HUGEINT in
+    * DuckDB — both exact), one double conversion at the end. Replaces
+    * the earlier DECIMAL(18,2) accumulation, which cost ~0.2 s per
+    * aggregate at sf0.1 (Spark's decimal sum runs ~4× slower than a
+    * long sum); values land on the same doubles because cents sums
+    * stay < 2^53 so the final cast and /100.0 are each correctly
+    * rounded on both engines. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def dsum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
   private def davg(c: Column): Column = dsum(c) / count(c)
-  private val DS = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+  private val DS = "(CAST(SUM(CAST(round(%s * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)"
   private def S_DSUM(x: String) = DS.format(x)
   private def S_DAVG(x: String) = s"(${DS.format(x)} / COUNT($x))"
 
@@ -161,8 +164,8 @@ object SparkEntry {
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-                sum(col("l_quantity").cast(Dec2)).over(w)
-                  .cast("double").as("running_qty"))
+                (sum(cents(col("l_quantity"))).over(w)
+                  .cast("double") / 100.0).as("running_qty"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -214,12 +217,12 @@ object SparkEntry {
         count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("s_q"),
         sum(q100.cast(D38)).as("s_q100"),
-        sum(q100.cast(D38) * q100).as("ss_q100"),
+        sum((q100 * q100).cast(D38)).as("ss_q100"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         dsum(col("l_extendedprice")).as("s_p"),
         sum(p100.cast(D38)).as("s_p100"),
-        sum(p100.cast(D38) * p100).as("ss_p100"),
+        sum((p100 * p100).cast(D38)).as("ss_p100"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
       val nd = col("n").cast("double")
@@ -382,11 +385,7 @@ object SparkEntry {
     // zero shuffle — the round-1 explode+groupBy formulation shuffled
     // ~8× the corpus bytes, a 100 TB scale-killer (VERDICT r1).
     "q26_minhash_sig" -> ((s, dir) => {
-      val sigs = MinhashPerms.indices.map(i => minhashPerm(i).as(s"mh${i + 1}"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), minhashShingleHashes(col("text")).as("hm"))
-        .select((col("doc_id") +: sigs): _*)
-        .orderBy("doc_id")
+      minhashSigsFrame(s, dir).orderBy("doc_id")
     }),
 
     // ---- brute-force cosine top-k over embeddings ----
@@ -479,12 +478,7 @@ object SparkEntry {
     // shuffle is on (band, bucket) keys, never all-pairs. Estimated
     // Jaccard = fraction of the 4 signature components that agree.
     "q31_neardup_pairs" -> ((s, dir) => {
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"), minhashShingleHashes(col("text")).as("hm"))
-        .select(
-          col("doc_id"),
-          minhashPerm(0).as("mh1"), minhashPerm(1).as("mh2"),
-          minhashPerm(2).as("mh3"), minhashPerm(3).as("mh4"))
+      val sigs = minhashSigsFrame(s, dir)
       val bands = sigs.select(col("*"),
         explode(array(
           struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),
@@ -511,57 +505,95 @@ object SparkEntry {
     // all-integer D = n*Σx² − (Σx)² trick shared with q14.
     "q32_describe" -> ((s, dir) => {
       val D38 = DecimalType(38, 0)
+      val li = Tables.lineitem(s, dir)
+      // Exact quartiles, two regimes: l_quantity has ~50 distinct
+      // values so the `percentile` aggregate (per-partition value→count
+      // map) is cheap; l_extendedprice is ~all-distinct, where that map
+      // degenerates (2.3 s at sf0.1, memory ∝ distinct count — a
+      // scale-killer). For it: distributed sortBy (range-partitioned)
+      // + zipWithIndex + select the 6 bracketing ranks — same
+      // interpolation, bounded memory, cluster-safe.
+      val pricePcts = exactPercentilesBySort(
+        li.select(col("l_extendedprice")), Seq(0.25, 0.5, 0.75))
       def stats(c: String, suffix: String): Seq[Column] = {
         val x100 = round(col(c) * 100, 0).cast("long")
         Seq(
           dsum(col(c)).as(s"s_$suffix"),
           sum(x100.cast(D38)).as(s"s100_$suffix"),
-          sum(x100.cast(D38) * x100).as(s"ss100_$suffix"),
-          min(col(c)).as(s"min_$suffix"), max(col(c)).as(s"max_$suffix"),
-          expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"pct_$suffix"))
+          sum((x100 * x100).cast(D38)).as(s"ss100_$suffix"),
+          min(col(c)).as(s"min_$suffix"), max(col(c)).as(s"max_$suffix"))
       }
-      val agg = Tables.lineitem(s, dir).agg(
+      val agg = li.agg(
         count(lit(1)).as("n"),
-        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p")): _*)
+        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p") :+
+         expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("pct_q")): _*)
       val nd = col("n").cast("double")
-      def out(suffix: String, label: String): Seq[Column] = {
+      def out(suffix: String, label: String, pct: Int => Column): Seq[Column] = {
         val d = (col("n").cast(D38) * col(s"ss100_$suffix") -
                  col(s"s100_$suffix") * col(s"s100_$suffix")).cast("double")
         Seq(
           round(col(s"s_$suffix") / nd, 6).as(s"mean_$label"),
           round(sqrt(d / (nd * (nd - 1.0))) / 100.0, 6).as(s"std_$label"),
           col(s"min_$suffix").as(s"min_$label"),
-          round(col(s"pct_$suffix").getItem(0), 6).as(s"q25_$label"),
-          round(col(s"pct_$suffix").getItem(1), 6).as(s"q50_$label"),
-          round(col(s"pct_$suffix").getItem(2), 6).as(s"q75_$label"),
+          round(pct(0), 6).as(s"q25_$label"),
+          round(pct(1), 6).as(s"q50_$label"),
+          round(pct(2), 6).as(s"q75_$label"),
           col(s"max_$suffix").as(s"max_$label"))
       }
-      agg.select((col("n") +: (out("q", "qty") ++ out("p", "price"))): _*)
+      agg.select((col("n") +:
+        (out("q", "qty", i => col("pct_q").getItem(i)) ++
+         out("p", "price", i => lit(pricePcts(i))))): _*)
     })
   )
+
+  /** Exact interpolated percentiles by distributed sort + rank
+    * selection: rank r = p·(n−1), result = v[⌊r⌋] + (v[⌈r⌉] − v[⌊r⌋])
+    * ·frac — the same formula `percentile`/`quantile_cont` use, but
+    * computed from a range-partitioned sort instead of a per-partition
+    * value-count map, so memory stays bounded for all-distinct columns
+    * at any scale. */
+  private def exactPercentilesBySort(oneCol: DataFrame, ps: Seq[Double]): Seq[Double] = {
+    val sorted = oneCol.na.drop().rdd.map(_.getDouble(0))
+      .sortBy(identity).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // n from per-partition sizes of the already-sorted data — no
+      // separate counting scan of the source.
+      val sizes = sorted.mapPartitions(it => Iterator(it.size.toLong), true).collect()
+      val n = sizes.sum
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      val ranks = ps.map(p => p * (n - 1))
+      val need = ranks.flatMap(r => Seq(r.floor.toLong, math.ceil(r).toLong)).toSet
+      val byIdx = sorted.mapPartitionsWithIndex { (pi, it) =>
+        val base = offsets(pi)
+        it.zipWithIndex.collect {
+          case (v, i) if need.contains(base + i) => (base + i, v)
+        }
+      }.collect().toMap
+      ranks.map { r =>
+        val lo = byIdx(r.floor.toLong)
+        val hi = byIdx(math.ceil(r).toLong)
+        lo + (hi - lo) * (r - r.floor)
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
     * edge: double header, mixed ISO offsets, coerce failures, partial
     * and total key-var nulls, out-of-range measures, unsorted rows. */
   private val RawFixtureCsv = "/root/repo/data/fixtures/sea_surface_raw.csv"
 
-  /** MinHash permutation i applied over the shingle-hash array `hm`
-    * (shared by q26 and q31). */
-  private val MinhashPerms = Seq((961748941L, 101L), (982451653L, 202L),
-                                 (899809343L, 303L), (472882027L, 404L))
-  private def minhashPerm(i: Int): Column = {
-    val (a, b) = MinhashPerms(i)
-    array_min(transform(col("hm"), h => (h * a + b) % 1000003L))
-  }
+  /** MinHash signature frame shared by q26 and q31: the native
+    * [[graft.functions.MinHashSigs]] expression computes all four
+    * permutations in one pass per row (registered by GraftSession;
+    * the composed transform+array_min form it replaces ran the HOF
+    * lambda interpreted per shingle — 7.5 s vs <1 s at sf0.1). */
+  private def minhashSigsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("minhash_sigs(text)").as("sig"))
+      .select(col("doc_id"),
+        col("sig").getItem(0).as("mh1"), col("sig").getItem(1).as("mh2"),
+        col("sig").getItem(2).as("mh3"), col("sig").getItem(3).as("mh4"))
 
-  /** Per-row MinHash shingle-hash array (shared by q26 and the LSH
-    * banding join q31): 8-char shingles, first 8 hex chars of md5,
-    * mod the prime 1000003. */
-  private def minhashShingleHashes(text: Column): Column =
-    transform(
-      sequence(lit(1), greatest(lit(1), length(text) - 7)),
-      i => conv(substring(md5(text.substr(i, lit(8))), 1, 8), 16, 10)
-             .cast("bigint") % 1000003L)
 
   // =====================================================================
   // DuckDB oracles — same semantics, same output column names, same
@@ -645,9 +677,9 @@ object SparkEntry {
 
     "q09_window_running" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) OVER (
         |    PARTITION BY l_orderkey ORDER BY l_linenumber
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
         |    AS running_qty
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

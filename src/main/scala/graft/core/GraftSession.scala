@@ -26,6 +26,10 @@ object GraftSession {
   def build(appName: String, cpus: String = DefaultCpus): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      // Engine-native functions (custom Catalyst expressions) are
+      // injected as session extensions so they resolve in both the
+      // Column API and SQL text.
+      .withExtensions(_.injectFunction(graft.functions.MinHashSigs.description))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
