@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{Clean, Quality}
+import graft.ops.{Clean, Quality, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -478,26 +478,7 @@ object SparkEntry {
     // shuffle is on (band, bucket) keys, never all-pairs. Estimated
     // Jaccard = fraction of the 4 signature components that agree.
     "q31_neardup_pairs" -> ((s, dir) => {
-      val sigs = minhashSigsFrame(s, dir)
-      val bands = sigs.select(col("*"),
-        explode(array(
-          struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),
-          struct(lit(2).as("band"), col("mh3").as("x"), col("mh4").as("y")))).as("b"))
-        .select(col("doc_id"), col("mh1"), col("mh2"), col("mh3"), col("mh4"),
-                col("b.band").as("band"), col("b.x").as("x"), col("b.y").as("y"))
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b,
-          col("a.band") === col("b.band") &&
-          col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          (((col("a.mh1") === col("b.mh1")).cast("int") +
-            (col("a.mh2") === col("b.mh2")).cast("int") +
-            (col("a.mh3") === col("b.mh3")).cast("int") +
-            (col("a.mh4") === col("b.mh4")).cast("int")) / lit(4.0)).as("jaccard_est"))
-        .distinct()
-        .orderBy("doc1", "doc2")
+      bandedPairs(minhashSigsFrame(s, dir)).orderBy("doc1", "doc2")
     }),
 
     // ---- describe() with exact quartiles (A7, P5; pandas parity) ----
@@ -543,6 +524,49 @@ object SparkEntry {
       agg.select((col("n") +:
         (out("q", "qty", i => col("pct_q").getItem(i)) ++
          out("p", "price", i => lit(pricePcts(i))))): _*)
+    }),
+
+    // ---- real tokenizer: arrays, n-grams, word-boundary stopwords ----
+    // (Round-1 text ops were length arithmetic; these produce actual
+    // token/gram arrays the downstream ops consume.)
+    "q33_token_ops" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        size(Text.ngrams(toks, 2)).as("n_bigrams"),
+        round(Text.stopwordRatio(toks), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- SimHash document fingerprint (native expression) ----
+    "q34_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.simhash(Text.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact trigram-Jaccard + SimHash-Hamming over LSH candidates ----
+    // The verify step of the near-dup pipeline: banding proposes pairs
+    // (q31), this scores them exactly. Joins are equi-joins on doc_id;
+    // candidate count (not corpus size) bounds the work.
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.ngrams(toks, 3).as("g3"),
+        Text.simhash(toks).as("sh"))
+      val pairs = bandedPairs(minhashSigsFrame(s, dir)).select("doc1", "doc2")
+      pairs
+        .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
+        .join(docs.select(col("doc_id").as("doc2"), col("g3").as("g3_2"), col("sh").as("sh_2")), "doc2")
+        .select(
+          col("doc1"), col("doc2"),
+          round(Text.jaccard(col("g3_1"), col("g3_2")), 6).as("jaccard3"),
+          Text.hamming32(col("sh_1"), col("sh_2")).as("hamming"))
+        .orderBy("doc1", "doc2")
     })
   )
 
@@ -593,6 +617,31 @@ object SparkEntry {
       .select(col("doc_id"),
         col("sig").getItem(0).as("mh1"), col("sig").getItem(1).as("mh2"),
         col("sig").getItem(2).as("mh3"), col("sig").getItem(3).as("mh4"))
+
+  /** LSH banding self-join (2 bands × 2 rows) over a signature frame:
+    * candidate near-dup pairs with estimated Jaccard = fraction of the
+    * 4 signature components agreeing. Shuffle keys are (band, bucket)
+    * — never all-pairs (shared by q31 and q35). */
+  private def bandedPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("*"),
+      explode(array(
+        struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),
+        struct(lit(2).as("band"), col("mh3").as("x"), col("mh4").as("y")))).as("b"))
+      .select(col("doc_id"), col("mh1"), col("mh2"), col("mh3"), col("mh4"),
+              col("b.band").as("band"), col("b.x").as("x"), col("b.y").as("y"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        (((col("a.mh1") === col("b.mh1")).cast("int") +
+          (col("a.mh2") === col("b.mh2")).cast("int") +
+          (col("a.mh3") === col("b.mh3")).cast("int") +
+          (col("a.mh4") === col("b.mh4")).cast("int")) / lit(4.0)).as("jaccard_est"))
+      .distinct()
+  }
 
 
   // =====================================================================
@@ -1032,6 +1081,96 @@ object SparkEntry {
         |  min_p AS min_price,
         |  round(pct_p[1], 6) AS q25_price, round(pct_p[2], 6) AS q50_price,
         |  round(pct_p[3], 6) AS q75_price, max_p AS max_price
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q33_token_ops" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+        |  CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END AS INT) AS n_bigrams,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks, x -> list_contains($SqlStopwords, x))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) END, 6) AS stopword_ratio
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q34_simhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+        |  FROM t)
+        |SELECT doc_id, $SqlSimhash AS simhash
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "q35_ngram_jaccard" ->
+      s"""WITH hsh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |  FROM hsh),
+        |bands AS (
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 AS x, mh4 AS y FROM sigs),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(0, len(toks) - 2),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS g3,
+        |    $SqlSimhash AS sh
+        |  FROM t2)
+        |SELECT p.doc1, p.doc2,
+        |  round(CASE WHEN len(list_distinct(list_concat(x.g3, y.g3))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(x.g3, y.g3)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(x.g3, y.g3))) AS DOUBLE) END, 6) AS jaccard3,
+        |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        |FROM pairs p
+        |JOIN g x ON p.doc1 = x.doc_id
+        |JOIN g y ON p.doc2 = y.doc_id
+        |ORDER BY doc1, doc2""".stripMargin
   )
+
+  /** DuckDB literal for Text.Stopwords (kept in lockstep). */
+  private def SqlStopwords: String =
+    Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB expression mirroring the native SimHash32 over a column
+    * `hs` of md5-prefix token hashes: per-bit ±1 votes, ties → 1. */
+  private val SqlSimhash: String =
+    """CAST(list_sum(list_transform(range(32), b ->
+      |    CASE WHEN COALESCE(list_sum(list_transform(hs, x ->
+      |           CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"""
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
 }

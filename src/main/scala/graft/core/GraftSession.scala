@@ -29,7 +29,10 @@ object GraftSession {
       // Engine-native functions (custom Catalyst expressions) are
       // injected as session extensions so they resolve in both the
       // Column API and SQL text.
-      .withExtensions(_.injectFunction(graft.functions.MinHashSigs.description))
+      .withExtensions { ext =>
+        ext.injectFunction(graft.functions.MinHashSigs.description)
+        ext.injectFunction(graft.functions.SimHash32.description)
+      }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: word-boundary
+  * tokenization, n-grams, stopword ratio, fingerprints. All pure
+  * column expressions (codegen-friendly projections; zero shuffle) so
+  * they run unchanged at 100 TB.
+  *
+  * Everything here has an exact DuckDB mirror (see SparkEntry q33–q35)
+  * — tokenization is regexp-defined, not library-defined, precisely so
+  * two engines can agree byte-for-byte.
+  */
+object Text {
+  /** Word-boundary tokenization: lowercase, split on runs of
+    * non-alphanumerics, drop empties. Unlike length arithmetic, this
+    * yields a real ARRAY<STRING> that downstream ops (n-grams,
+    * stopwords, SimHash) consume. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word n-grams over the token array (ARRAY<STRING> of
+    * space-joined grams); empty array when fewer than n tokens. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** English stopword list used by the quality scorer — a fixed,
+    * documented set so the oracle can embed the same literal. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "then", "of", "in",
+    "on", "at", "to", "for", "with", "by", "from", "as", "is", "are",
+    "was", "were", "be", "been", "it", "this", "that", "not", "no")
+
+  /** Fraction of tokens that are stopwords (word-boundary exact — a
+    * substring scan would count 'the' inside 'other'). 0.0 for empty
+    * docs. */
+  def stopwordRatio(toks: Column): Column = {
+    val sw = filter(toks, t => t.isin(Stopwords.map(lit): _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(sw).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Exact Jaccard similarity of two gram arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** 32-bit SimHash fingerprint of the token array (native expression
+    * [[graft.functions.SimHash32]], registered by GraftSession). */
+  def simhash(toks: Column): Column = call_function("simhash32", toks)
+
+  /** Hamming distance between two SimHash values. */
+  def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

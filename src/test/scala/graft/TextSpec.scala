@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+/** Text-operator semantics: word-boundary tokenization, n-gram edges,
+  * stopword ratio (the round-1 substring-count bug class), Jaccard,
+  * SimHash fingerprint properties. */
+class TextSpec extends AnyFunSuite with SparkTestSession {
+  import org.apache.spark.sql.Row
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("v")).head.get(0)
+  }
+
+  test("tokens: lowercases, splits on non-alphanumerics, drops empties") {
+    assert(one("Hello, World! 42", Text.tokens(col("text"))) ==
+      Seq("hello", "world", "42"))
+    assert(one("--a--b--", Text.tokens(col("text"))) == Seq("a", "b"))
+    assert(one("", Text.tokens(col("text"))) == Seq())
+  }
+
+  test("ngrams: space-joined word grams; short docs give empty arrays") {
+    val toks = Text.tokens(col("text"))
+    assert(one("a b c d", Text.ngrams(toks, 2)) == Seq("a b", "b c", "c d"))
+    assert(one("a b c d", Text.ngrams(toks, 3)) == Seq("a b c", "b c d"))
+    assert(one("a b", Text.ngrams(toks, 3)) == Seq())
+  }
+
+  test("stopword ratio counts whole words only — 'other' is not 'the'") {
+    val r = one("other others brother", Text.stopwordRatio(Text.tokens(col("text"))))
+    assert(r == 0.0)
+    val r2 = one("the cat and the hat", Text.stopwordRatio(Text.tokens(col("text"))))
+    assert(r2 == 3.0 / 5.0) // the, and, the
+  }
+
+  test("jaccard: set semantics with duplicate grams") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "b"), Seq("b", "c"))).toDF("x", "y")
+    assert(df.select(Text.jaccard(col("x"), col("y"))).head.getDouble(0) == 1.0 / 3.0)
+    val same = Seq((Seq("a"), Seq("a"))).toDF("x", "y")
+    assert(same.select(Text.jaccard(col("x"), col("y"))).head.getDouble(0) == 1.0)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(Text.jaccard(col("x"), col("y"))).head.getDouble(0) == 0.0)
+  }
+
+  test("simhash: deterministic, 32-bit, Hamming 0 iff same token multiset direction") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "completely different words entirely unrelated")).toDF("id", "text")
+      .select(col("id"), Text.simhash(Text.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+    assert(m.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    val ham = df.filter(col("id").isin("a", "c")).agg(collect_list(col("sh"))).head.getSeq[Long](0)
+    assert(java.lang.Long.bitCount(ham(0) ^ ham(1)) > 0)
+  }
+
+  test("near-identical docs have small Hamming distance, unrelated large") {
+    import spark.implicits._
+    val base = "spark streaming watermark window aggregation state store checkpoint recovery exactly once"
+    val near = base.replace("recovery", "restore")
+    val far = "ocean salinity temperature grid coordinates latitude longitude depth index monthly"
+    val df = Seq(("base", base), ("near", near), ("far", far)).toDF("id", "text")
+      .select(col("id"), Text.simhash(Text.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("base"), m("near")) < ham(m("base"), m("far")))
+  }
+}
