@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{Clean, Quality, Text}
+import graft.ops.{Clean, Quality, Similarity, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -567,6 +567,23 @@ object SparkEntry {
           round(Text.jaccard(col("g3_1"), col("g3_2")), 6).as("jaccard3"),
           Text.hamming32(col("sh_1"), col("sh_2")).as("hamming"))
         .orderBy("doc1", "doc2")
+    }),
+
+    // ---- ANN: random-hyperplane LSH bucket codes ----
+    "q36_ann_buckets" -> ((s, dir) => {
+      Similarity.bucketed(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- ANN: many-to-many similarity join via bucket equi-join ----
+    // The scale path q27 lacks: candidates from the bucket join (never
+    // all-pairs), exact cosine only on candidates.
+    "q37_ann_sim_join" -> ((s, dir) => {
+      Similarity.bucketJoin(Tables.embeddings(s, dir))
+        .select(col("id1"), col("id2"), col("bucket"),
+                round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
     })
   )
 
@@ -1158,8 +1175,37 @@ object SparkEntry {
         |FROM pairs p
         |JOIN g x ON p.doc1 = x.doc_id
         |JOIN g y ON p.doc2 = y.doc_id
-        |ORDER BY doc1, doc2""".stripMargin
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q36_ann_buckets" ->
+      s"""SELECT vec_id, $SqlLshBucket AS bucket
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q37_ann_sim_join" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, v, $SqlLshBucket AS bucket
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+        |SELECT l.vec_id AS id1, r.vec_id AS id2, l.bucket,
+        |  round(list_dot_product(l.v, r.v) /
+        |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+        |    AS cosine
+        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |ORDER BY id1, id2""".stripMargin
   )
+
+  /** DuckDB expression mirroring HyperplaneLSH over a column `v`
+    * (ARRAY<DOUBLE>): K=8 planes from the same integer formula,
+    * left-to-right double accumulation, sign bits packed LSB-first. */
+  private val SqlLshBucket: String = {
+    import graft.functions.HyperplaneLSH.{A, B, K, M}
+    val bits = (0 until K).map { k =>
+      s"""CASE WHEN COALESCE(list_sum(list_transform(range(len(v)),
+         |  d -> v[d+1] * ((((${A(k)} * (d+1) + ${B(k)}) % $M) / $M.0) - 0.5))), 0.0) >= 0
+         |  THEN ${1 << k} ELSE 0 END""".stripMargin.linesIterator.map(_.trim).mkString(" ")
+    }
+    s"CAST((${bits.mkString(" + ")}) AS INT)"
+  }
 
   /** DuckDB literal for Text.Stopwords (kept in lockstep). */
   private def SqlStopwords: String =

@@ -32,6 +32,7 @@ object GraftSession {
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.MinHashSigs.description)
         ext.injectFunction(graft.functions.SimHash32.description)
+        ext.injectFunction(graft.functions.HyperplaneLSH.description)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over embedding columns.
+  *
+  * Two regimes, as a 100 TB pipeline needs:
+  *  - [[cosineTopK]]: brute-force scan against ONE probe vector
+  *    (broadcast scalar + projection + TakeOrderedAndProject) — right
+  *    when probes are few; cost is one pass over the corpus.
+  *  - [[bucketed]] + [[bucketJoin]]: random-hyperplane LSH code per
+  *    vector, then many-to-many candidate generation via an equi-join
+  *    on the bucket — shuffle keys are bucket codes, never all-pairs.
+  *    Exact cosine is then computed only on candidates.
+  */
+object Similarity {
+  /** Cosine between two ARRAY<DOUBLE> columns (same expression shape
+    * as the q27 oracle: dot / (|a|·|b|), left-to-right accumulation). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** LSH bucket code (native [[graft.functions.HyperplaneLSH]]). */
+  def bucket(vec: Column): Column = call_function("hyperplane_lsh", vec)
+
+  /** Attach the bucket code to an embeddings frame. */
+  def bucketed(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("bucket", bucket(col(vecCol).cast("array<double>")))
+
+  /** Candidate pairs from the bucket equi-join (id1 < id2), scored
+    * with exact cosine. At scale: repartition by bucket, skew handled
+    * by AQE; candidate count — not corpus² — bounds the work. */
+  def bucketJoin(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val b = bucketed(emb, vecCol)
+      .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
+    val l = b.select(col(idCol).as("id1"), col("bucket"), col("v").as("v1"))
+    val r = b.select(col(idCol).as("id2"), col("bucket"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("bucket"),
+              cosine(col("v1"), col("v2")).as("cosine"))
+  }
+
+  /** Brute-force top-k against one probe vector. */
+  def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val probe = typed.filter(col(idCol) === probeId)
+      .select(col("v").as("qv"),
+              sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)).as("qnorm"))
+    val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val nv = aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)
+    typed.filter(col(idCol) =!= probeId).crossJoin(broadcast(probe))
+      .select(col(idCol), (dot / (sqrt(nv) * col("qnorm"))).as("cosine"))
+      .orderBy(desc("cosine"), asc(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** ANN/bucketed-similarity semantics: LSH recall behavior on
+  * constructed vectors, bucket-join candidate bounding, brute-force
+  * top-k sanity. */
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("identical vectors share a bucket; opposite vectors do not") {
+    val v = Seq.tabulate(64)(d => math.sin(d + 1))
+    val df = Similarity.bucketed(vecs(1L -> v, 2L -> v, 3L -> v.map(-_)))
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(df(1L) == df(2L))
+    // every sign flips: the opposite vector lands in the complement bucket
+    assert(df(3L) == (~df(1L) & 0xFF))
+  }
+
+  test("bucket codes stay within K bits") {
+    val df = Similarity.bucketed(
+      vecs((1L to 50L).map(i => i -> Seq.tabulate(64)(d => ((i * 31 + d) % 17).toDouble - 8.0)): _*))
+    val buckets = df.select("bucket").collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    assert(buckets.distinct.length > 1) // the formula actually discriminates
+  }
+
+  test("bucketJoin emits each candidate pair once with exact cosine") {
+    val v = Seq.tabulate(64)(d => 1.0 / (d + 1))
+    val near = v.updated(0, 1.0001)
+    val got = Similarity.bucketJoin(vecs(1L -> v, 2L -> near, 3L -> v.map(-_)))
+      .select("id1", "id2", "cosine").collect()
+    // 1 and 2 collide (near-identical); 3 is in the complement bucket
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-4)
+  }
+
+  test("cosineTopK ranks by true cosine against the probe") {
+    val base = Seq.tabulate(64)(d => math.cos(d * 0.1))
+    val close = base.map(_ * 2.0)         // cosine 1.0 (scaled copy)
+    val mid = base.updated(0, 10.0)       // perturbed
+    val far = base.map(-_)                // cosine -1.0
+    val got = Similarity.cosineTopK(
+      vecs(0L -> base, 1L -> close, 2L -> mid, 3L -> far), probeId = 0L, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("bucket join is a strict subset of all-pairs work") {
+    val df = vecs((1L to 40L).map(i =>
+      i -> Seq.tabulate(64)(d => math.sin(i * 7.0 + d))): _*)
+    val candidates = Similarity.bucketJoin(df).count()
+    assert(candidates < 40L * 39 / 2)
+  }
+}
