@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream (SURVEY §2.9
+  * extended scope; the reference is batch-only, so semantics are
+  * spec'd from Spark's event-time model and oracled by the batch
+  * analogs q16–q18, which run the SAME transforms below on a static
+  * frame).
+  *
+  * Design rule: every transform is `DataFrame => DataFrame` so one
+  * definition serves `spark.read` (bounded, tested against DuckDB) and
+  * `spark.readStream` (incremental, tested with MemoryStream). This is
+  * the whole point of Structured Streaming — the engine picks
+  * incrementalization; the query does not change.
+  *
+  * State sizing at scale: all aggregations are keyed by
+  * (window/session × type/user); the watermark bounds state: windows
+  * older than (max event time − delay) are finalized and evicted.
+  */
+object EventStreams {
+  val WatermarkDelay = "10 minutes"
+
+  /** Tumbling 1 h counts per event type (streaming form of q16). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), (col("value_cents").cast("double") / 100.0).as("sum_value"))
+
+  /** Sliding 1 h window every 15 min (streaming form of q17). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows with a 30 min gap, per user (streaming form of
+    * q18, via the built-in session_window). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  // ---------- custom state: flatMapGroupsWithState sessionization ----------
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, valueSum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom stateful sessionization: one state record per active user,
+    * sessions emitted when the event-time watermark passes last-event
+    * + gap (or on state timeout in streaming). Demonstrates the
+    * explicit-state API the built-in session_window can't express
+    * (e.g. carrying running value sums per session). */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+                             s.n, s.valueSum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= SessionGapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
+                                    valueSum = s.valueSum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.startMs),
+                                     new Timestamp(s.lastMs), s.n, s.valueSum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Wire a transform to a file-backed stream of events-shaped parquet
+    * (the production entry: readStream → transform → writeStream). */
+  def streamFromParquet(spark: SparkSession, dir: String,
+                        transform: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    transform(spark.readStream.schema(schema).parquet(dir))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Structured Streaming behavior through MemoryStream: incremental
+  * windowed aggregation, watermark-driven finalization and late-data
+  * drop, and custom stateful sessionization with event-time timeout. */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value)
+
+  test("tumbling window aggregates incrementally (update mode)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 5), ev(2, 10), ev(3, 65))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .groupBy("window_start").agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(rows(Timestamp.valueOf("2026-01-01 10:00:00")) == 2L)
+      assert(rows(Timestamp.valueOf("2026-01-01 11:00:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("watermark: windows finalize in append mode and late data is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("wm_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 5), ev(2, 30))
+      q.processAllAvailable()
+      // nothing final yet: watermark (max 10:30 - 10min) < window end 11:00
+      assert(spark.table("wm_t").count() == 0)
+      // push event time far enough that the 10:00 window finalizes
+      input.addData(ev(3, 135)) // 12:15 -> watermark 12:05
+      q.processAllAvailable()
+      val finalized = spark.table("wm_t").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Long]("n")).toMap
+      assert(finalized(Timestamp.valueOf("2026-01-01 10:00:00")) == 2L)
+      // a late event inside the already-finalized window must be ignored
+      input.addData(ev(4, 10))
+      q.processAllAvailable()
+      val after = spark.table("wm_t").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Long]("n")).toMap
+      assert(after(Timestamp.valueOf("2026-01-01 10:00:00")) == 2L) // unchanged
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap splits sessions, timeout emits them") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: events at 10:00 and 10:10; then a 31+ minute gap
+      input.addData(ev(1, 0, value = 2.0), ev(2, 10, value = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 42, value = 5.0)) // starts session 2 in-batch
+      q.processAllAvailable()
+      // session 1 closes once a new batch arrives (in-function gap logic)
+      // or once the watermark passes last+gap (timeout); push time forward:
+      input.addData(ev(4, 120, value = 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_t").as[Session].collect().sortBy(_.session_start.getTime)
+      assert(sessions.nonEmpty)
+      val s1 = sessions.head
+      assert(s1.session_start == ts(0) && s1.session_end == ts(10))
+      assert(s1.n_events == 2 && s1.total_value == 5.0)
+    } finally q.stop()
+  }
+
+  test("one transform, two engines: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Seq(ev(1, 5), ev(2, 10), ev(3, 65), ev(4, 70, typ = "view"))
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("parity_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("parity_t")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
