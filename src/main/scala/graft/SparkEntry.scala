@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{Clean, Quality, Similarity, Text}
+import graft.ops.{Clean, Multimodal, Quality, Similarity, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -584,6 +584,22 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("bucket"),
                 round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")
+    }),
+
+    // ---- multimodal: real BINARY columns through decode + features ----
+    // Payloads are built as actual binary blobs (fake GIMG container
+    // over document text), decoded per-partition in mapPartitions, and
+    // reduced to typed features — the full multimodal plumbing shape;
+    // the oracle recomputes the same statistics from the source text.
+    "q38_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal
+        .mediaFromText(Tables.documents(s, dir), "doc_id", "text")
+        .as[Multimodal.Media]
+      Multimodal.features(Multimodal.decode(media))
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+                col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"))
+        .orderBy("media_id")
     })
   )
 
@@ -1191,7 +1207,19 @@ object SparkEntry {
         |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
         |    AS cosine
         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q38_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST((doc_id % 16) + 1 AS INT) AS width,
+        |  CAST((doc_id % 8) + 1 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(range(length(text)),
+        |           i -> ascii(text[i+1]))) AS DOUBLE) / length(text) END, 6) AS mean_byte
+        |FROM documents
+        |ORDER BY media_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

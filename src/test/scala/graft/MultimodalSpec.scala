@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{FakeCodec, Media, MediaMeta}
+
+/** Multimodal plumbing: codec roundtrip, corrupt-row containment,
+  * nearest-neighbor resize arithmetic, frame sampling, partition
+  * balancing. The codec payload is fake; the batch shape, schema and
+  * byte math are the real deliverable. */
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+
+  test("codec: encode/decode roundtrip preserves meta and payload") {
+    val payload = Array.tabulate[Byte](24)(i => (i * 7).toByte)
+    val blob = FakeCodec.encode(4, 3, 2, payload)
+    val Some((meta, px)) = FakeCodec.decodePixels(blob)
+    assert(meta == MediaMeta(4, 3, 2))
+    assert(px.toSeq == payload.toSeq)
+  }
+
+  test("codec: malformed inputs decode to None, never throw") {
+    assert(FakeCodec.decodePixels(null).isEmpty)
+    assert(FakeCodec.decodePixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(FakeCodec.decodePixels("NOPE|4|3|1|xx".getBytes).isEmpty)     // wrong magic
+    assert(FakeCodec.decodePixels("GIMG|x|3|1|xx".getBytes).isEmpty)     // bad dims
+    assert(FakeCodec.decodePixels("GIMG|4|3".getBytes).isEmpty)          // truncated
+    assert(FakeCodec.decodePixels("GIMG|0|3|1|xx".getBytes).isEmpty)     // zero dim
+  }
+
+  test("decode dataset: corrupt rows survive tagged, valid rows carry meta") {
+    import spark.implicits._
+    val media = Seq(
+      Media(1L, "image", FakeCodec.encode(2, 2, 1, Array[Byte](10, 20, 30, 40))),
+      Media(2L, "image", "garbage-bytes".getBytes)).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).meta.contains(MediaMeta(2, 2, 1)))
+    assert(out(1).meta.isEmpty && out(1).kind == "image:corrupt")
+  }
+
+  test("features: byte statistics and 16-bin histogram") {
+    import spark.implicits._
+    val px = Array[Byte](0, 16, 32, 0xFF.toByte)
+    val media = Seq(Media(7L, "image", FakeCodec.encode(2, 2, 1, px))).toDS()
+    val f = Multimodal.features(Multimodal.decode(media)).collect().head
+    assert(f.n_bytes == 4 && f.width == 2 && f.height == 2)
+    assert(f.mean_byte == (0 + 16 + 32 + 255) / 4.0)
+    assert(f.histogram(0) == 1 && f.histogram(1) == 1 && f.histogram(2) == 1 && f.histogram(15) == 1)
+    assert(f.histogram.sum == 4)
+  }
+
+  test("resize: nearest-neighbor downsample picks the right source pixels") {
+    // 4x2 single-channel grid, values encode (row, col)
+    val meta = MediaMeta(4, 2, 1)
+    val px = Array[Byte](11, 12, 13, 14, 21, 22, 23, 24)
+    val (m2, out) = Multimodal.resizeNearest(meta, px, 2, 1)
+    assert(m2 == MediaMeta(2, 1, 1))
+    assert(out.toSeq == Seq[Byte](11, 13)) // cols 0,2 of row 0
+    val (m3, up) = Multimodal.resizeNearest(meta, px, 8, 4)
+    assert(m3 == MediaMeta(8, 4, 1))
+    assert(up.length == 32)
+    assert(up(0) == 11 && up(31) == 24)
+  }
+
+  test("frame sampling: every k-th fixed-size frame") {
+    val frames = Array.tabulate[Byte](30)(_.toByte) // 5 frames x 6 bytes
+    val sampled = Multimodal.sampleFrames(frames, frameBytes = 6, everyK = 2)
+    assert(sampled.length == 3) // frames 0, 2, 4
+    assert(sampled(0).toSeq == (0 until 6).map(_.toByte))
+    assert(sampled(1).toSeq == (12 until 18).map(_.toByte))
+    assert(sampled(2).toSeq == (24 until 30).map(_.toByte))
+  }
+
+  test("balanced: opaque blobs spread across the requested partitions") {
+    import spark.implicits._
+    val media = (1L to 64L).map(i => Media(i, "image", FakeCodec.encode(1, 1, 1, Array[Byte](1)))).toDS()
+    val parts = Multimodal.balanced(media, 8).rdd.getNumPartitions
+    assert(parts == 8)
+  }
+
+  test("binary ingestion shape: mediaFromText produces decodable BINARY payloads") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text").as[Media].collect().head
+    val Some((meta, px)) = FakeCodec.decodePixels(media.data)
+    assert(meta == MediaMeta(4, 4, 1)) // (3%16)+1, (3%8)+1
+    assert(new String(px) == "hello world")
+  }
+}
