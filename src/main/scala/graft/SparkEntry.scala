@@ -600,6 +600,22 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
                 col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"))
         .orderBy("media_id")
+    }),
+
+    // ---- near-dup DEDUP: keeper selection over the LSH pairs ----
+    // Completes the dedup pipeline (signatures → banding candidates →
+    // keeper): a doc is dropped when it is the HIGHER id of a pair
+    // whose estimated Jaccard ≥ 0.75 ("keep first" policy). Anti-join
+    // on the (tiny, broadcastable) duplicate-id set — at 100 TB the
+    // corpus never shuffles, only the dup ids do.
+    "q39_neardup_dedup" -> ((s, dir) => {
+      val dups = bandedPairs(minhashSigsFrame(s, dir))
+        .filter(col("jaccard_est") >= 0.75)
+        .select(col("doc2").as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(broadcast(dups), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1219,7 +1235,35 @@ object SparkEntry {
         |    ELSE CAST(list_sum(list_transform(range(length(text)),
         |           i -> ascii(text[i+1]))) AS DOUBLE) / length(text) END, 6) AS mean_byte
         |FROM documents
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    "q39_neardup_dedup" ->
+      """WITH hsh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |  FROM hsh),
+        |bands AS (
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 AS x, mh4 AS y FROM sigs),
+        |dups AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+        |  WHERE (CAST(a.mh1 = b.mh1 AS INT) + CAST(a.mh2 = b.mh2 AS INT) +
+        |         CAST(a.mh3 = b.mh3 AS INT) + CAST(a.mh4 = b.mh4 AS INT)) / 4.0 >= 0.75)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
