@@ -530,13 +530,18 @@ object SparkEntry {
     // (Round-1 text ops were length arithmetic; these produce actual
     // token/gram arrays the downstream ops consume.)
     "q33_token_ops" -> ((s, dir) => {
-      val toks = Text.tokens(col("text"))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_unique_tokens"),
-        size(Text.ngrams(toks, 2)).as("n_bigrams"),
-        round(Text.stopwordRatio(toks), 6).as("stopword_ratio"))
+      // tokenize ONCE in a prior projection: HOF columns are
+      // CodegenFallback, so a projection with four `tokens(text)`
+      // occurrences re-splits the text four times (no CSE outside
+      // codegen).
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique_tokens"),
+          size(Text.ngrams(col("toks"), 2)).as("n_bigrams"),
+          round(Text.stopwordRatio(col("toks")), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -553,12 +558,19 @@ object SparkEntry {
     // (q31), this scores them exactly. Joins are equi-joins on doc_id;
     // candidate count (not corpus size) bounds the work.
     "q35_ngram_jaccard" -> ((s, dir) => {
-      val toks = Text.tokens(col("text"))
-      val docs = Tables.documents(s, dir).select(
-        col("doc_id"),
-        Text.ngrams(toks, 3).as("g3"),
-        Text.simhash(toks).as("sh"))
       val pairs = bandedPairs(minhashSigsFrame(s, dir)).select("doc1", "doc2")
+      // Expensive per-doc features (grams, simhash) are computed ONLY
+      // for docs that appear in a candidate pair — at scale the
+      // candidate set, not the corpus, bounds this cost.
+      val needed = pairs.select(col("doc1").as("doc_id"))
+        .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+      val docs = Tables.documents(s, dir)
+        .join(needed, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          Text.ngrams(col("toks"), 3).as("g3"),
+          Text.simhash(col("toks")).as("sh"))
       pairs
         .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
         .join(docs.select(col("doc_id").as("doc2"), col("g3").as("g3_2"), col("sh").as("sh_2")), "doc2")

@@ -39,6 +39,26 @@ object Probe {
 
   /** Scratch space for micro-experiments; edit freely between runs. */
   private def adhoc(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sfDir)
+    def dtime(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[adhoc] $label%-40s min ${ts.min}%6.3f")
+    }
+    val toks = Text.tokens(col("text"))
+    dtime("tokens only")(docs.select(col("doc_id"), toks.as("t")))
+    dtime("size(tokens)")(docs.select(col("doc_id"), size(toks).as("n")))
+    dtime("size(distinct)")(docs.select(col("doc_id"), size(array_distinct(toks)).as("n")))
+    dtime("ngram2 size")(docs.select(col("doc_id"), size(Text.ngrams(toks, 2)).as("n")))
+    dtime("stopword ratio")(docs.select(col("doc_id"), Text.stopwordRatio(toks).as("r")))
+    dtime("toks once, 4 stats")(docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).as("a"), size(array_distinct(col("t"))).as("b"),
+              greatest(size(col("t")) - 1, lit(0)).as("c"),
+              Text.stopwordRatio(col("t")).as("d")))
     val li = Tables.lineitem(spark, sfDir)
     def time(label: String)(f: => Unit): Unit = {
       val ts = (1 to 3).map { _ =>
