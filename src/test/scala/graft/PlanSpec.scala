@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries safe
+  * at 100 TB, asserted so a regression (lost pushdown, broadcast
+  * becoming a shuffle join, an accidental exchange in a map-only
+  * pipeline) fails the build rather than silently degrading.
+  * All run against sf0.001 — plan shape does not depend on SF. */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate predicate not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity predicate not pushed")
+    // column pruning: only the 5 needed columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice,") || !readSchema.contains("l_tax"),
+           s"scan reads more columns than projected: $readSchema")
+  }
+
+  test("q03/q04: dimension joins broadcast, never shuffle the fact side for dims") {
+    assert(plan("q03_join_segment").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_star_join")
+    assert(p4.contains("BroadcastHashJoin"), "nation/region should broadcast")
+  }
+
+  test("q07: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q07_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("+- Sort ["), s"unexpected full sort in:\n$p")
+  }
+
+  test("q26: per-row minhash is map-only — zero exchanges before the final sort") {
+    val p = plan("q26_minhash_sig")
+    // exactly one exchange: the output ORDER BY (rangepartitioning);
+    // the signature computation itself must not shuffle.
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+           "expected partial+final aggregation")
+  }
+
+  test("q37: similarity join is an equi-join on the bucket, not a cartesian product") {
+    val p = plan("q37_ann_sim_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
+  }
+
+  test("q39: dedup anti-join broadcasts the dup-id set") {
+    val p = plan("q39_neardup_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+           s"expected broadcast anti-join:\n${p.take(800)}")
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    // FormattedMode under AQE omits codegen spans; CodegenMode lists
+    // the compiled subtrees explicitly.
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), "codegen disabled on the hot path")
+  }
+}
