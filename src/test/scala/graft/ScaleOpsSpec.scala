@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** Scale-path mechanics the brief calls out by name: salting for
+  * skewed joins, bucketing for shuffle-free co-located joins. */
+class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("saltedJoin: same result as a plain join, key spread over salts") {
+    import spark.implicits._
+    // heavy skew: 90% of rows share key 1
+    val large = ((1 to 900).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "row_id")
+    val small = (1L to 10L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = large.join(small, "k").select("k", "row_id", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", "row_id", saltBuckets = 8)
+      .select("k", "row_id", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // the hot key's rows really do carry distinct salts
+    val salts = large.withColumn("s", pmod(hash(col("row_id")), lit(8)))
+      .filter(col("k") === 1).select("s").distinct().count()
+    assert(salts > 1)
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle") {
+    // DROP clears the (session-scoped) catalog entry but a previous
+    // JVM's warehouse directory survives and blocks CTAS — remove both.
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        val s = java.nio.file.Files.walk(loc)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_))
+        finally s.close()
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    graft.core.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    // at sf0.001 the planner prefers broadcasting the tiny side (also
+    // correct); disable broadcast to surface the big-×-big regime this
+    // layout exists for — both sides must then join WITHOUT a shuffle.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.explainString(FormattedMode)
+      assert(!"Exchange \\(".r.findAllIn(plan).hasNext,
+             s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      // and it is still correct
+      assert(joined.count() ==
+        graft.core.Tables.lineitem(spark, dir).join(
+          graft.core.Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sketch aggregates: HLL distinct within documented error of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables.orders(spark, dir)
+    val exact = orders.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    val approx = orders.agg(approx_count_distinct(col("o_custkey"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+           s"HLL estimate $approx too far from exact $exact")
+    val exactP50 = orders.select(expr("percentile(o_totalprice, 0.5D)")).head.getDouble(0)
+    val approxP50 = orders.select(expr("percentile_approx(o_totalprice, 0.5D, 10000)")).head.getDouble(0)
+    assert(math.abs(approxP50 - exactP50) / exactP50 < 0.01)
+  }
+}

@@ -91,6 +91,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("file-backed stream: readStream over parquet drives the same transform") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Seq(ev(1, 5), ev(2, 10), ev(3, 65))
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val q = EventStreams.streamFromParquet(spark, dir, EventStreams.tumblingCounts)
+      .writeStream.format("memory").queryName("file_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_t")
+        .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      assert(n == 3L)
+    } finally q.stop()
+  }
+
   test("one transform, two engines: streaming result equals batch result") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
