@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{Clean, Multimodal, Quality, Similarity, Text}
+import graft.ops.{AsOf, Clean, Multimodal, Quality, Similarity, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -628,6 +628,26 @@ object SparkEntry {
         .join(broadcast(dups), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---- as-of join: each click matched to the user's latest prior purchase ----
+    // Spark has no built-in; ops/AsOf implements the one-shuffle
+    // union+window formulation. Oracle: DuckDB's native ASOF JOIN.
+    "q40_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOf.asofJoin(clicks, purchases,
+                    keyCol = "user_id", tsCol = "ts", tieBreakCol = "event_id")
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          col("r_event_id").as("purchase_id"),
+          col("r_ts").as("purchase_ts"),
+          round(col("r_value"), 6).as("purchase_value"),
+          expr("(unix_micros(ts) - unix_micros(r_ts)) div 1000000").as("gap_s"))
+        .orderBy("event_id")
     })
   )
 
@@ -1275,7 +1295,20 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q40_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  round(p.value, 6) AS purchase_value,
+        |  CAST((epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS BIGINT) AS gap_s
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
