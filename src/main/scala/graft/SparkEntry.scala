@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{AsOf, Clean, Multimodal, Quality, Similarity, Text}
+import graft.ops.{AsOf, Clean, Multimodal, Quality, RangeJoin, Similarity, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -647,6 +647,24 @@ object SparkEntry {
           col("r_ts").as("purchase_ts"),
           round(col("r_value"), 6).as("purchase_value"),
           expr("(unix_micros(ts) - unix_micros(r_ts)) div 1000000").as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // ---- range join: clicks within ±30 min of each error event ----
+    // Bucketized to an equi-join (ops/RangeJoin) — the naive
+    // inequality join planes to a nested-loop product. Aggregated per
+    // error event so the output stays stable as density grows.
+    "q41_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      RangeJoin.byTime(errors, clicks, "ts", radiusSec = 1800)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_nearby"),
+             min(col("r_event_id")).as("first_click"),
+             max(col("r_event_id")).as("last_click"))
         .orderBy("event_id")
     })
   )
@@ -1308,7 +1326,21 @@ object SparkEntry {
         |  CAST((epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS BIGINT) AS gap_s
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q41_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nearby,
+        |  MIN(c.event_id) AS first_click,
+        |  MAX(c.event_id) AS last_click
+        |FROM e JOIN c
+        |  ON abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 1800 * 1000000
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
