@@ -569,7 +569,10 @@ object SparkEntry {
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
-          Text.ngrams(col("toks"), 3).as("g3"),
+          // dedupe ONCE per doc: array_intersect/union are set ops
+          // anyway, but deduping inside the pair join would redo it
+          // per candidate pair (~10 pairs/doc at sf0.1)
+          array_distinct(Text.ngrams(col("toks"), 3)).as("g3"),
           Text.simhash(col("toks")).as("sh"))
       pairs
         .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
