@@ -669,6 +669,13 @@ object SparkEntry {
              min(col("r_event_id")).as("first_click"),
              max(col("r_event_id")).as("last_click"))
         .orderBy("event_id")
+    }),
+
+    // ---- IVF coarse assignment (the other ANN scale path) ----
+    "q42_ivf_assign" -> ((s, dir) => {
+      Similarity.ivfAssign(Tables.embeddings(s, dir), k = 8)
+        .select(col("vec_id"), col("centroid"), round(col("dot"), 6).as("dot"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1343,7 +1350,22 @@ object SparkEntry {
         |FROM e JOIN c
         |  ON abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 1800 * 1000000
         |GROUP BY e.event_id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q42_ivf_assign" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS centroid, v AS cv FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.centroid,
+        |    list_dot_product(v.v, c.cv) AS dot,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |                       ORDER BY list_dot_product(v.v, c.cv) DESC, c.centroid) AS rn
+        |  FROM v CROSS JOIN c)
+        |SELECT vec_id, centroid, round(dot, 6) AS dot
+        |FROM scored WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -46,6 +46,30 @@ object Similarity {
               cosine(col("v1"), col("v2")).as("cosine"))
   }
 
+  /** IVF coarse quantization: assign every vector to its
+    * nearest-by-dot-product centroid. Centroids are themselves rows of
+    * the corpus (ids < k — deterministic, no RNG to ship to an
+    * oracle); a production deployment would k-means them, the
+    * assignment plan is identical. Broadcast centroids × corpus scan,
+    * window rank 1 — one pass, no shuffle of the corpus beyond the
+    * per-vector top-1 selection. Probe-time search then touches only
+    * the probe's cluster (`nprobe` clusters generally). */
+  def ivfAssign(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val centroids = typed.filter(col(idCol) < k)
+      .select(col(idCol).as("centroid"), col("v").as("cv"))
+    val dot = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
+                        lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("dot"), asc("centroid"))
+    typed.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid"), dot.as("dot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid"), col("dot"))
+  }
+
   /** Brute-force top-k against one probe vector. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -53,6 +53,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("ivfAssign: centroids claim themselves; assignment is the argmax dot") {
+    val base = Seq.tabulate(64)(d => math.sin(d * 0.3))
+    val other = Seq.tabulate(64)(d => math.cos(d * 0.7))
+    val df = Similarity.ivfAssign(
+      vecs(0L -> base, 1L -> other,
+           5L -> base.map(_ * 0.9),   // near centroid 0
+           6L -> other.map(_ * 1.1)), // near centroid 1
+      k = 2)
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 0L && m(1L) == 1L) // a centroid's best match is itself
+    assert(m(5L) == 0L)
+    assert(m(6L) == 1L)
+  }
+
   test("bucket join is a strict subset of all-pairs work") {
     val df = vecs((1L to 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.sin(i * 7.0 + d))): _*)
