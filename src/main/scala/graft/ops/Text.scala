@@ -47,12 +47,10 @@ object Text {
       .otherwise(size(sw).cast("double") / size(toks).cast("double"))
   }
 
-  /** Exact Jaccard similarity of two gram arrays (set semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
-    when(union === 0, 0.0).otherwise(inter / union)
-  }
+  /** Exact Jaccard similarity of two gram arrays (set semantics;
+    * native [[graft.functions.ArrayJaccard]] — one hash-set pass per
+    * row instead of two interpreted set-op trees). */
+  def jaccard(a: Column, b: Column): Column = call_function("array_jaccard", a, b)
 
   /** 32-bit SimHash fingerprint of the token array (native expression
     * [[graft.functions.SimHash32]], registered by GraftSession). */
