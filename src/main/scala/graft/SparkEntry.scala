@@ -676,6 +676,25 @@ object SparkEntry {
       Similarity.ivfAssign(Tables.embeddings(s, dir), k = 8)
         .select(col("vec_id"), col("centroid"), round(col("dot"), 6).as("dot"))
         .orderBy("vec_id")
+    }),
+
+    // ---- CUBE grouping sets ----
+    "q43_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+    }),
+
+    // ---- pivot (conditional-aggregation family) ----
+    "q44_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
     })
   )
 
@@ -1365,7 +1384,26 @@ object SparkEntry {
         |  FROM v CROSS JOIN c)
         |SELECT vec_id, centroid, round(dot, 6) AS dot
         |FROM scored WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q43_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ${S_DSUM("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+
+    "q44_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -132,3 +132,40 @@ class GridSpec extends AnyFunSuite {
     assert(Grid.expectedPoints("1958-06-01", "1958-06-30") == 1)
   }
 }
+
+/** The Column-expression variants must agree with the scalar functions
+  * everywhere except exact half-cell midpoints (documented rounding
+  * difference: half-even scalar vs half-up columnar). */
+class GridColumnSpec extends AnyFunSuite with SparkTestSession {
+  test("columnar F4/F5/F6 agree with scalar Grid on a dense off-midpoint sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val coords = (for {
+      lat <- BigDecimal(5.0) to BigDecimal(60.0) by BigDecimal(0.07)
+      lon <- Seq(-90.0, -84.93, -77.507, -70.007, -65.0)
+    } yield (lat.toDouble, lon)).toSeq
+    val df = coords.toDF("lat", "lon").select(
+      col("lat"), col("lon"),
+      Grid.latIdxCol(col("lat")).as("li"),
+      Grid.lonIdxCol(col("lon")).as("lo"),
+      Grid.idxToLatCol(Grid.latIdxCol(col("lat"))).as("slat"),
+      Grid.idxToLonCol(Grid.lonIdxCol(col("lon"))).as("slon"))
+    df.collect().foreach { r =>
+      val (lat, lon) = (r.getDouble(0), r.getDouble(1))
+      assert(r.getLong(2) == Grid.latToIndex(lat), s"lat $lat")
+      assert(r.getLong(3) == Grid.lonToIndex(lon), s"lon $lon")
+      assert(r.getDouble(4) == Grid.snap(lat, lon)._1, s"snap lat $lat")
+      assert(r.getDouble(5) == Grid.snap(lat, lon)._2, s"snap lon $lon")
+    }
+  }
+
+  test("columnar F7 month index agrees with scalar dateToIndex") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dates = Seq("1955-01-15", "1957-06-01", "1960-12-31", "1961-05-02", "1940-01-01")
+    val got = dates.toDF("d")
+      .select(col("d"), Grid.timeIdxCol(to_timestamp(col("d"))).as("ti"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dates.foreach(d => assert(got(d) == Grid.dateToIndex(d), d))
+  }
+}
