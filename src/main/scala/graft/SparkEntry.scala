@@ -686,6 +686,37 @@ object SparkEntry {
         .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
     }),
 
+    // ---- deterministic hash split (train/val/test assignment) ----
+    // Stable across runs/engines (md5-prefix mod 100, no RNG): the
+    // standard way a training pipeline partitions a corpus so that
+    // re-runs and late-arriving shards land in the same split.
+    "q45_hash_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    }),
+
+    // ---- BPE-ish token-count estimate ----
+    // Whitespace words chunked into <=4-char subword units — the cheap
+    // estimator a data pipeline uses for budget accounting before any
+    // real tokenizer runs. Exact count q22/q33; this is Σ⌈len/4⌉.
+    "q46_token_estimate" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val est = aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), est.as("tokens_est"),
+                size(toks).as("words"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pivot (conditional-aggregation family) ----
     "q44_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -1403,7 +1434,35 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events
         |GROUP BY 1
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q45_hash_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s
+        |GROUP BY split
+        |ORDER BY split""".stripMargin,
+
+    "q46_token_estimate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(toks,
+        |    x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tokens_est,
+        |  CAST(len(toks) AS INT) AS words
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
