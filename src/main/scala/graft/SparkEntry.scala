@@ -396,14 +396,12 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("v").as("qv"),
-                sqrt(aggregate(transform(col("v"), x => x * x),
-                               lit(0.0), (a, x) => a + x)).as("qnorm"))
-      val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-                          lit(0.0), (acc, x) => acc + x)
-      val nv  = aggregate(transform(col("v"),  x => x * x), lit(0.0), (a, x) => a + x)
+                sqrt(Similarity.dot(col("v"), col("v"))).as("qnorm"))
       emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
-                round(dot / (sqrt(nv) * col("qnorm")), 6).as("cosine"))
+                round(Similarity.dot(col("v"), col("qv")) /
+                      (sqrt(Similarity.dot(col("v"), col("v"))) * col("qnorm")), 6)
+                  .as("cosine"))
         .orderBy(desc("cosine"), asc("vec_id"))
         .limit(20)
     }),

@@ -34,6 +34,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.SimHash32.description)
         ext.injectFunction(graft.functions.HyperplaneLSH.description)
         ext.injectFunction(graft.functions.ArrayJaccard.description)
+        ext.injectFunction(graft.functions.ArrayDot.description)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

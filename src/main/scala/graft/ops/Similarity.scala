@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   *    Exact cosine is then computed only on candidates.
   */
 object Similarity {
+  /** Dot product via the native [[graft.functions.ArrayDot]] — same
+    * left-to-right accumulation as `aggregate(zip_with(...))` and
+    * DuckDB's `list_dot_product`, minus the interpreted lambdas. */
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
   /** Cosine between two ARRAY<DOUBLE> columns (same expression shape
     * as the q27 oracle: dot / (|a|·|b|), left-to-right accumulation). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** LSH bucket code (native [[graft.functions.HyperplaneLSH]]). */
   def bucket(vec: Column): Column = call_function("hyperplane_lsh", vec)
@@ -59,12 +60,10 @@ object Similarity {
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val centroids = typed.filter(col(idCol) < k)
       .select(col(idCol).as("centroid"), col("v").as("cv"))
-    val dot = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(desc("dot"), asc("centroid"))
     typed.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid"), dot.as("dot"))
+      .select(col(idCol), col("centroid"), dot(col("v"), col("cv")).as("dot"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("centroid"), col("dot"))
@@ -75,12 +74,11 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val probe = typed.filter(col(idCol) === probeId)
-      .select(col("v").as("qv"),
-              sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)).as("qnorm"))
-    val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    val nv = aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qnorm"))
     typed.filter(col(idCol) =!= probeId).crossJoin(broadcast(probe))
-      .select(col(idCol), (dot / (sqrt(nv) * col("qnorm"))).as("cosine"))
+      .select(col(idCol),
+              (dot(col("v"), col("qv")) / (sqrt(dot(col("v"), col("v"))) * col("qnorm")))
+                .as("cosine"))
       .orderBy(desc("cosine"), asc(idCol))
       .limit(k)
   }
