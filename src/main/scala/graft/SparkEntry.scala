@@ -351,12 +351,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- language-ID heuristic (marker-token scoring) ----
+    // ---- language-ID heuristic (whole-word marker scoring) ----
+    // Counts marker TOKENS on word boundaries (round-1 version counted
+    // substrings, so 'other' scored as 'the'); tokenized once.
     "q24_langid" -> ((s, dir) => {
       def occ(word: String): Column =
-        floor((length(col("text")) -
-          length(expr(s"replace(text, '$word', '')"))).cast("double") /
-          lit(word.length.toDouble)).cast("bigint")
+        size(filter(col("toks"), t => t === word)).cast("bigint")
       val (en, de, fr, es, zh) =
         (occ("the"), occ("table"), occ("filter"), occ("data"), occ("query"))
       val pred = when(en >= de && en >= fr && en >= es && en >= zh, "en")
@@ -364,9 +364,11 @@ object SparkEntry {
         .when(fr >= es && fr >= zh, "fr")
         .when(es >= zh, "es")
         .otherwise("zh")
-      Tables.documents(s, dir).select(
-        col("doc_id"), pred.as("pred_lang"),
-        when(pred === col("lang"), 1).otherwise(0).as("is_match"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), pred.as("pred_lang"),
+          when(pred === col("lang"), 1).otherwise(0).as("is_match"))
         .orderBy("doc_id")
     }),
 
@@ -1054,14 +1056,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q24_langid" ->
-      """WITH c AS (
+      """WITH t AS (
         |  SELECT doc_id, lang,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) AS BIGINT) AS c_en,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'table', '')) AS DOUBLE) / 5.0) AS BIGINT) AS c_de,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'filter', '')) AS DOUBLE) / 6.0) AS BIGINT) AS c_fr,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'data', '')) AS DOUBLE) / 4.0) AS BIGINT) AS c_es,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'query', '')) AS DOUBLE) / 5.0) AS BIGINT) AS c_zh
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
         |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT) AS c_fr,
+        |    CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS c_zh
+        |  FROM t),
         |p AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
