@@ -335,19 +335,22 @@ object SparkEntry {
     }),
 
     // ---- per-document quality scoring ----
+    // 'the' counted as a whole word from the token array (round 1
+    // counted substrings, so 'other' inflated the stopword signal).
     "q23_text_quality" -> ((s, dir) => {
       val tokens = (length(col("text")) -
                     length(expr("replace(text, ' ', '')")) + 1).cast("bigint")
-      val stopCnt = floor((length(col("text")) -
-                    length(expr("replace(text, 'the', '')"))).cast("double") / 3.0)
-        .cast("bigint")
+      val stopCnt = size(filter(col("toks"), t => t === "the")).cast("bigint")
       val flags = when(stopCnt === 0, 1).otherwise(0) +
                   when(col("n_chars") < 100, 1).otherwise(0)
-      Tables.documents(s, dir).select(
-        col("doc_id"), tokens.as("tokens"), stopCnt.as("stop_cnt"),
-        (stopCnt.cast("double") / tokens.cast("double")).as("stop_ratio"),
-        (least(lit(1.0), tokens.cast("double") / 100.0) *
-          (lit(1.0) - lit(0.1) * flags.cast("double"))).as("quality_score"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+                Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), tokens.as("tokens"), stopCnt.as("stop_cnt"),
+          (stopCnt.cast("double") / tokens.cast("double")).as("stop_ratio"),
+          (least(lit(1.0), tokens.cast("double") / 100.0) *
+            (lit(1.0) - lit(0.1) * flags.cast("double"))).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -1049,8 +1052,12 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens,
-        |    CAST(floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) AS BIGINT) AS stop_cnt,
-        |    (CASE WHEN floor(CAST(length(text) - length(replace(text, 'the', '')) AS DOUBLE) / 3.0) = 0 THEN 1 ELSE 0 END
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+        |      x -> x = 'the')) AS BIGINT) AS stop_cnt,
+        |    (CASE WHEN len(list_filter(
+        |       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+        |       x -> x = 'the')) = 0 THEN 1 ELSE 0 END
         |     + CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS flags
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
