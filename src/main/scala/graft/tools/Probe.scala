@@ -19,6 +19,10 @@ object Probe {
     val names = args.filterNot(_.startsWith("--"))
 
     if (args.contains("--adhoc")) adhoc(spark, sfDir)
+    if (args.contains("--entry")) {
+      val n = graft.SparkEntry.entry(spark).count()
+      println(s"[probe] entry() rows = $n")
+    }
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
