@@ -71,6 +71,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned landing: month-partitioned parquet prunes to one partition") {
+    // SURVEY §4's 100 TB north star: land observations partitioned by
+    // time (or grid cell) so per-point/per-period queries read only
+    // their partition — shuffle-free, scan ∝ selectivity.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .write.partitionBy("month").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("month") === "2024-01")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(month"),
+           s"no partition filter in:\n$plan")
+    // the pruned scan must not enumerate other months' files
+    val scanned = pruned.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("month=2024-01")))
+  }
+
   test("sketch aggregates: HLL distinct within documented error of exact") {
     val dir = "/root/testdata/sf0.01"
     val orders = graft.core.Tables.orders(spark, dir)
