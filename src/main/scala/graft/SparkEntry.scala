@@ -681,6 +681,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- embedding-cosine near-dup dedup ----
+    // The vector-space member of the dedup family: candidates from the
+    // LSH bucket join, pairs above the cosine threshold mark the
+    // higher id as duplicate, anti-join keeps survivors. (Corpus
+    // embeddings are near-orthogonal — max cosine ≈0.43 — so the 0.4
+    // threshold exercises the path with a real, small drop set.)
+    "q47_embed_dedup" -> ((s, dir) => {
+      val dups = Similarity.bucketJoin(Tables.embeddings(s, dir))
+        .filter(col("cosine") >= 0.4)
+        .select(col("id2").as("vec_id")).distinct()
+      Tables.embeddings(s, dir)
+        .join(broadcast(dups), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- CUBE grouping sets ----
     "q43_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1428,6 +1444,20 @@ object SparkEntry {
         |SELECT vec_id, centroid, round(dot, 6) AS dot
         |FROM scored WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "q47_embed_dedup" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, v, $SqlLshBucket AS bucket
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        |dups AS (
+        |  SELECT DISTINCT r.vec_id
+        |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |  WHERE list_dot_product(l.v, r.v) /
+        |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.4)
+        |SELECT e.vec_id
+        |FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q43_cube" ->
       s"""SELECT l_returnflag, l_linestatus,
