@@ -48,6 +48,14 @@ object SparkEntry {
   private def S_DSUM(x: String) = DS.format(x)
   private def S_DAVG(x: String) = s"(${DS.format(x)} / COUNT($x))"
 
+  /** Banded hyperplane-LSH sizing for the q36/q37/q47 ANN family at
+    * test scale: 2^10 buckets per band × 2 bands. Both knobs are
+    * caller-configurable ([[graft.ops.Similarity.bucketJoin]]); a
+    * 100 TB corpus raises `bits` (buckets = 2^bits, within-bucket pair
+    * count ~ n²/2^bits) and `bands` restores recall. */
+  private val AnnBits = 10
+  private val AnnBands = 2
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0):
     * the 5-table star join q04 at the smallest scale factor. */
   def entry(spark: SparkSession): DataFrame =
@@ -587,20 +595,26 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
-    // ---- ANN: random-hyperplane LSH bucket codes ----
+    // ---- ANN: banded random-hyperplane LSH bucket codes ----
+    // bits/bands are the scale knobs (2^bits buckets per band, a pair
+    // is a candidate when ANY band collides — OR-amplification like
+    // the minhash banding). AnnBits/AnnBands here are sized for the
+    // test corpus; a 100 TB run raises bits so n/2^bits stays small.
     "q36_ann_buckets" -> ((s, dir) => {
-      Similarity.bucketed(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("bucket"))
-        .orderBy("vec_id")
+      Similarity.bandedBuckets(Tables.embeddings(s, dir),
+          bits = AnnBits, bands = AnnBands)
+        .select(col("vec_id"), col("band"), col("bucket"))
+        .orderBy("vec_id", "band")
     }),
 
-    // ---- ANN: many-to-many similarity join via bucket equi-join ----
-    // The scale path q27 lacks: candidates from the bucket join (never
-    // all-pairs), exact cosine only on candidates.
+    // ---- ANN: many-to-many similarity join via banded bucket joins ----
+    // The scale path q27 lacks: distinct candidates from slim
+    // (id, band, bucket) equi-joins (never all-pairs, vectors don't
+    // ride the banding shuffle), exact cosine only on candidates.
     "q37_ann_sim_join" -> ((s, dir) => {
-      Similarity.bucketJoin(Tables.embeddings(s, dir))
-        .select(col("id1"), col("id2"), col("bucket"),
-                round(col("cosine"), 6).as("cosine"))
+      Similarity.bucketJoin(Tables.embeddings(s, dir),
+          bits = AnnBits, bands = AnnBands)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")
     }),
 
@@ -688,7 +702,8 @@ object SparkEntry {
     // embeddings are near-orthogonal — max cosine ≈0.43 — so the 0.4
     // threshold exercises the path with a real, small drop set.)
     "q47_embed_dedup" -> ((s, dir) => {
-      val dups = Similarity.bucketJoin(Tables.embeddings(s, dir))
+      val dups = Similarity.bucketJoin(Tables.embeddings(s, dir),
+          bits = AnnBits, bands = AnnBands)
         .filter(col("cosine") >= 0.4)
         .select(col("id2").as("vec_id")).distinct()
       Tables.embeddings(s, dir)
@@ -1348,19 +1363,24 @@ object SparkEntry {
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q36_ann_buckets" ->
-      s"""SELECT vec_id, $SqlLshBucket AS bucket
-        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, band, bucket FROM (
+        |$sqlBandedBuckets)
+        |ORDER BY vec_id, band""".stripMargin,
 
     "q37_ann_sim_join" ->
-      s"""WITH b AS (
-        |  SELECT vec_id, v, $SqlLshBucket AS bucket
-        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
-        |SELECT l.vec_id AS id1, r.vec_id AS id2, l.bucket,
-        |  round(list_dot_product(l.v, r.v) /
-        |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bk AS (
+        |$sqlBandedBuckets),
+        |pairs AS (
+        |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+        |  FROM bk l JOIN bk r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        |SELECT p.id1, p.id2,
+        |  round(list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
         |    AS cosine
-        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |FROM pairs p JOIN v x ON p.id1 = x.vec_id JOIN v y ON p.id2 = y.vec_id
         |ORDER BY id1, id2""".stripMargin,
 
     "q38_multimodal" ->
@@ -1446,14 +1466,18 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "q47_embed_dedup" ->
-      s"""WITH b AS (
-        |  SELECT vec_id, v, $SqlLshBucket AS bucket
-        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bk AS (
+        |$sqlBandedBuckets),
+        |pairs AS (
+        |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+        |  FROM bk l JOIN bk r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
         |dups AS (
-        |  SELECT DISTINCT r.vec_id
-        |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        |  WHERE list_dot_product(l.v, r.v) /
-        |        (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.4)
+        |  SELECT DISTINCT p.id2 AS vec_id
+        |  FROM pairs p JOIN v x ON p.id1 = x.vec_id JOIN v y ON p.id2 = y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4)
         |SELECT e.vec_id
         |FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
@@ -1510,15 +1534,27 @@ object SparkEntry {
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
     * (ARRAY<DOUBLE>): K=8 planes from the same integer formula,
     * left-to-right double accumulation, sign bits packed LSB-first. */
-  private val SqlLshBucket: String = {
-    import graft.functions.HyperplaneLSH.{A, B, K, M}
-    val bits = (0 until K).map { k =>
+  /** DuckDB expression for band `band` of the hyperplane-LSH code over
+    * a column `v` — regenerated from the SAME `a(j)`/`b(j)` integer
+    * formulas as the native [[graft.functions.HyperplaneLSH]], so the
+    * two engines' planes are bit-identical at any (bits, band). */
+  private def sqlLshCode(bits: Int, band: Int): String = {
+    import graft.functions.HyperplaneLSH.{a, b, M}
+    val terms = (0 until bits).map { k =>
+      val j = band * bits + k
       s"""CASE WHEN COALESCE(list_sum(list_transform(range(len(v)),
-         |  d -> v[d+1] * ((((${A(k)} * (d+1) + ${B(k)}) % $M) / $M.0) - 0.5))), 0.0) >= 0
+         |  d -> v[d+1] * ((((${a(j)} * (d+1) + ${b(j)}) % $M) / $M.0) - 0.5))), 0.0) >= 0
          |  THEN ${1 << k} ELSE 0 END""".stripMargin.linesIterator.map(_.trim).mkString(" ")
     }
-    s"CAST((${bits.mkString(" + ")}) AS INT)"
+    s"CAST((${terms.mkString(" + ")}) AS INT)"
   }
+
+  /** UNION ALL body producing (vec_id, band, bucket) for all bands —
+    * the oracle twin of [[graft.ops.Similarity.bandedBuckets]]. */
+  private def sqlBandedBuckets: String =
+    (0 until AnnBands).map { t =>
+      s"SELECT vec_id, $t AS band, ${sqlLshCode(AnnBits, t)} AS bucket FROM v"
+    }.mkString("\nUNION ALL\n")
 
   /** DuckDB literal for Text.Stopwords (kept in lockstep). */
   private def SqlStopwords: String =

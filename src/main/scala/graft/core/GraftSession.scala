@@ -33,6 +33,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.MinHashSigs.description)
         ext.injectFunction(graft.functions.SimHash32.description)
         ext.injectFunction(graft.functions.HyperplaneLSH.description)
+        ext.injectFunction(graft.functions.HyperplaneLSH.codesDescription)
         ext.injectFunction(graft.functions.ArrayJaccard.description)
         ext.injectFunction(graft.functions.ArrayDot.description)
       }

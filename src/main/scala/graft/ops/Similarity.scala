@@ -25,26 +25,61 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** LSH bucket code (native [[graft.functions.HyperplaneLSH]]). */
-  def bucket(vec: Column): Column = call_function("hyperplane_lsh", vec)
+  /** LSH bucket code (native [[graft.functions.HyperplaneLSHCode]]).
+    * `bits` sizes the bucket space (2^bits buckets): pick it so
+    * corpus/2^bits stays O(1..100) — the within-bucket pair count is
+    * O(n²/2^bits), so a fixed small code is a scale-killer. */
+  def bucket(vec: Column, bits: Int = 8): Column =
+    call_function("hyperplane_lsh", vec, lit(bits))
 
-  /** Attach the bucket code to an embeddings frame. */
-  def bucketed(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb.withColumn("bucket", bucket(col(vecCol).cast("array<double>")))
+  /** Attach the band-0 bucket code to an embeddings frame. */
+  def bucketed(emb: DataFrame, vecCol: String = "embedding", bits: Int = 8): DataFrame =
+    emb.withColumn("bucket", bucket(col(vecCol).cast("array<double>"), bits))
 
-  /** Candidate pairs from the bucket equi-join (id1 < id2), scored
-    * with exact cosine. At scale: repartition by bucket, skew handled
-    * by AQE; candidate count — not corpus² — bounds the work. */
-  def bucketJoin(emb: DataFrame, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val b = bucketed(emb, vecCol)
-      .select(col(idCol), col("bucket"), col(vecCol).cast("array<double>").as("v"))
-    val l = b.select(col(idCol).as("id1"), col("bucket"), col("v").as("v1"))
-    val r = b.select(col(idCol).as("id2"), col("bucket"), col("v").as("v2"))
-    l.join(r, Seq("bucket"))
+  /** One (id, band, bucket) row per band — the banded OR-amplification
+    * construction (same as the minhash banding): growing `bits` keeps
+    * buckets small at any corpus size, growing `bands` restores the
+    * recall that the longer code would otherwise cost. One pass of the
+    * native `hyperplane_codes` computes all bands; `posexplode` fans
+    * the slim (id, band, bucket) rows out — vectors do NOT ride along. */
+  def bandedBuckets(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    bits: Int = 8, bands: Int = 2): DataFrame =
+    emb.select(
+      col(idCol),
+      posexplode(call_function("hyperplane_codes",
+        col(vecCol).cast("array<double>"), lit(bits), lit(bands))))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Distinct candidate id pairs (id1 < id2) colliding in ANY band.
+    * The self-join carries only (id, band, bucket) — at 100 TB the
+    * shuffle is slim ids keyed by (band, bucket), never vectors and
+    * never all-pairs. */
+  def candidatePairs(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     bits: Int = 8, bands: Int = 2): DataFrame = {
+    val b = bandedBuckets(emb, idCol, vecCol, bits, bands)
+    val l = b.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("bucket"),
-              cosine(col("v1"), col("v2")).as("cosine"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Candidate pairs scored with exact cosine: banded-LSH candidates,
+    * then two equi-joins fetch the vectors for scoring — each side of
+    * the corpus shuffles once on id, and only pair-participating
+    * vectors are scored. Candidate count — not corpus² — bounds the
+    * work. */
+  def bucketJoin(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 bits: Int = 8, bands: Int = 2): DataFrame = {
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    candidatePairs(emb, idCol, vecCol, bits, bands)
+      .join(typed.select(col(idCol).as("id1"), col("v").as("v1")), "id1")
+      .join(typed.select(col(idCol).as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
   }
 
   /** IVF coarse quantization: assign every vector to its

@@ -92,6 +92,40 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(scanned.nonEmpty && scanned.forall(_.contains("month=2024-01")))
   }
 
+  test("banded LSH: bits bound per-bucket candidates; bands recover recall") {
+    // The scale contract of the q36/q37/q47 ANN family: bucket count
+    // is 2^bits per band, so within-bucket pair count — the actual
+    // join work — is O(n²/2^bits) and the caller sizes `bits` to the
+    // corpus. Verify on the real embeddings table that (a) raising
+    // bits shrinks the largest bucket and the candidate set, and
+    // (b) per-bucket occupancy at the sized bits stays near n/2^bits.
+    import graft.ops.Similarity
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count() // 500
+
+    def maxBucket(bits: Int): Long =
+      Similarity.bandedBuckets(emb, bits = bits, bands = 2)
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).head.getLong(0)
+    def candidates(bits: Int): Long =
+      Similarity.candidatePairs(emb, bits = bits, bands = 2).count()
+
+    val (m6, m12) = (maxBucket(6), maxBucket(12))
+    assert(m12 < m6, s"raising bits 6→12 did not shrink the max bucket ($m6 → $m12)")
+    // near-orthogonal corpus ⇒ buckets ~ binomial(n, 2^-bits); allow
+    // a generous tail above the n/2^bits mean but far below n.
+    assert(m12 <= 16, s"max bucket at bits=12 is $m12 for n=$n — bucket space not scaling")
+
+    val (c6, c12) = (candidates(6), candidates(12))
+    assert(c12 < c6, s"raising bits did not cut candidate pairs ($c6 → $c12)")
+    assert(c6 < n * (n - 1) / 2, "candidate set must stay below all-pairs")
+
+    // OR-amplification: more bands can only add candidate pairs.
+    val oneBand = Similarity.candidatePairs(emb, bits = 10, bands = 1).count()
+    val twoBands = Similarity.candidatePairs(emb, bits = 10, bands = 2).count()
+    assert(twoBands >= oneBand, s"bands=2 produced fewer candidates ($twoBands < $oneBand)")
+  }
+
   test("sketch aggregates: HLL distinct within documented error of exact") {
     val dir = "/root/testdata/sf0.01"
     val orders = graft.core.Tables.orders(spark, dir)
