@@ -34,20 +34,28 @@ object Bench {
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
 
-    // Per-query time is the MIN of two executions: the first run of a
+    // Per-query time is the MIN of three executions: the first run of a
     // plan pays its own whole-stage-codegen compilation + JIT (~0.5-1.5s
-    // for complex aggregates) that no steady-state workload re-pays;
-    // the second run measures the plan itself. A query that throws is
-    // attempted once and reported in `errors`.
+    // for complex aggregates) that no steady-state workload re-pays,
+    // and n=3 damps the run-to-run scheduler/GC swings that made q37
+    // read 0.58 s in one round-2 run and 2.19 s in another. A query
+    // that throws is attempted once and reported in `errors`.
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=q32,q35 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(f => f.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val elapsed =
-        try math.min(once(), once())
+        try Seq.fill(reps)(once()).min
         catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           errors += name -> msg.linesIterator.next().take(200)
@@ -79,9 +87,5 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     Tables.documents(spark, sfDir).agg(sum(length(col("text"))))
       .write.format("noop").mode("overwrite").save()
-    // RDD sort machinery (range partitioner, sampler, shuffle writer
-    // classes) loads lazily and costs ~8 s the first time; q32's exact
-    // percentile uses it.
-    spark.sparkContext.parallelize(1 to 1000, 4).sortBy(identity).count()
   }
 }

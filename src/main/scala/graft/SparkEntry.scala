@@ -501,12 +501,13 @@ object SparkEntry {
       // Exact quartiles, two regimes: l_quantity has ~50 distinct
       // values so the `percentile` aggregate (per-partition value→count
       // map) is cheap; l_extendedprice is ~all-distinct, where that map
-      // degenerates (2.3 s at sf0.1, memory ∝ distinct count — a
-      // scale-killer). For it: distributed sortBy (range-partitioned)
-      // + zipWithIndex + select the 6 bracketing ranks — same
-      // interpolation, bounded memory, cluster-safe.
-      val pricePcts = exactPercentilesBySort(
-        li.select(col("l_extendedprice")), Seq(0.25, 0.5, 0.75))
+      // degenerates (memory ∝ distinct count — a scale-killer). For
+      // it: ops/Percentiles.exactBySort — range-partitioned rank
+      // selection as ONE LAZY PLAN (round 2 ran it as two eager RDD
+      // jobs at construction time), crossJoined as a 1-row side input.
+      val pricePcts = ops.Percentiles.exactBySort(
+        li.select(col("l_extendedprice")), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), prefix = "pp")
       def stats(c: String, suffix: String): Seq[Column] = {
         val x100 = round(col(c) * 100, 0).cast("long")
         Seq(
@@ -532,9 +533,9 @@ object SparkEntry {
           round(pct(2), 6).as(s"q75_$label"),
           col(s"max_$suffix").as(s"max_$label"))
       }
-      agg.select((col("n") +:
+      agg.crossJoin(pricePcts).select((col("n") +:
         (out("q", "qty", i => col("pct_q").getItem(i)) ++
-         out("p", "price", i => lit(pricePcts(i))))): _*)
+         out("p", "price", i => col(s"pp${25 * (i + 1)}")))): _*)
     }),
 
     // ---- real tokenizer: arrays, n-grams, word-boundary stopwords ----
@@ -762,37 +763,6 @@ object SparkEntry {
         .orderBy("day")
     })
   )
-
-  /** Exact interpolated percentiles by distributed sort + rank
-    * selection: rank r = p·(n−1), result = v[⌊r⌋] + (v[⌈r⌉] − v[⌊r⌋])
-    * ·frac — the same formula `percentile`/`quantile_cont` use, but
-    * computed from a range-partitioned sort instead of a per-partition
-    * value-count map, so memory stays bounded for all-distinct columns
-    * at any scale. */
-  private def exactPercentilesBySort(oneCol: DataFrame, ps: Seq[Double]): Seq[Double] = {
-    val sorted = oneCol.na.drop().rdd.map(_.getDouble(0))
-      .sortBy(identity).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // n from per-partition sizes of the already-sorted data — no
-      // separate counting scan of the source.
-      val sizes = sorted.mapPartitions(it => Iterator(it.size.toLong), true).collect()
-      val n = sizes.sum
-      val offsets = sizes.scanLeft(0L)(_ + _)
-      val ranks = ps.map(p => p * (n - 1))
-      val need = ranks.flatMap(r => Seq(r.floor.toLong, math.ceil(r).toLong)).toSet
-      val byIdx = sorted.mapPartitionsWithIndex { (pi, it) =>
-        val base = offsets(pi)
-        it.zipWithIndex.collect {
-          case (v, i) if need.contains(base + i) => (base + i, v)
-        }
-      }.collect().toMap
-      ranks.map { r =>
-        val lo = byIdx(r.floor.toLong)
-        val hi = byIdx(math.ceil(r).toLong)
-        lo + (hi - lo) * (r - r.floor)
-      }
-    } finally sorted.unpersist(blocking = false)
-  }
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
     * edge: double header, mixed ISO offsets, coerce failures, partial

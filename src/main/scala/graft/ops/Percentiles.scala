@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles as ONE LAZY PLAN, memory-bounded at
+  * any scale (SURVEY §7.4's describe/quartile path).
+  *
+  * Spark's exact `percentile` aggregate builds a per-partition
+  * value→count map — memory ∝ distinct values, degenerate for
+  * ~all-distinct columns. The classic fix is a distributed sort +
+  * rank selection; round 2 ran that eagerly (RDD sortBy + two
+  * driver collects at query-construction time — two jobs outside the
+  * measured plan). This operator expresses the same selection as a
+  * single declarative plan, so it is lazy, appears in `.explain`, and
+  * every piece is bounded:
+  *
+  *  1. range-repartition the values (the "sort" — each partition holds
+  *     one contiguous value range),
+  *  2. `row_number` per partition chunk (window keyed by partition id:
+  *     distributed, spillable — never a global single-partition window),
+  *  3. global rank = within-chunk rank + broadcast per-chunk offsets
+  *     (chunk counts are P rows — tiny),
+  *  4. pick the ⌊r⌋/⌈r⌉ bracketing ranks for r = p·(n−1) — n comes
+  *     from the same chunk counts, inside the plan — and interpolate
+  *     `v_lo + (v_hi − v_lo)·(r − ⌊r⌋)`, the `quantile_cont` formula.
+  *
+  * The rank-pick join is a broadcast of |ps| rows against the ranked
+  * corpus — candidate rows, not the corpus, flow to the final 1-row
+  * aggregate.
+  */
+object Percentiles {
+
+  /** One-row frame of exact percentiles of `valueCol`, columns named
+    * `<prefix><100·p>` (e.g. `pp25`, `pp50`, `pp75`). Nulls are
+    * dropped first; an empty input yields one all-null row.
+    *
+    * Exactly TWO consumers of the range-partitioned values — the
+    * per-chunk counts (tiny) and the ranked rows — so the source is
+    * scanned at most twice and the range exchange is reusable; offset
+    * AND total row count come out of the same P-row window, and rank
+    * selection is a filter over the broadcast-joined rows, not another
+    * join branch. */
+  def exactBySort(src: DataFrame, valueCol: String, ps: Seq[Double],
+                  prefix: String = "p"): DataFrame = {
+    def tag(p: Double): String = math.round(p * 100).toString
+    val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
+    val parts = vals.repartitionByRange(col("v")).withColumn("pid", spark_partition_id())
+
+    // per-chunk counts → offset (rows strictly before the chunk) and
+    // n (grand total), in ONE P-row window (P = shuffle partitions,
+    // not data — the single-partition window here is over chunk
+    // COUNTS, never values)
+    val wOff = Window.orderBy("pid")
+    val meta = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .select(col("pid"),
+        coalesce(sum("cnt").over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offset"),
+        sum("cnt").over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+
+    // global rank = within-chunk row_number + broadcast chunk offset;
+    // the target rank r = p·(n−1) is computable on every row because
+    // the broadcast meta row carries n
+    def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
+    val ranked = parts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy("v")).cast("long"))
+      .join(broadcast(meta), "pid")
+      .withColumn("rank", col("rn") + col("offset") - 1L)
+
+    val picked = ranked.filter(
+      ps.map(p => col("rank") === floor(r(p)).cast("long") ||
+                  col("rank") === ceil(r(p)).cast("long")).reduce(_ || _))
+
+    // ≤ 2·|ps| surviving rows → one-row aggregate, interpolate
+    // v_lo + (v_hi − v_lo)·(r − ⌊r⌋) (the quantile_cont formula)
+    val aggd = picked.agg(
+      max(col("n")).as("n"),
+      ps.flatMap(p => Seq(
+        max(when(col("rank") === floor(r(p)).cast("long"), col("v"))).as(s"lo_${tag(p)}"),
+        max(when(col("rank") === ceil(r(p)).cast("long"), col("v"))).as(s"hi_${tag(p)}"))): _*)
+    aggd.select(ps.map { p =>
+      val rr = r(p)
+      (col(s"lo_${tag(p)}") +
+        (col(s"hi_${tag(p)}") - col(s"lo_${tag(p)}")) * (rr - floor(rr)))
+        .as(s"$prefix${tag(p)}")
+    }: _*)
+  }
+}
