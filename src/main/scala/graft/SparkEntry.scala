@@ -1353,6 +1353,12 @@ object SparkEntry {
         |FROM pairs p JOIN v x ON p.id1 = x.vec_id JOIN v y ON p.id2 = y.vec_id
         |ORDER BY id1, id2""".stripMargin,
 
+    // ASCII PRECONDITION: Spark computes n_bytes/mean_byte over the
+    // UTF-8 payload BYTES while this oracle uses length(text)
+    // (characters) and ascii() (code points) — equivalent only because
+    // the synthetic corpus is pure ASCII (as MinHash.scala documents
+    // for the whole text family). A non-ASCII corpus needs the oracle
+    // rewritten over encode(text) for true byte parity.
     "q38_multimodal" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST((doc_id % 16) + 1 AS INT) AS width,

@@ -50,7 +50,16 @@ final class ResultCache(
   /** S8: cache a query result (`cache_manager.py:123-177`). Returns
     * false (and stores nothing) when the entry exceeds the size cap.
     * The size is the UTF-8 length of the rows-as-JSON form the
-    * reference serialized, computed distributed (no collect). */
+    * reference serialized, computed distributed (no collect).
+    *
+    * APPROXIMATION, not byte parity: Spark's toJSON drops null fields
+    * and formats timestamps differently than pandas
+    * `to_json(orient='records', date_format='iso')`
+    * (`cache_manager.py:139-148`), so entries within a few percent of
+    * the 100 MB cap can be accepted/rejected differently than the
+    * reference would. The cap is an operational guard, not a query
+    * semantic, so the cheap estimate is preferred over reproducing
+    * pandas' serializer byte-for-byte. */
   def put(lat: Double, lon: Double, startDate: String, endDate: String,
           variables: Seq[String], data: DataFrame): Boolean = {
     val h = queryHash(lat, lon, startDate, endDate, variables)
@@ -102,6 +111,37 @@ final class ResultCache(
               "variables", "row_count", "fetched_at", "expires_at", "file_size_bytes")
     } else spark.read.parquet(dirs.map(_.toString): _*)
   }
+
+  /** O3: the cache listing (`cache_manager.py:248-280`) — unexpired
+    * entries ordered `fetched_at DESC`, with the reference's
+    * `file_size_kb` derived column (`file_size / 1024`). */
+  def listEntries: DataFrame =
+    metadata
+      .filter(col("expires_at") > Timestamp.from(clock()))
+      .withColumn("file_size_kb", col("file_size_bytes").cast("double") / 1024.0)
+      .drop("file_size_bytes")
+      .orderBy(col("fetched_at").desc)
+
+  /** A nearby hit with its cached frame: `data` is the lazily-read
+    * cached result, `distanceDegrees` the Euclidean distance the
+    * reference reports per hit. */
+  final case class NearbyHit(hash: String, latitude: Double, longitude: Double,
+                             distanceDegrees: Double, data: DataFrame)
+
+  /** [[nearby]] that hands back the cached DATA, not just metadata:
+    * one [[NearbyHit]] per unexpired in-radius entry, Manhattan-ranked
+    * like the reference's listing, each carrying its cached frame.
+    * The metadata scan collects only the (tiny, one-row-per-query)
+    * hit list; the frames themselves stay lazy parquet reads. */
+  def nearbyData(lat: Double, lon: Double, radiusDegrees: Double = 0.5): Seq[NearbyHit] =
+    nearby(lat, lon, radiusDegrees)
+      .select("query_hash", "latitude", "longitude", "distance_degrees")
+      .collect().toSeq
+      .filter(r => Files.exists(dataDir(r.getString(0))))
+      .map { r =>
+        NearbyHit(r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+                  spark.read.parquet(dataDir(r.getString(0)).toString))
+      }
 
   /** P7/O4: nearby-query lookup (`cache_manager.py:295-337`) — box
     * predicate, TTL predicate, Manhattan-ranked, Euclidean distance
@@ -184,7 +224,17 @@ object ResultCache {
 
   private def fmt(x: Double): String = String.format(Locale.ROOT, "%.6f", x: java.lang.Double)
 
-  /** `json.dumps(list)` parity: `["A", "B"]` with ", " separators. */
+  /** `json.dumps(list)` parity: `["A", "B"]` with ", " separators and
+    * string escapes (backslash, quote, control chars) so a variable
+    * name containing `"` or `\` still serializes to valid JSON. */
   def variablesJson(vs: Seq[String]): String =
-    vs.map(v => "\"" + v + "\"").mkString("[", ", ", "]")
+    vs.map(v => "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ", ", "]")
 }

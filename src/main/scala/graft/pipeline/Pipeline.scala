@@ -134,8 +134,12 @@ final class PipelineOrchestrator(
     val cleaned = cached.getOrElse {
       val (body, _) = source.fetchRaw(lat, lon, start, end)
       val df = Clean.cleanApiResponse(source.toRawDataFrame(spark, body))
-      cache.foreach(_.put(snappedLat, snappedLon, start, end,
-                          graft.sources.ErddapUrl.DefaultVariables, df))
+      // cache only non-empty results (the reference guards with
+      // `if use_cache and not df_clean.empty`, extract.py:179): an
+      // empty API response must not be replayed for the next 24 h
+      if (!df.isEmpty)
+        cache.foreach(_.put(snappedLat, snappedLon, start, end,
+                            graft.sources.ErddapUrl.DefaultVariables, df))
       df
     }
     val report = Quality.report(cleaned)

@@ -68,8 +68,17 @@ object EventStreams {
     * sessions emitted when the event-time watermark passes last-event
     * + gap (or on state timeout in streaming). Demonstrates the
     * explicit-state API the built-in session_window can't express
-    * (e.g. carrying running value sums per session). */
-  def sessionizeStateful(events: Dataset[Event]): Dataset[Session] = {
+    * (e.g. carrying running value sums per session).
+    *
+    * @param flushOpenAtEnd set true when running on a BOUNDED dataset:
+    *   batch execution never fires event-time timeouts, so without the
+    *   flush each user's final open session would be silently dropped.
+    *   In batch all data is present, so the open session is in fact
+    *   complete and flushing it is exact. Leave false in streaming,
+    *   where an open session may still grow and must wait for its
+    *   timeout. */
+  def sessionizeStateful(events: Dataset[Event],
+                         flushOpenAtEnd: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", WatermarkDelay)
@@ -100,7 +109,13 @@ object EventStreams {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s =>
+            if (flushOpenAtEnd) {
+              cur.foreach { s =>
+                closed ::= Session(userId, new Timestamp(s.startMs),
+                                   new Timestamp(s.lastMs), s.n, s.valueSum)
+              }
+              state.remove()
+            } else cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
             }

@@ -34,6 +34,9 @@ class CacheSpec extends AnyFunSuite with SparkTestSession {
   test("variables JSON matches json.dumps shape") {
     assert(ResultCache.variablesJson(Seq("Temperature", "Salinity"))
       == """["Temperature", "Salinity"]""")
+    // escaping parity: quotes, backslashes, control chars stay valid JSON
+    assert(ResultCache.variablesJson(Seq("a\"b", "c\\d", "e\nf"))
+      == "[\"a\\\"b\", \"c\\\\d\", \"e\\nf\"]")
   }
 
   private def freshCache(now: () => Instant = () => Instant.now()): ResultCache =
@@ -88,6 +91,38 @@ class CacheSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
       Seq((32.0, -70.0), (32.25, -70.0), (32.0, -70.4)))
     assert(got(1).getDouble(2) == 0.25) // Euclidean recomputed per row
+  }
+
+  test("O3: listEntries orders unexpired entries fetched_at DESC with file_size_kb") {
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val c = freshCache(() => now)
+    c.put(32.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    now = now.plusSeconds(3600)
+    c.put(32.25, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    now = now.plusSeconds(3600)
+    c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    // first entry is now >24h old -> expired, must not be listed
+    now = Instant.parse("2026-01-02T00:30:00Z")
+    val got = c.listEntries.select("latitude", "fetched_at", "file_size_kb").collect()
+    assert(got.length == 2)
+    // newest first
+    assert(got.map(_.getDouble(0)).toSeq == Seq(32.5, 32.25))
+    assert(got(0).getTimestamp(1).after(got(1).getTimestamp(1)))
+    assert(got(0).getDouble(2) > 0.0) // KB, reference's file_size / 1024
+  }
+
+  test("nearbyData hands back the cached frames ranked like nearby") {
+    val c = freshCache()
+    c.put(32.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    import spark.implicits._
+    val other = Seq((9L, 9.9, 9.9)).toDF("id", "temperature", "salinity")
+    c.put(32.25, -70.0, "1960-01-01", "1960-02-01", vars, other)
+    val hits = c.nearbyData(32.0, -70.0, radiusDegrees = 0.5)
+    assert(hits.map(h => (h.latitude, h.longitude)) ==
+      Seq((32.0, -70.0), (32.25, -70.0)))
+    assert(hits.head.distanceDegrees == 0.0)
+    assert(hits.head.data.count() == 2)            // the actual cached rows
+    assert(hits(1).data.select("id").head.getLong(0) == 9L)
   }
 
   test("upsert: same key overwrites (INSERT OR REPLACE)") {

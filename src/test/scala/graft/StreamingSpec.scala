@@ -91,6 +91,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stateful sessionization on a bounded dataset flushes final open sessions") {
+    import spark.implicits._
+    // batch execution never fires event-time timeouts; flushOpenAtEnd
+    // must emit the trailing session instead of dropping it
+    val events = Seq(
+      ev(1, 0, value = 2.0), ev(2, 10, value = 3.0),  // session 1 (closed by gap)
+      ev(3, 60, value = 5.0), ev(4, 70, value = 1.0)) // session 2 (still open at end)
+    val sessions = EventStreams.sessionizeStateful(events.toDS(), flushOpenAtEnd = true)
+      .collect().sortBy(_.session_start.getTime)
+    assert(sessions.length == 2)
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 5.0)
+    assert(sessions(1).session_start == ts(60) && sessions(1).session_end == ts(70))
+    assert(sessions(1).n_events == 2 && sessions(1).total_value == 6.0)
+  }
+
+  test("writeStream sink + checkpoint restart recovers exactly-once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def start() =
+      EventStreams.streamFromParquet(spark, src, df => df.select("event_id", "ts"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+    Seq(ev(1, 0), ev(2, 10), ev(3, 20)).toDF().write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // "crash": the query is gone; more data lands while it is down
+    Seq(ev(4, 30), ev(5, 40)).toDF().write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the committed output (via the sink's _spark_metadata log) holds
+    // every event exactly once — batch 1 not re-emitted after restart
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("file-backed stream: readStream over parquet drives the same transform") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
