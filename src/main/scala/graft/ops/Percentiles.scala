@@ -88,4 +88,70 @@ object Percentiles {
         .as(s"$prefix${tag(p)}")
     }: _*)
   }
+
+  /** Exact interpolated percentiles for FIXED-PRECISION (≤2-decimal)
+    * columns — money-like data — via a two-level cents histogram.
+    * Same output contract as [[exactBySort]], but every intermediate
+    * is bounded by the VALUE DOMAIN, not the corpus:
+    *
+    *  1. level 1: counts per coarse bucket `cents >> 8` — deterministic
+    *     ordered buckets (no range sampling), map-side combined, at
+    *     most domain/256 rows through one tiny cumulative window;
+    *  2. the ≤2·|ps| buckets whose rank range brackets a target rank
+    *     are broadcast back;
+    *  3. level 2: per-value counts INSIDE those buckets only (≤256
+    *     distinct cents each), within-bucket cumulative ranks, pick
+    *     the bracketing values and interpolate.
+    *
+    * At 100 TB the windows still see ≤ max(domain/256, 256) rows —
+    * no corpus-proportional sort anywhere, which is why this beats
+    * [[exactBySort]] (two range-sample+shuffle pipelines over all
+    * values) whenever the fixed-precision precondition holds. */
+  def exactByCentsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
+                            prefix: String = "p"): DataFrame = {
+    def tag(p: Double): String = math.round(p * 100).toString
+    def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
+    val cents = src.select(round(col(valueCol) * 100, 0).cast("long").as("c")).na.drop()
+
+    val wB = Window.orderBy("b")
+    val bmeta = cents.groupBy(shiftright(col("c"), 8).as("b")).agg(count(lit(1)).as("bcnt"))
+      .select(col("b"), col("bcnt"),
+        coalesce(sum("bcnt").over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("boff"),
+        sum("bcnt").over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+
+    // buckets whose global-rank range [boff, boff+bcnt-1] brackets a target
+    def bucketCovers(k: Column) = k >= col("boff") && k <= col("boff") + col("bcnt") - 1
+    val targets = bmeta.filter(
+      ps.map(p => bucketCovers(floor(r(p)).cast("long")) ||
+                  bucketCovers(ceil(r(p)).cast("long"))).reduce(_ || _))
+      .select("b", "boff", "n")
+
+    val wC = Window.partitionBy("b").orderBy("c")
+    val ranked = cents.join(broadcast(targets), shiftright(col("c"), 8) === col("b"))
+      .groupBy("c", "b", "boff", "n").agg(count(lit(1)).as("ccnt"))
+      .withColumn("cum", sum("ccnt").over(
+        wC.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("loRank", col("boff") + col("cum") - col("ccnt"))
+      .withColumn("hiRank", col("boff") + col("cum") - 1)
+
+    def covers(k: Column) = k >= col("loRank") && k <= col("hiRank")
+    val picked = ranked.filter(
+      ps.map(p => covers(floor(r(p)).cast("long")) ||
+                  covers(ceil(r(p)).cast("long"))).reduce(_ || _))
+    val aggd = picked.agg(
+      max(col("n")).as("n"),
+      ps.flatMap(p => Seq(
+        max(when(covers(floor(r(p)).cast("long")), col("c").cast("double") / 100.0))
+          .as(s"lo_${tag(p)}"),
+        max(when(covers(ceil(r(p)).cast("long")), col("c").cast("double") / 100.0))
+          .as(s"hi_${tag(p)}"))): _*)
+    aggd.select(ps.map { p =>
+      val rr = r(p)
+      (col(s"lo_${tag(p)}") +
+        (col(s"hi_${tag(p)}") - col(s"lo_${tag(p)}")) * (rr - floor(rr)))
+        .as(s"$prefix${tag(p)}")
+    }: _*)
+  }
 }

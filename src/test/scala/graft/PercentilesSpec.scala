@@ -33,6 +33,21 @@ class PercentilesSpec extends AnyFunSuite with SparkTestSession {
     assert(got == 2.5)
   }
 
+  test("cents histogram matches the percentile aggregate incl. duplicates and negatives") {
+    import spark.implicits._
+    // 2-decimal money-like values with heavy duplication and negatives
+    val df = (1 to 20011).map(i => (((i * 37) % 997) - 300) / 4.0).toDF("x")
+    val got = Percentiles.exactByCentsHistogram(df, "x", Seq(0.1, 0.5, 0.9), "p").head()
+    val want = df.select(expr("percentile(x, array(0.1D, 0.5D, 0.9D))"))
+      .head().getSeq[Double](0)
+    assert(got.getDouble(0) == want(0))
+    assert(got.getDouble(1) == want(1))
+    assert(got.getDouble(2) == want(2))
+    // and it agrees with the sort-based general operator
+    val bySort = Percentiles.exactBySort(df, "x", Seq(0.1, 0.5, 0.9), "p").head()
+    assert((0 to 2).forall(i => bySort.getDouble(i) == got.getDouble(i)))
+  }
+
   test("is one lazy plan: no jobs run at construction, no global-sort window") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("x")
