@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.{Grid, Tables}
-import graft.ops.{AsOf, Clean, Multimodal, Quality, RangeJoin, Similarity, Text}
+import graft.ops.{AsOf, Clean, Multimodal, PrefixSum, Quality, RangeJoin, Similarity, Text}
 
 /** Driver contract (see SURVEY.md §7 and TESTDATA.md).
   *
@@ -761,6 +761,85 @@ object SparkEntry {
         .agg(count(lit(1)))
         .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy("day")
+    }),
+
+    // ---- repetition / boilerplate quality signals (Gopher-style) ----
+    // Duplicate-word ratio and most-frequent-bigram fraction: the two
+    // cheap repetition filters a pretraining pipeline applies before
+    // any model-based scoring. Pure per-doc projections — zero shuffle.
+    "q48_repetition" -> ((s, dir) => {
+      val withBg = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), Text.ngrams(col("toks"), 2).as("bg"))
+      val topBigram = when(size(col("bg")) === 0, 0).otherwise(
+        array_max(transform(array_distinct(col("bg")),
+          g => size(filter(col("bg"), x => x === g)))))
+      withBg.select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(when(size(col("toks")) === 0, 0.0).otherwise(
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")), 6).as("dup_word_ratio"),
+        round(when(size(col("bg")) === 0, 0.0).otherwise(
+          topBigram.cast("double") / size(col("bg")).cast("double")), 6)
+          .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark-contamination check (n-gram overlap) ----
+    // Docs sharing any word-trigram with the held-out "benchmark"
+    // slice (doc_id % 20 == 0 — deterministic, oracle-reproducible).
+    // Scale shape: explode to slim (doc, gram) rows, distinct, LEFT
+    // SEMI against the benchmark gram set, count per doc — gram
+    // strings are the shuffle keys, never doc×doc pairs. (Production
+    // runs 8–13-grams; 3 here because the synthetic 40-word vocabulary
+    // makes longer grams collision-free and the carrier vacuous.)
+    "q49_contamination" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.ngrams(Text.tokens(col("text")), 3).as("g3"))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("g3")).as("gram")).distinct()
+      val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+      val hits = corpus
+        .select(col("doc_id"), explode(col("g3")).as("gram")).distinct()
+        .join(bench, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      corpus.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- stratified deterministic sampling ----
+    // Per-language 10% sample by md5 bucket: engine-stable (no RNG),
+    // re-runs and late shards land identically — the q45 split
+    // discipline applied per stratum.
+    "q50_stratified_sample" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             count(when(bucket === 0, 1)).as("n_sampled"),
+             min(when(bucket === 0, col("doc_id"))).as("first_sampled"),
+             max(when(bucket === 0, col("doc_id"))).as("last_sampled"))
+        .orderBy("lang")
+    }),
+
+    // ---- token-budget shard assignment (distributed prefix sums) ----
+    // Pack the corpus into ~2000-token shards in doc_id order: shard =
+    // tokens-before-this-doc ÷ budget. The running total runs through
+    // ops/PrefixSum (range-partitioned chunks + broadcast offsets) —
+    // never the global single-partition window `SUM OVER (ORDER BY)`
+    // plans to, which is the scale trap this query exists to exercise.
+    "q51_token_shards" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+                expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)").as("shard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1477,6 +1556,86 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(0, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2])) END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |  END, 6) AS dup_word_ratio,
+        |  round(CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |           g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+        |         / CAST(len(bg) AS DOUBLE)
+        |  END, 6) AS top_bigram_frac
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q49_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(0, len(toks) - 2),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS g3
+        |  FROM t),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(g3) AS gram FROM g WHERE doc_id % 20 = 0)),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(g3) AS gram FROM g WHERE doc_id % 20 <> 0)),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM cg WHERE gram IN (SELECT gram FROM bench)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id, COALESCE(h.n_shared, 0) AS n_shared
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE g.doc_id % 20 <> 0
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (bucket = 0) AS BIGINT) AS n_sampled,
+        |  MIN(doc_id) FILTER (bucket = 0) AS first_sampled,
+        |  MAX(doc_id) FILTER (bucket = 0) AS last_sampled
+        |FROM s
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q51_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
 
     "q45_hash_split" ->
       """WITH s AS (

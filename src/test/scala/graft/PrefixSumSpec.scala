@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PrefixSum
+
+/** Distributed running totals vs the naive global-order window. */
+class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
+
+  test("matches SUM OVER (ORDER BY) exactly on shuffled input") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ((i * 7919) % 5001, (i % 13).toLong))
+      .toDF("k", "v") // unique keys, arbitrary order
+    val got = PrefixSum.runningTotal(df, "k", "v", "cum")
+      .select("k", "cum").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("cum",
+        sum("v").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("k", "cum").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("the data-bearing window is chunk-keyed, never a global ordering") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, 1L)).toDF("k", "v")
+    val plan = PrefixSum.runningTotal(df, "k", "v", "cum")
+      .queryExecution.explainString(FormattedMode)
+    // the only acceptable global-order window is over __pid chunk
+    // counts (P rows); the values themselves must be windowed by __pid
+    assert(plan.contains("partitionBy") || plan.contains("__pid"), plan)
+    assert(!plan.contains("windowspecdefinition(k#"),
+           s"found a window globally ordered by the data key:\n$plan")
+  }
+}
