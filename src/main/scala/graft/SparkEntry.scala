@@ -771,9 +771,20 @@ object SparkEntry {
       val withBg = Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), Text.ngrams(col("toks"), 2).as("bg"))
+      // most-frequent-bigram count as the longest equal-run in the
+      // SORTED gram array — O(n) per doc; the distinct×filter form is
+      // O(distinct·n) interpreted lambdas (2.1 s of q48 at sf0.1).
+      // The oracle keeps the distinct-count form: identical maximum.
       val topBigram = when(size(col("bg")) === 0, 0).otherwise(
-        array_max(transform(array_distinct(col("bg")),
-          g => size(filter(col("bg"), x => x === g)))))
+        aggregate(array_sort(col("bg")),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+                   greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
       withBg.select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -795,8 +806,12 @@ object SparkEntry {
     // runs 8–13-grams; 3 here because the synthetic 40-word vocabulary
     // makes longer grams collision-free and the carrier vacuous.)
     "q49_contamination" -> ((s, dir) => {
+      // tokenize in its OWN projection (multiple toks references block
+      // CollapseProject): inlining tokens() into ngrams() re-evaluates
+      // the full split+filter per element_at — 52 s vs 1 s at sf0.1
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.ngrams(Text.tokens(col("text")), 3).as("g3"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Text.ngrams(col("toks"), 3).as("g3"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(explode(col("g3")).as("gram")).distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)

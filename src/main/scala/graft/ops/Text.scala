@@ -20,16 +20,15 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Word n-grams over the token array (ARRAY<STRING> of
-    * space-joined grams); empty array when fewer than n tokens.
-    * Grams are built from n O(1) `element_at` lookups per position —
-    * a `slice` per position copies O(len) and turns the whole op
-    * O(len²) per document (5.4 s vs 0.7 s over 5k docs at sf0.1). */
+  /** Word n-grams over the token array (ARRAY<STRING> of space-joined
+    * grams); empty array when fewer than n tokens. Native expression
+    * ([[graft.functions.WordNgrams]]): the earlier HOF composition
+    * (`transform` + `element_at`) was an optimizer hazard — inlined
+    * under an `explode` by InferFiltersFromGenerate, each `element_at`
+    * re-evaluated the whole token expression per position (24 s vs
+    * <1 s for q49 at sf0.1). */
   def ngrams(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    call_function("word_ngrams", toks, lit(n))
 
   /** English stopword list used by the quality scorer — a fixed,
     * documented set so the oracle can embed the same literal. */
