@@ -124,6 +124,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of the batch
+    * hash-groupBy dedup (q21): duplicates by `keys` are dropped for as
+    * long as their event time is within the watermark, and the
+    * dedup state is EVICTED once the watermark passes (bounded state —
+    * a plain `dropDuplicates` on a stream grows state forever, the
+    * scale trap this wrapper exists to avoid). */
+  def dedupeStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Wire a transform to a file-backed stream of events-shaped parquet
     * (the production entry: readStream → transform → writeStream). */
   def streamFromParquet(spark: SparkSession, dir: String,

@@ -61,6 +61,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
   }
 
+  test("q49: contamination joins on gram keys, never doc pairs") {
+    val p = plan("q49_contamination")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
+    // the gram expression must stay a single native word_ngrams call,
+    // not an inlined lambda forest (the InferFiltersFromGenerate
+    // hazard that cost 30x)
+    assert(!p.contains("lambdafunction(concat_ws"),
+           "HOF gram expression leaked back into the plan")
+  }
+
+  test("q51: running totals never use a global single-partition window") {
+    val p = plan("q51_token_shards")
+    // the only single-partition exchanges allowed are the tiny chunk
+    // meta aggregate and the final 1-row paths; the data-bearing
+    // window must be keyed by the chunk id
+    assert(p.contains("windowspecdefinition(__pid"),
+           s"expected chunk-keyed window in:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id#"),
+           s"found globally-ordered window over the data in:\n$p")
+  }
+
   test("q39: dedup anti-join broadcasts the dup-id set") {
     val p = plan("q39_neardup_dedup")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -106,6 +106,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sessions(1).n_events == 2 && sessions(1).total_value == 6.0)
   }
 
+  test("streaming dedup drops replayed events within the watermark, bounded state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupeStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 0), ev(2, 5), ev(1, 0)) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData(ev(1, 0), ev(3, 8))           // cross-batch replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("writeStream sink + checkpoint restart recovers exactly-once") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-src").toString
