@@ -573,9 +573,13 @@ object SparkEntry {
       val pairs = bandedPairs(minhashSigsFrame(s, dir)).select("doc1", "doc2")
       // Expensive per-doc features (grams, simhash) are computed ONLY
       // for docs that appear in a candidate pair — at scale the
-      // candidate set, not the corpus, bounds this cost.
-      val needed = pairs.select(col("doc1").as("doc_id"))
-        .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+      // candidate set, not the corpus, bounds this cost. One explode,
+      // not a union of two selects: each consumer of `pairs`
+      // re-executes the whole minhash+banding subtree (no exchange
+      // reuse), so halving the consumers saves a full banding pass.
+      val needed = pairs
+        .select(explode(array(col("doc1"), col("doc2"))).as("doc_id"))
+        .distinct()
       val docs = Tables.documents(s, dir)
         .join(needed, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
