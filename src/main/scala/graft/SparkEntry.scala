@@ -845,6 +845,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- k-means update step: per-centroid vector mean ----
+    // The missing half of the IVF pair (q42 assigns, this re-centers):
+    // explode vectors to (centroid, dim, val) rows and aggregate per
+    // (centroid, dim) — THE scale shape for averaging vectors (the
+    // shuffle carries scalar cells keyed by centroid×dim; no vector is
+    // ever buffered whole). Sums accumulate in DECIMAL(38,30) so the
+    // float inputs aggregate order-independently on both engines; one
+    // double conversion + division at the end.
+    "q52_kmeans_step" -> ((s, dir) => {
+      val D = DecimalType(38, 30)
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb, k = 8).select("vec_id", "centroid")
+      val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      assigned.join(vecs, "vec_id")
+        .select(col("centroid"), posexplode(col("v")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("col").cast(D)).as("sd"))
+        .select(col("centroid"), col("pos").cast("int").as("dim"),
+                round(col("sd").cast("double") / col("n"), 6).as("mean_val"))
+        .orderBy("centroid", "dim")
+    }),
+
     // ---- token-budget shard assignment (distributed prefix sums) ----
     // Pack the corpus into ~2000-token shards in doc_id order: shard =
     // tokens-before-this-doc ÷ budget. The running total runs through
@@ -1641,6 +1663,25 @@ object SparkEntry {
         |FROM s
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q52_kmeans_step" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid, v AS cv FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT v.vec_id, c.centroid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |                       ORDER BY list_dot_product(v.v, c.cv) DESC, c.centroid) AS rn
+        |  FROM v CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid FROM scored WHERE rn = 1),
+        |x AS (
+        |  SELECT a.centroid, CAST(r.i AS INT) AS dim, v.v[r.i + 1] AS val
+        |  FROM a JOIN v USING (vec_id) CROSS JOIN range(64) AS r(i))
+        |SELECT centroid, dim,
+        |  round(CAST(SUM(CAST(val AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*), 6) AS mean_val
+        |FROM x
+        |GROUP BY centroid, dim
+        |ORDER BY centroid, dim""".stripMargin,
 
     "q51_token_shards" ->
       """WITH t AS (
