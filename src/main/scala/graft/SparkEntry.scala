@@ -854,16 +854,9 @@ object SparkEntry {
     // float inputs aggregate order-independently on both engines; one
     // double conversion + division at the end.
     "q52_kmeans_step" -> ((s, dir) => {
-      val D = DecimalType(38, 30)
       val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.ivfAssign(emb, k = 8).select("vec_id", "centroid")
-      val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      assigned.join(vecs, "vec_id")
-        .select(col("centroid"), posexplode(col("v")))
-        .groupBy(col("centroid"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("col").cast(D)).as("sd"))
-        .select(col("centroid"), col("pos").cast("int").as("dim"),
-                round(col("sd").cast("double") / col("n"), 6).as("mean_val"))
+      Similarity.ivfUpdate(emb, Similarity.ivfAssign(emb, k = 8))
+        .select(col("centroid"), col("dim"), round(col("mean_val"), 6).as("mean_val"))
         .orderBy("centroid", "dim")
     }),
 

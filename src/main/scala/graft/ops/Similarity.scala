@@ -104,6 +104,27 @@ object Similarity {
       .select(col(idCol), col("centroid"), col("dot"))
   }
 
+  /** The k-means/IVF UPDATE step paired with [[ivfAssign]]:
+    * per-centroid vector means as (centroid, dim, mean_val) rows.
+    * Scale shape: explode vectors to scalar (centroid, dim, val)
+    * cells and aggregate per (centroid × dim) key — no vector is
+    * ever buffered whole, and the shuffle carries scalars. Float
+    * inputs accumulate in DECIMAL(38,30) so the sum is
+    * order-independent (cross-engine/re-run deterministic); one
+    * double conversion + division at the end. */
+  def ivfUpdate(emb: DataFrame, assignments: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 30)
+    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    assignments.select(col(idCol), col("centroid"))
+      .join(vecs, idCol)
+      .select(col("centroid"), posexplode(col("v")))
+      .groupBy(col("centroid"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast(D)).as("sd"))
+      .select(col("centroid"), col("pos").cast("int").as("dim"),
+              (col("sd").cast("double") / col("n")).as("mean_val"))
+  }
+
   /** Brute-force top-k against one probe vector. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -124,6 +124,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click matched to the same
+    * user's purchases within the following hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can EVICT buffered rows once the watermark passes — the
+    * two requirements that make a stream-stream join's state bounded
+    * (an unconstrained join buffers both streams forever). Works
+    * identically on bounded frames (batch ≡ stream, tested). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", WatermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", WatermarkDelay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+              col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup — the incremental twin of the batch
     * hash-groupBy dedup (q21): duplicates by `keys` are dropped for as
     * long as their event time is within the watermark, and the

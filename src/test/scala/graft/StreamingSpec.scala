@@ -106,6 +106,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sessions(1).n_events == 2 && sessions(1).total_value == 6.0)
   }
 
+  test("stream-stream interval join: clicks meet in-window purchases, batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      ev(1, 0),                               // click at 10:00
+      ev(2, 30, typ = "purchase", value = 9.0),  // within the hour -> joins
+      ev(3, 90, typ = "purchase", value = 5.0),  // 90 min later -> outside
+      ev(4, 95),                              // click at 11:35
+      ev(5, 100, typ = "purchase", value = 7.0)) // joins click 4
+    val batch = EventStreams.clickPurchaseJoin(events.toDF())
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 2L), (4L, 5L)))
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark far past every join window so results finalize
+      input.addData(ev(99, 600))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_t").select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark, bounded state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
