@@ -860,6 +860,21 @@ object SparkEntry {
         .orderBy("centroid", "dim")
     }),
 
+    // ---- per-stratum top-k curation ----
+    // Keep the k best documents per language — the "best N per
+    // stratum" selection every curation pipeline ends with. Window
+    // rank inside each (small-cardinality) stratum: the shuffle is
+    // keyed by lang, and at scale the pre-rank projection is the only
+    // thing that touches full rows.
+    "q53_top_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("lang", "rk")
+    }),
+
     // ---- token-budget shard assignment (distributed prefix sums) ----
     // Pack the corpus into ~2000-token shards in doc_id order: shard =
     // tokens-before-this-doc ÷ budget. The running total runs through
@@ -1656,6 +1671,15 @@ object SparkEntry {
         |FROM s
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q53_top_per_lang" ->
+      """SELECT lang, doc_id, n_chars, rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
 
     "q52_kmeans_step" ->
       """WITH v AS (
