@@ -47,6 +47,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Typed UDAF surface (Aggregator-based; extensions can't inject
+    // these): element-wise vector mean per group.
+    spark.udf.register("vec_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.VecMean))
     spark
   }
 }

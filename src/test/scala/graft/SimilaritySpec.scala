@@ -67,6 +67,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(m(6L) == 1L)
   }
 
+  test("vec_mean UDAF matches the dimension-exploded mean within 1e-9") {
+    import org.apache.spark.sql.functions.expr
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // typed-aggregate path: one O(dim) buffer per label
+    val byAgg = emb
+      .groupBy("label")
+      .agg(expr("vec_mean(cast(embedding as array<double>))").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // dimension-exploded path (the ivfUpdate shape), exact decimal sums
+    val exploded = emb
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy("label", "pos")
+      .agg(avg("col").as("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(byAgg.nonEmpty)
+    byAgg.foreach { case (label, vec) =>
+      vec.zipWithIndex.foreach { case (m, d) =>
+        assert(math.abs(m - exploded((label, d))) < 1e-9,
+               s"label $label dim $d: $m vs ${exploded((label, d))}")
+      }
+    }
+  }
+
   test("bucket join is a strict subset of all-pairs work") {
     val df = vecs((1L to 40L).map(i =>
       i -> Seq.tabulate(64)(d => math.sin(i * 7.0 + d))): _*)
