@@ -67,6 +67,30 @@ object Similarity {
       .distinct()
   }
 
+  /** Multi-probe candidate pairs: like [[candidatePairs]], but the
+    * probe side ALSO visits every bucket at Hamming distance 1 from
+    * its code (bit flips), so near-misses on a single hyperplane sign
+    * still collide — the other recall amplifier besides banding
+    * (probing trades one-sided bits× row expansion for recall, where
+    * banding trades extra codes; they compose). Only the slim
+    * (id, band, bucket) rows expand — never vectors. */
+  def multiProbePairs(emb: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      bits: Int = 8, bands: Int = 2): DataFrame = {
+    val b = bandedBuckets(emb, idCol, vecCol, bits, bands)
+    val probes = b.select(
+      col(idCol).as("id1"), col("band"),
+      explode(array(
+        (col("bucket") +:
+          (0 until bits).map(k => col("bucket").bitwiseXOR(lit(1 << k)))): _*))
+        .as("bucket"))
+    val exact = b.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    probes.join(exact, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
   /** Candidate pairs scored with exact cosine: banded-LSH candidates,
     * then two equi-joins fetch the vectors for scoring — each side of
     * the corpus shuffles once on id, and only pair-participating

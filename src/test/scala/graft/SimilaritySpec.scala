@@ -67,6 +67,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(m(6L) == 1L)
   }
 
+  test("multi-probe candidates strictly contain the banded candidates") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(Similarity.candidatePairs(emb, bits = 10, bands = 2))
+    val probed = pairs(Similarity.multiProbePairs(emb, bits = 10, bands = 2))
+    assert(plain.subsetOf(probed), "probing lost exact-collision candidates")
+    assert(probed.size > plain.size,
+           s"distance-1 probing added nothing (${probed.size} vs ${plain.size})")
+    val n = emb.count()
+    assert(probed.size < n * (n - 1) / 2, "must stay below all-pairs")
+  }
+
   test("vec_mean UDAF matches the dimension-exploded mean within 1e-9") {
     import org.apache.spark.sql.functions.expr
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
