@@ -87,5 +87,8 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     Tables.documents(spark, sfDir).agg(sum(length(col("text"))))
       .write.format("noop").mode("overwrite").save()
+    Tables.embeddings(spark, sfDir)
+      .agg(sum(size(col("embedding"))))
+      .write.format("noop").mode("overwrite").save()
   }
 }
