@@ -37,6 +37,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.ArrayJaccard.description)
         ext.injectFunction(graft.functions.ArrayDot.description)
         ext.injectFunction(graft.functions.WordNgrams.description)
+        ext.injectFunction(graft.functions.WordTokens.description)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

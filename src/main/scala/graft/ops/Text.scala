@@ -16,9 +16,10 @@ object Text {
   /** Word-boundary tokenization: lowercase, split on runs of
     * non-alphanumerics, drop empties. Unlike length arithmetic, this
     * yields a real ARRAY<STRING> that downstream ops (n-grams,
-    * stopwords, SimHash) consume. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    * stopwords, SimHash) consume. Native expression
+    * ([[graft.functions.WordTokens]]): one byte scan replacing the
+    * regex split + interpreted filter lambda feeding ~10 queries. */
+  def tokens(text: Column): Column = call_function("word_tokens", text)
 
   /** Word n-grams over the token array (ARRAY<STRING> of space-joined
     * grams); empty array when fewer than n tokens. Native expression

@@ -23,6 +23,21 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     assert(one("", Text.tokens(col("text"))) == Seq())
   }
 
+  test("native word_tokens equals the regex+filter composition") {
+    // the HOF form the native expression replaced — must stay
+    // byte-identical on every shape the corpus can contain
+    def hof(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+    val cases = Seq(
+      "Hello, World! 42", "--a--b--", "", "   ", "a", "A1b2C3",
+      "one  two\tthree\nfour", "trailing space ", " leading",
+      "ALLCAPS MiXeD lower 0123456789", "a-b_c.d,e;f:g!h?i")
+    cases.foreach { s =>
+      assert(one(s, Text.tokens(col("text"))) == one(s, hof(col("text"))),
+             s"mismatch on: '$s'")
+    }
+  }
+
   test("ngrams: space-joined word grams; short docs give empty arrays") {
     val toks = Text.tokens(col("text"))
     assert(one("a b c d", Text.ngrams(toks, 2)) == Seq("a b", "b c", "c d"))
