@@ -101,6 +101,9 @@ class ErddapDsv2Spec extends AnyFunSuite with SparkTestSession {
       .filter(col("longitude") === -70.0)
     val rows = df.collect()
     assert(rows.length == 1 && rows(0).getAs[Double]("longitude") == -70.0)
+    // partition pruning is physical: one input partition per surviving
+    // point, so the pruned scan plans exactly 1
+    assert(df.rdd.getNumPartitions == 1)
   }
 
   test("NaN measures surface as nulls (cleaned semantics)") {
