@@ -41,6 +41,13 @@ object GraftSession {
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split input files so scans engage the session's cores: the
+      // default 128 MB leaves a ~400 MB single-file table at 3 map
+      // tasks on a 32-core local session (q04's scan+join stage ran
+      // 3-wide). Sized per deployment exactly as the shuffle-partition
+      // count is — a cluster at the 100 TB design point raises it back
+      // toward the default to keep task counts sane.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
