@@ -860,6 +860,22 @@ object SparkEntry {
         .orderBy("centroid", "dim")
     }),
 
+    // ---- event-transition counts (lead/lag window family) ----
+    // The session-flow matrix: each user's consecutive event pairs,
+    // counted per (from, to). lead() over the per-user time order —
+    // the remaining window surface (rank q08, running q09, lead here);
+    // shuffle is keyed by user, the transition matrix is tiny.
+    "q54_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- per-stratum top-k curation ----
     // Keep the k best documents per language — the "best N per
     // stratum" selection every curation pipeline ends with. Window
@@ -1671,6 +1687,18 @@ object SparkEntry {
         |FROM s
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q54_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q53_top_per_lang" ->
       """SELECT lang, doc_id, n_chars, rk FROM (
