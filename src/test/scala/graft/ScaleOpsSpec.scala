@@ -92,6 +92,38 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(scanned.nonEmpty && scanned.forall(_.contains("month=2024-01")))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The runtime half of the skew story (Skew.saltedJoin is the
+    // static half): with AQE on, a hot key's oversized shuffle
+    // partition is split into multiple tasks at execution time —
+    // assert the final adaptive plan actually marked the join skewed.
+    import spark.implicits._
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the left side shares key 1
+      val left = (1 to 60000)
+        .map(i => (if (i % 20 != 0) 1L else (i % 997).toLong, s"payload_$i"))
+        .toDF("k", "payload")
+      val right = (0 to 996).map(k => (k.toLong, s"dim_$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() drives THIS frame's QueryExecution, so its adaptive
+      // plan finalizes (count() would plan a separate execution)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+             s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("banded LSH: bits bound per-bucket candidates; bands recover recall") {
     // The scale contract of the q36/q37/q47 ANN family: bucket count
     // is 2^bits per band, so within-bucket pair count — the actual
