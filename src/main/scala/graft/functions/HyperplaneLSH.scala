@@ -55,8 +55,10 @@ object HyperplaneLSH {
   def plane(j: Int, d: Int): Double =
     ((a(j) * (d + 1) + b(j)) % M).toDouble / M.toDouble - 0.5
 
-  /** One band's code: sign bits of `bits` consecutive projections. */
+  /** One band's code: sign bits of `bits` consecutive projections.
+    * `bits` must fit an Int bucket code. */
   private[functions] def code(v: ArrayData, bits: Int, band: Int): Int = {
+    require(bits >= 1 && bits <= 30, s"hyperplane bits must be in [1, 30], got $bits")
     val dim = v.numElements()
     var out = 0
     var k = 0

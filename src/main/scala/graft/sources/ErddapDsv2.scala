@@ -204,9 +204,12 @@ final class ErddapReaderFactory(
               if (i < 0 || i >= f.length || f(i).isEmpty || f(i) == "NaN") null
               else field.dataType match {
                 case TimestampType =>
-                  java.lang.Long.valueOf(
+                  // cleaned semantics: malformed time -> null (the
+                  // try_to_timestamp coerce the Clean stage applies)
+                  try java.lang.Long.valueOf(
                     java.time.Duration.between(Instant.EPOCH, Instant.parse(f(i)))
                       .toNanos / 1000L)
+                  catch { case _: java.time.format.DateTimeParseException => null }
                 case DoubleType =>
                   val d = f(i).toDouble
                   if (d.isNaN) null else java.lang.Double.valueOf(d)
