@@ -878,16 +878,15 @@ object SparkEntry {
 
     // ---- per-stratum top-k curation ----
     // Keep the k best documents per language — the "best N per
-    // stratum" selection every curation pipeline ends with. Window
-    // rank inside each (small-cardinality) stratum: the shuffle is
-    // keyed by lang, and at scale the pre-rank projection is the only
-    // thing that touches full rows.
+    // stratum" selection every curation pipeline ends with, via
+    // ops/TopK: per-partition bounded heaps prune BEFORE the shuffle,
+    // so the per-stratum window sorts k × partitions survivors instead
+    // of the whole stratum (the naive window is one task per stratum
+    // at 100 TB).
     "q53_top_per_lang" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("lang"), col("doc_id"), col("n_chars"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      ops.TopK.perGroup(
+          Tables.documents(s, dir).select(col("lang"), col("doc_id"), col("n_chars")),
+          groupCols = Seq("lang"), orderCol = "n_chars", tieBreakCol = "doc_id", k = 3)
         .orderBy("lang", "rk")
     }),
 
