@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Grouped top-k that stays parallel at any scale.
   *
@@ -25,18 +26,62 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
+  /** Value ordering over a column's runtime type (null-free inputs):
+    * integral types compare as Long (no precision loss past 2^53),
+    * fractional as Double, decimals as BigDecimal — the same
+    * comparison the final window's sort applies, so the heap
+    * pre-prune and the window agree on who survives. */
+  private def fieldOrdering(dt: DataType): Ordering[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue())
+    // strings, decimals, timestamps/dates (java.sql or java.time
+    // external forms alike): natural Comparable order — the same
+    // total order Spark's sort uses for these types
+    case StringType | TimestampType | TimestampNTZType | DateType | _: DecimalType =>
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    case other =>
+      throw new IllegalArgumentException(s"TopK cannot order by type ${other.catalogString}")
+  }
+
   /** Keep the k best rows per group, "best" = largest `orderCol`,
-    * ties broken by smallest `tieBreakCol` (both numeric, read as
-    * long). Output schema = input schema; row order unspecified. */
+    * ties broken by smallest `tieBreakCol` (any orderable types;
+    * nulls rank last in both roles, i.e. a null score never beats a
+    * value and a null tie-break loses the tie). Output schema = input
+    * schema plus the `rk` rank column (1..k per group); row order
+    * unspecified. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderCol: String, tieBreakCol: String, k: Int): DataFrame = {
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val oIdx = schema.fieldIndex(orderCol)
     val tIdx = schema.fieldIndex(tieBreakCol)
-    // "worst first" ordering so the heap head is the eviction candidate
-    val heapOrd: Ordering[Row] = Ordering.by { r: Row =>
-      (-r.getAs[Number](oIdx).longValue(), r.getAs[Number](tIdx).longValue())
+    val oOrd = fieldOrdering(schema(oIdx).dataType)
+    val tOrd = fieldOrdering(schema(tIdx).dataType)
+    // "worst first" ordering so the heap head is the eviction
+    // candidate: worse = smaller order value (null order worst),
+    // then larger tie-break (null tie-break worst) — exactly the
+    // reverse of the final window's
+    // (desc_nulls_last(order), asc_nulls_last(tie)) goodness order
+    val heapOrd: Ordering[Row] = (x: Row, y: Row) => {
+      val xo = x.get(oIdx); val yo = y.get(oIdx)
+      val c = (xo, yo) match {
+        case (null, null) => 0
+        case (null, _)    => 1  // null score is worse → PQ-greater
+        case (_, null)    => -1
+        case _            => oOrd.compare(yo, xo) // larger score better → PQ-smaller
+      }
+      if (c != 0) c
+      else {
+        val xt = x.get(tIdx); val yt = y.get(tIdx)
+        (xt, yt) match {
+          case (null, null) => 0
+          case (null, _)    => 1  // null tie-break loses the tie
+          case (_, null)    => -1
+          case _            => tOrd.compare(xt, yt) // smaller tie better → PQ-smaller
+        }
+      }
     }
     val pruned = df.rdd.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap
@@ -52,7 +97,7 @@ object TopK {
     }
     val survivors = df.sparkSession.createDataFrame(pruned, schema)
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(desc(orderCol), asc(tieBreakCol))
+      .orderBy(desc_nulls_last(orderCol), asc_nulls_last(tieBreakCol))
     survivors
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

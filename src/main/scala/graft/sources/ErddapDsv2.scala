@@ -124,12 +124,27 @@ final class ErddapScanBuilder(options: CaseInsensitiveStringMap)
     case _ => None
   }
 
+  /** Upper-bound truncation must WIDEN, never narrow: a bound with an
+    * intraday component (`time <= '1960-05-01T12:00'`) still needs the
+    * 1960-05-01 rows, so the slice end rounds UP to the next day unless
+    * the bound is exactly midnight. The post-scan re-filter restores
+    * sub-day exactness either way. */
+  private def asDateCeil(v: Any): Option[String] = asDate(v).map { d =>
+    val midnight = v match {
+      case t: java.sql.Timestamp => t.toInstant.toString.drop(10).matches("T00:00(:00(\\.0+)?)?Z?")
+      case t: java.time.Instant  => t.equals(t.truncatedTo(java.time.temporal.ChronoUnit.DAYS))
+      case s: String if s.length > 10 => s.drop(10).matches("[T ]00:00(:00(\\.0+)?)?Z?")
+      case _ => true // Date / LocalDate / bare "yyyy-MM-dd" carry no intraday part
+    }
+    if (midnight) d else java.time.LocalDate.parse(d).plusDays(1).toString
+  }
+
   // ISO dates compare lexicographically, so max/min narrows the slice
   private def tryPush(f: Filter): Boolean = f match {
     case GreaterThanOrEqual("time", v) => asDate(v).exists { d => start = if (d > start) d else start; true }
     case GreaterThan("time", v)        => asDate(v).exists { d => start = if (d > start) d else start; true }
-    case LessThanOrEqual("time", v)    => asDate(v).exists { d => end = if (d < end) d else end; true }
-    case LessThan("time", v)           => asDate(v).exists { d => end = if (d < end) d else end; true }
+    case LessThanOrEqual("time", v)    => asDateCeil(v).exists { d => end = if (d < end) d else end; true }
+    case LessThan("time", v)           => asDateCeil(v).exists { d => end = if (d < end) d else end; true }
     case EqualTo("latitude", v) => asDouble(v).exists { x =>
       points = points.filter { case (la, lo) => Grid.snap(la, lo)._1 == Grid.snap(x, lo)._1 }; true }
     case EqualTo("longitude", v) => asDouble(v).exists { x =>
@@ -198,21 +213,37 @@ final class ErddapReaderFactory(
         else {
           val header = lines.head.split(",", -1).map(_.trim.toLowerCase(java.util.Locale.ROOT))
           val idx = requiredSchema.fieldNames.map(header.indexOf(_))
-          lines.iterator.drop(2).map { line => // drop names + units rows
+          // units row detected by VALUE, same as the batch path
+          // (Clean.stripUnitsRow): a body without one loses no data row
+          val unitsRows = lines.drop(1).headOption.count { l =>
+            val first = l.split(",", -1).headOption.getOrElse("").trim
+            first == "UTC" || first == "units"
+          }
+          lines.iterator.drop(1 + unitsRows).map { line =>
             val f = line.split(",", -1)
             val vals = requiredSchema.fields.zip(idx).map { case (field, i) =>
               if (i < 0 || i >= f.length || f(i).isEmpty || f(i) == "NaN") null
               else field.dataType match {
                 case TimestampType =>
                   // cleaned semantics: malformed time -> null (the
-                  // try_to_timestamp coerce the Clean stage applies)
+                  // try_to_timestamp coerce the Clean stage applies);
+                  // ArithmeticException covers toNanos overflow on
+                  // far-future timestamps
                   try java.lang.Long.valueOf(
                     java.time.Duration.between(Instant.EPOCH, Instant.parse(f(i)))
                       .toNanos / 1000L)
-                  catch { case _: java.time.format.DateTimeParseException => null }
+                  catch {
+                    case _: java.time.format.DateTimeParseException => null
+                    case _: ArithmeticException => null
+                  }
                 case DoubleType =>
-                  val d = f(i).toDouble
-                  if (d.isNaN) null else java.lang.Double.valueOf(d)
+                  // null-on-error like try_cast (pd.to_numeric
+                  // errors='coerce', transform.py:23) — one malformed
+                  // cell must not fail the scan
+                  try {
+                    val d = f(i).toDouble
+                    if (d.isNaN) null else java.lang.Double.valueOf(d)
+                  } catch { case _: NumberFormatException => null }
                 case other => throw new IllegalStateException(s"unexpected type $other")
               }
             }

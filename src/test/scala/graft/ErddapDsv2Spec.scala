@@ -106,6 +106,58 @@ class ErddapDsv2Spec extends AnyFunSuite with SparkTestSession {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("malformed numeric cells coerce to null instead of failing the scan") {
+    val dir = Files.createTempDirectory("dsv2").toString
+    val url = ErddapUrl.build(32.5, -70.0, "1960-01-01", "1960-01-01")
+    record(dir, url,
+      "time,depth,latitude,longitude,Temperature,Salinity\n" +
+      "UTC,m,degrees_north,degrees_east,degree_C,PSU\n" +
+      "1960-01-16T00:00:00Z,0.0,32.5,-70.0,--,36.4\n" +
+      "1960-01-17T00:00:00Z,0.0,32.5,-70.0,1.2.3,35.0\n")
+    val rows = read(dir)
+      .option("points", "32.5,-70.0")
+      .option("start_date", "1960-01-01").option("end_date", "1960-01-01")
+      .load().orderBy("time").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(4) && rows(0).getDouble(5) == 36.4)
+    assert(rows(1).isNullAt(4) && rows(1).getDouble(5) == 35.0)
+  }
+
+  test("intraday upper time bound widens to the full day (truncation never drops rows)") {
+    val dir = Files.createTempDirectory("dsv2").toString
+    // bound 1960-02-16T12:00 has an intraday part → slice end must round
+    // UP to 02-17; only that widened URL is recorded, so a truncating
+    // pushdown (end=02-16 at month granularity would be fine here, but
+    // end computed as take(10)=02-16 then a DAY-granular dataset) is
+    // caught by the re-filter check: the 02-16T00:00 row must survive.
+    val widened = ErddapUrl.build(32.5, -70.0, "1960-01-01", "1960-02-17")
+    record(dir, widened, body(Seq("1960-01", "1960-02"), 32.5, -70.0))
+    val df = read(dir)
+      .option("points", "32.5,-70.0")
+      .option("start_date", "1960-01-01").option("end_date", "1960-12-01")
+      .load()
+      .filter(col("time") <= "1960-02-16T12:00:00")
+    val rows = df.orderBy("time").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("slice=[1960-01-01..1960-02-17]"))
+  }
+
+  test("a body without a units row loses no data row") {
+    val dir = Files.createTempDirectory("dsv2").toString
+    val url = ErddapUrl.build(32.5, -70.0, "1960-01-01", "1960-01-01")
+    record(dir, url,
+      "time,depth,latitude,longitude,Temperature,Salinity\n" +
+      "1960-01-16T00:00:00Z,0.0,32.5,-70.0,20.5,36.4\n" +
+      "1960-01-17T00:00:00Z,0.0,32.5,-70.0,21.5,35.0\n")
+    val rows = read(dir)
+      .option("points", "32.5,-70.0")
+      .option("start_date", "1960-01-01").option("end_date", "1960-01-01")
+      .load().orderBy("time").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(4) == 20.5)
+  }
+
   test("NaN measures surface as nulls (cleaned semantics)") {
     val dir = Files.createTempDirectory("dsv2").toString
     val url = ErddapUrl.build(32.5, -70.0, "1960-01-01", "1960-01-01")

@@ -31,4 +31,30 @@ class TopKSpec extends AnyFunSuite with SparkTestSession {
     val got = TopK.perGroup(df, Seq("g"), "score", "id", k = 5)
     assert(got.count() == 3)
   }
+
+  test("null scores and tie-breaks rank last, matching the nulls-last window") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, null), ("a", 2L, 20L), ("a", 3L, 20L), ("a", null, 20L),
+      ("a", 4L, 5L), ("b", 5L, null), ("b", null, null), ("b", 6L, 1L))
+      .toDF("g", "id", "score")
+      .repartition(4)
+    val got = TopK.perGroup(df, Seq("g"), "score", "id", k = 3)
+      .select("g", "id", "score", "rk")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("g").orderBy(desc_nulls_last("score"), asc_nulls_last("id"))
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("double-typed scores rank by value, not a truncated long") {
+    import spark.implicits._
+    // 1.9 vs 1.2: a long-truncating comparison would call these tied
+    val df = Seq(("a", 1L, 1.2), ("a", 2L, 1.9), ("a", 3L, 1.5), ("a", 4L, 0.4))
+      .toDF("g", "id", "score").repartition(3)
+    val got = TopK.perGroup(df, Seq("g"), "score", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
 }
