@@ -904,6 +904,57 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
                 expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)").as("shard"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multi-probe LSH candidate pairs ----
+    // The recall amplifier besides banding: each probe row also visits
+    // every bucket at Hamming distance 1 (bit flips), so a near-miss on
+    // one hyperplane sign still collides. Only slim (id, band, bucket)
+    // rows expand (bits+1 probes per row) — never vectors.
+    "q55_multiprobe_pairs" -> ((s, dir) => {
+      Similarity.multiProbePairs(Tables.embeddings(s, dir),
+          bits = AnnBits, bands = AnnBands)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- salted skew join ≡ plain join (the equivalence IS the test) ----
+    // The salted plan spreads each key over 8 sub-keys
+    // (deterministic hash salt on the big side, explode-replication on
+    // the small side); the oracle runs the PLAIN join — identical
+    // results prove salting changes the distribution, not the answer.
+    "q56_salted_join" -> ((s, dir) => {
+      val large = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      ops.Skew.saltedJoin(large, small, "custkey",
+          saltSource = "o_orderkey", saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- exact percentiles via the bounded cents histogram ----
+    // The fixed-precision twin of q32's sort-based selection: every
+    // intermediate is bounded by the VALUE DOMAIN (coarse buckets =
+    // domain/256, fine level <=256 distinct cents per target bucket),
+    // not the corpus — no corpus-wide range shuffle anywhere.
+    "q57_percentile_hist" -> ((s, dir) => {
+      ops.Percentiles.exactByCentsHistogram(
+          Tables.lineitem(s, dir), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .select(round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+                round(col("p75"), 6).as("p75"))
+    }),
+
+    // ---- interval join (batch twin of the stream-stream join) ----
+    // EventStreams.clickPurchaseJoin run on the bounded frame: each
+    // click matched to the same user's purchases within the following
+    // hour. The SAME transform drives readStream (StreamingSpec); this
+    // carrier pins its join semantics against the SQL interval join.
+    "q58_interval_join" -> ((s, dir) => {
+      streaming.EventStreams.clickPurchaseJoin(Tables.events(s, dir))
+        .withColumn("purchase_value", round(col("purchase_value"), 6))
+        .orderBy("user_id", "click_id", "purchase_id")
     })
   )
 
@@ -1767,7 +1818,53 @@ object SparkEntry {
         |    x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tokens_est,
         |  CAST(len(toks) AS INT) AS words
         |FROM t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // probe side: the exact bucket plus every single-bit flip — the
+    // same 1 + bits expansion multiProbePairs builds with bitwiseXOR
+    "q55_multiprobe_pairs" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bk AS (
+        |$sqlBandedBuckets),
+        |probes AS (
+        |  SELECT bk.vec_id AS id1, bk.band, xor(bk.bucket, f.flip) AS bucket
+        |  FROM bk CROSS JOIN (
+        |    SELECT unnest(${(0 +: (0 until AnnBits).map(1 << _)).mkString("[", ", ", "]")}) AS flip) f)
+        |SELECT DISTINCT p.id1, r.vec_id AS id2
+        |FROM probes p JOIN bk r
+        |  ON p.band = r.band AND p.bucket = r.bucket AND p.id1 < r.vec_id
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the PLAIN join: identical output proves the salted plan is a
+    // pure distribution change
+    "q56_salted_join" ->
+      s"""SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ${S_DSUM("o_totalprice")} AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q57_percentile_hist" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS p FROM lineitem)
+        |SELECT round(p[1], 6) AS p25, round(p[2], 6) AS p50, round(p[3], 6) AS p75
+        |FROM q""".stripMargin,
+
+    "q58_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_ts,
+        |  p.purchase_id, p.purchase_ts, round(p.value, 6) AS purchase_value
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
