@@ -36,6 +36,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.HyperplaneLSH.codesDescription)
         ext.injectFunction(graft.functions.ArrayJaccard.description)
         ext.injectFunction(graft.functions.ArrayDot.description)
+        ext.injectFunction(graft.functions.ArgMaxDot.description)
         ext.injectFunction(graft.functions.WordNgrams.description)
         ext.injectFunction(graft.functions.WordTokens.description)
       }

@@ -110,22 +110,31 @@ object Similarity {
     * nearest-by-dot-product centroid. Centroids are themselves rows of
     * the corpus (ids < k — deterministic, no RNG to ship to an
     * oracle); a production deployment would k-means them, the
-    * assignment plan is identical. Broadcast centroids × corpus scan,
-    * window rank 1 — one pass, no shuffle of the corpus beyond the
-    * per-vector top-1 selection. Probe-time search then touches only
-    * the probe's cluster (`nprobe` clusters generally). */
+    * assignment plan is identical.
+    *
+    * Scale shape: the centroid table is DRIVER-RESIDENT METADATA
+    * (k rows — every k-means loop materializes exactly this between
+    * iterations), shipped inside the native `argmax_dot` expression.
+    * One pass over the corpus emits ONE (vec_id, centroid, dot) row
+    * per vector — no join, no window, no shuffle. The previous
+    * crossJoin(broadcast) + window-top-1 formulation materialized and
+    * window-shuffled an n·k row expansion of the corpus: fine at k=8,
+    * a 10,000× blowup at a real coarse quantizer's k ≈ √n. Ties keep
+    * the lowest centroid id (same winner as ORDER BY dot DESC,
+    * centroid ASC). Probe-time search then touches only the probe's
+    * cluster (`nprobe` clusters generally). */
   def ivfAssign(emb: DataFrame, k: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val centroids = typed.filter(col(idCol) < k)
-      .select(col(idCol).as("centroid"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(desc("dot"), asc("centroid"))
-    typed.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid"), dot(col("v"), col("cv")).as("dot"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid"), col("dot"))
+    val centroidRows = typed.filter(col(idCol) < k).orderBy(idCol).collect()
+    val ids: Seq[Long] = centroidRows.map(_.getAs[Number](0).longValue()).toSeq
+    val matrix: Seq[Seq[Double]] = centroidRows.map(_.getSeq[Double](1).toSeq).toSeq
+    typed
+      .select(col(idCol),
+        call_function("argmax_dot", col("v"), typedlit(matrix)).as("am"))
+      .select(col(idCol),
+        element_at(typedlit(ids), col("am.idx") + 1).as("centroid"),
+        col("am.dot").as("dot"))
   }
 
   /** The k-means/IVF UPDATE step paired with [[ivfAssign]]:

@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
   }
 
+  test("q42: IVF assignment is a pure projection — no join, no window, no row expansion") {
+    val p = plan("q42_ivf_assign")
+    assert(!p.contains("Join"), s"row-expansion join in IVF assignment:\n$p")
+    assert(!p.contains("Window"), s"window top-1 selection in IVF assignment:\n$p")
+    assert(p.contains("argmax_dot"), "native argmax expression missing from the plan")
+    // exactly one exchange: the output ORDER BY
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+  }
+
   test("q49: contamination joins on gram keys, never doc pairs") {
     val p = plan("q49_contamination")
     assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")

@@ -27,6 +27,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(salts > 1)
   }
 
+  test("ivfAssign at k=1024: output stays one row per vector, no expansion operators") {
+    import spark.implicits._
+    // a real coarse quantizer's k — the regime where the old
+    // crossJoin+window formulation materialized an n·k expansion
+    val n = 4096
+    val dim = 16
+    val emb = (0 until n)
+      .map(i => (i.toLong, Seq.tabulate(dim)(d => math.sin(i * 0.37 + d * 0.91))))
+      .toDF("vec_id", "embedding")
+    val assigned = graft.ops.Similarity.ivfAssign(emb, k = 1024)
+    val p = assigned.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Window"),
+           s"expansion operator in k=1024 assignment plan:\n$p")
+    assert(assigned.count() == n)
+    val byVec = assigned.groupBy("vec_id").count().filter(col("count") =!= 1).count()
+    assert(byVec == 0, "assignment must emit exactly one row per vector")
+    val range = assigned.agg(min("centroid"), max("centroid")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 1024L)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     // DROP clears the (session-scoped) catalog entry but a previous
     // JVM's warehouse directory survives and blocks CTAS — remove both.
