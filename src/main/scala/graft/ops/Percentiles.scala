@@ -51,7 +51,9 @@ object Percentiles {
     // per-chunk counts → offset (rows strictly before the chunk) and
     // n (grand total), in ONE P-row window (P = shuffle partitions,
     // not data — the single-partition window here is over chunk
-    // COUNTS, never values)
+    // COUNTS, never values). WindowExec's "No Partition Defined"
+    // warning fires here at runtime — expected and bounded by P; do
+    // not "fix" it by partitioning.
     val wOff = Window.orderBy("pid")
     val meta = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .select(col("pid"),
@@ -113,6 +115,8 @@ object Percentiles {
     def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
     val cents = src.select(round(col(valueCol) * 100, 0).cast("long").as("c")).na.drop()
 
+    // unpartitioned by design (the expected WindowExec warning): this
+    // window sees at most domain/256 bucket-count rows, never values
     val wB = Window.orderBy("b")
     val bmeta = cents.groupBy(shiftright(col("c"), 8).as("b")).agg(count(lit(1)).as("bcnt"))
       .select(col("b"), col("bcnt"),

@@ -26,6 +26,11 @@ object PrefixSum {
                    cumCol: String): DataFrame = {
     val parts = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
+    // This unpartitioned window triggers WindowExec's "No Partition
+    // Defined" warning at runtime — EXPECTED and bounded: it orders
+    // the P per-chunk totals (P = shuffle partitions), never data
+    // rows. Do not "fix" it by partitioning; the offsets need the
+    // global chunk order.
     val wOff = Window.orderBy("__pid")
     val meta = parts.groupBy("__pid").agg(sum(col(valueCol)).as("__cnt"))
       .select(col("__pid"),

@@ -48,6 +48,24 @@ class PercentilesSpec extends AnyFunSuite with SparkTestSession {
     assert((0 to 2).forall(i => bySort.getDouble(i) == got.getDouble(i)))
   }
 
+  test("range exchange is reused across the meta and ranked consumers") {
+    import spark.implicits._
+    // Correctness of exactBySort depends on BOTH consumers of the
+    // range-partitioned values (per-chunk counts and ranked rows)
+    // seeing the SAME partition bounds: range bounds come from seeded
+    // sampling, so a recomputed exchange could draw different bounds
+    // and corrupt global ranks. AQE's runtime exchange reuse makes the
+    // two branches share one exchange — this pins that plan property
+    // so a Spark upgrade or conf change that breaks reuse fails loudly
+    // instead of silently risking rank skew.
+    val df = (1 to 10007).map(i => ((i * 7919) % 10007).toDouble).toDF("x")
+    val result = Percentiles.exactBySort(df, "x", Seq(0.25, 0.5, 0.75), "p")
+    result.collect() // adaptive plan finalizes only on execution
+    val executed = result.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+           s"range exchange not reused across consumers:\n$executed")
+  }
+
   test("is one lazy plan: no jobs run at construction, no global-sort window") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("x")

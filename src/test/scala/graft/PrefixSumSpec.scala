@@ -23,6 +23,19 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("range exchange is reused across the offsets and ranked consumers") {
+    import spark.implicits._
+    // same pinning as PercentilesSpec: both consumers of the
+    // range-partitioned frame must share one exchange (sampled range
+    // bounds could differ between recomputations and corrupt offsets)
+    val df = (1 to 5000).map(i => ((i * 7919) % 5001, (i % 13).toLong)).toDF("k", "v")
+    val result = PrefixSum.runningTotal(df, "k", "v", "cum")
+    result.collect()
+    val executed = result.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+           s"range exchange not reused across consumers:\n$executed")
+  }
+
   test("the data-bearing window is chunk-keyed, never a global ordering") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, 1L)).toDF("k", "v")
