@@ -955,7 +955,17 @@ object SparkEntry {
       streaming.EventStreams.clickPurchaseJoin(Tables.events(s, dir))
         .withColumn("purchase_value", round(col("purchase_value"), 6))
         .orderBy("user_id", "click_id", "purchase_id")
-    })
+    }),
+
+    // ---- end-to-end ingest: fetch → clean → land → pruned query ----
+    // The reference's whole pipeline (run_pipeline.py:271-305) as one
+    // driver-checked flow: distributed multi-point fetch (fixtures),
+    // extract-stage clean, month-partitioned parquet landing, then a
+    // partition-pruned point query. The oracle reads the SAME landed
+    // parquet back in DuckDB (IngestSpec proves only one month's files
+    // are opened). Scale-independent inputs: the fixture point set.
+    "q59_ingest_landing" -> ((s, _) =>
+      pipeline.LandedIngest.runAndQuery(s))
   )
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
@@ -1864,7 +1874,17 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // reads the parquet the Spark side just landed — the oracle checks
+    // the full fetch→clean→land→query chain, not a re-derivation
+    "q59_ingest_landing" ->
+      s"""SELECT time, latitude, longitude, temperature, salinity
+        |FROM read_parquet(
+        |  '${pipeline.LandedIngest.Q59LandingDir}/month=*/*.parquet',
+        |  hive_partitioning = true)
+        |WHERE month = '1960-07' AND latitude = 32.5 AND longitude = -70.0
+        |ORDER BY time""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

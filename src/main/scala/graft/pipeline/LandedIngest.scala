@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Grid
+import graft.ops.Clean
+import graft.sources.{ErddapSource, ErddapUrl, FixtureBackend}
+
+/** The reference's WHOLE pipeline as one driver-checkable flow
+  * (`run_pipeline.py:271-305`): distributed multi-point fetch →
+  * clean → month-partitioned parquet landing → partition-pruned point
+  * query over the landed table.
+  *
+  * This is the 100 TB ingest story end-to-end: the POINT LIST
+  * parallelizes the fetch (one partition per grid point, each with its
+  * own retry/rate-limit discipline), the landing is partitioned by
+  * observation month so per-period queries scan only their partition
+  * (scan ∝ selectivity, no shuffle), and the final query's partition
+  * filter is visible in the plan (IngestSpec asserts exactly one
+  * month's files are read).
+  *
+  * Bodies come from deterministic in-memory fixtures (zero egress —
+  * the same [[FixtureBackend]] replay the rest of the source tests
+  * use); swapping `() => new HttpBackend` makes the identical plan run
+  * live. Values are fixed-point formatted strings, so what lands is
+  * bit-reproducible and the DuckDB oracle can read the SAME landed
+  * parquet back (CORRECTNESS carrier q59).
+  */
+object LandedIngest {
+
+  /** Fixed landing location so the q59 oracle SQL can reference the
+    * same files the carrier writes. */
+  val Q59LandingDir = "/tmp/graft_q59_landing"
+
+  /** Demo point set: four distinct grid-cell centers inside the
+    * reference's validation bounds (lat [10, 32.5], lon [-85, -70]). */
+  val Points: Seq[(Double, Double)] =
+    Seq((32.5, -70.0), (30.0, -72.5), (25.25, -80.25), (15.0, -75.0))
+
+  val StartDate = "1960-01-01"
+  val EndDate = "1960-12-01"
+
+  /** Deterministic recorded bodies, one per point: the double-header
+    * griddap CSV shape (names + units rows) with one row per month.
+    * Values are pure integer-derived fixed-point strings — no float
+    * formatting to drift between runs. */
+  def fixtures(points: Seq[(Double, Double)] = Points): Map[String, String] =
+    points.map { case (lat, lon) =>
+      val (sla, slo) = Grid.snap(lat, lon)
+      val url = ErddapUrl.build(lat, lon, StartDate, EndDate)
+      val header = "time,depth,latitude,longitude,Temperature,Salinity"
+      val units = "UTC,m,degrees_north,degrees_east,degree_C,PSU"
+      val rows = (1 to 12).map { m =>
+        val t100 = 1500 + 25 * m + math.abs(sla * 4).toInt // temp in centi-degrees
+        val s100 = 3500 + (math.abs(slo * 4).toInt % 50) + m
+        f"1960-$m%02d-16T00:00:00Z,0.0,$sla,$slo,${t100 / 100}.${t100 % 100}%02d,${s100 / 100}.${s100 % 100}%02d"
+      }
+      url -> ((Seq(header, units) ++ rows).mkString("\n") + "\n")
+    }.toMap
+
+  /** Fetch + clean + land: fetchMany distributes the point list, the
+    * extract-stage clean types and filters the raw union, and the
+    * result lands partitioned by observation month. Returns the
+    * landing directory's frame. */
+  def ingest(spark: SparkSession, landingDir: String,
+             points: Seq[(Double, Double)] = Points): DataFrame = {
+    val fx = fixtures(points)
+    val fetched = ErddapSource.fetchMany(
+      spark, points, StartDate, EndDate,
+      backendFactory = () => new FixtureBackend(fx),
+      minIntervalMs = 0L, sleeper = _ => ())
+    val cleaned = Clean.cleanApiResponse(
+      fetched.rows.drop("req_lat", "req_lon"))
+    cleaned
+      .withColumn("month", date_format(col("time"), "yyyy-MM"))
+      .write.partitionBy("month").mode("overwrite").parquet(landingDir)
+    spark.read.parquet(landingDir)
+  }
+
+  /** The pruned point query over the landed table: one month, one grid
+    * cell. The month predicate is a PARTITION filter — only that
+    * month's files are opened. */
+  def pointQuery(spark: SparkSession, landingDir: String,
+                 month: String, lat: Double, lon: Double): DataFrame =
+    spark.read.parquet(landingDir)
+      .filter(col("month") === month &&
+              col("latitude") === lat && col("longitude") === lon)
+      .select("time", "latitude", "longitude", "temperature", "salinity")
+      .orderBy("time")
+
+  /** The q59 carrier: run the full ingest, then answer the pruned
+    * query. Every invocation re-lands (deterministic overwrite), so
+    * the oracle always reads the bytes this run produced. */
+  def runAndQuery(spark: SparkSession): DataFrame = {
+    ingest(spark, Q59LandingDir)
+    pointQuery(spark, Q59LandingDir, "1960-07", 32.5, -70.0)
+  }
+}
