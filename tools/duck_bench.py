@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Dev-side DuckDB timing for the BASELINE.md comparisons: run selected
+oracle queries (from a Verify dump's oracle_sql.json) over a given
+scale-factor directory, min-of-N wall-clock each, 32 threads.
+
+  python3 tools/duck_bench.py <sfdir> <oracle_sql.json> [q04_star_join,...] [reps]
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+sfdir = sys.argv[1]
+oracles = json.load(open(sys.argv[2]))
+names = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] != "all" else sorted(oracles)
+reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+con = duckdb.connect()
+con.execute("SET threads TO 32")
+for t in TABLES:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+out = {}
+for name in names:
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    out[name] = round(best, 4)
+    print(f"{name}: {best:.3f}s", flush=True)
+print(json.dumps({"sf": sfdir, "queries": out, "total": round(sum(out.values()), 3)}))

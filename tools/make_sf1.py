@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-side generator for a sf1-scale dataset (10x sf0.1) used ONLY for
+the floor-amortization measurements in BASELINE.md — correctness always
+runs against the driver-provided testdata.
+
+Scaling model (per table):
+- lineitem/orders/customer: 10 key-shifted copies (orderkey/custkey
+  shifted by copy * max), preserving join fan-out and per-key row
+  counts — the realistic way row count grows 10x (more orders, not
+  longer orders).
+- nation/region: unchanged (dimensions do not scale with fact data).
+- documents: 10 doc_id-shifted copies, text unchanged (q49's gram
+  joins scale linearly in copies either way).
+- embeddings: 10 vec_id-shifted copies with the vector CYCLICALLY
+  ROTATED by the copy index — identical copies would make every LSH
+  bucket hold 10 near-identical vectors and grow candidate PAIRS
+  ~100x; rotation keeps norms/distributions while decorrelating dots,
+  so candidate counts scale ~linearly like a real corpus.
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+def src(t):
+    return f"read_parquet('{SRC}/{t}.parquet')"
+
+def copy_out(sql, t):
+    con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows")
+
+okey_max, ckey_max = con.execute(
+    f"SELECT (SELECT max(o_orderkey)+1 FROM {src('orders')}),"
+    f" (SELECT max(c_custkey)+1 FROM {src('orders').replace('orders','customer')})").fetchone()
+
+copy_out(f"""
+  SELECT l_orderkey + i * {okey_max} AS l_orderkey,
+         * EXCLUDE (l_orderkey)
+  FROM {src('lineitem')}, range({COPIES}) t(i)""", "lineitem")
+
+copy_out(f"""
+  SELECT o_orderkey + i * {okey_max} AS o_orderkey,
+         o_custkey + i * {ckey_max} AS o_custkey,
+         * EXCLUDE (o_orderkey, o_custkey)
+  FROM {src('orders')}, range({COPIES}) t(i)""", "orders")
+
+copy_out(f"""
+  SELECT c_custkey + i * {ckey_max} AS c_custkey,
+         * EXCLUDE (c_custkey)
+  FROM {src('customer')}, range({COPIES}) t(i)""", "customer")
+
+for t in ("nation", "region"):
+    copy_out(f"SELECT * FROM {src(t)}", t)
+
+doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()
+copy_out(f"""
+  SELECT doc_id + i * {doc_max} AS doc_id,
+         * EXCLUDE (doc_id)
+  FROM {src('documents')}, range({COPIES}) t(i)""", "documents")
+
+vec_max, dim = con.execute(
+    f"SELECT max(vec_id)+1, max(len(embedding)) FROM {src('embeddings')}").fetchone()
+copy_out(f"""
+  SELECT vec_id + i * {vec_max} AS vec_id,
+         CAST(embedding[(i % {dim}) + 1 :] || embedding[: (i % {dim})] AS FLOAT[])
+           AS embedding,
+         * EXCLUDE (vec_id, embedding)
+  FROM {src('embeddings')}, range({COPIES}) t(i)""", "embeddings")
+
+print("done:", DST)
