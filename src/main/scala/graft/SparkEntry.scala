@@ -965,7 +965,22 @@ object SparkEntry {
     // parquet back in DuckDB (IngestSpec proves only one month's files
     // are opened). Scale-independent inputs: the fixture point set.
     "q59_ingest_landing" -> ((s, _) =>
-      pipeline.LandedIngest.runAndQuery(s))
+      pipeline.LandedIngest.runAndQuery(s)),
+
+    // ---- near-dup CLUSTER dedup: components over the candidate graph ----
+    // Similarity is not transitive, so pairwise keeper rules can chain-
+    // drop documents wrongly; the production shape is candidates →
+    // connected components → one representative per component. Min-label
+    // propagation gives a deterministic component id (min reachable
+    // doc_id), which a DuckDB recursive CTE reproduces exactly.
+    "q60_neardup_clusters" -> ((s, dir) => {
+      val pairs = bandedPairs(minhashSigsFrame(s, dir))
+        .filter(col("jaccard_est") >= 0.5)
+      ops.ConnectedComponents.minLabel(
+          Tables.documents(s, dir), "doc_id", pairs, "doc1", "doc2")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
@@ -1406,27 +1421,8 @@ object SparkEntry {
         |ORDER BY manhattan, event_id""".stripMargin,
 
     "q31_neardup_pairs" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
-        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
-        |  FROM documents),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
-        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
-        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
-        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
-        |  FROM h),
-        |bands AS (
-        |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
-        |  UNION ALL
-        |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 AS x, mh4 AS y FROM sigs)
-        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  (CAST(a.mh1 = b.mh1 AS INT) + CAST(a.mh2 = b.mh2 AS INT) +
-        |   CAST(a.mh3 = b.mh3 AS INT) + CAST(a.mh4 = b.mh4 AS INT)) / 4.0 AS jaccard_est
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+      s"""WITH $SqlMinhashPairCtes
+        |SELECT doc1, doc2, jaccard_est FROM pairs
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q32_describe" ->
@@ -1884,7 +1880,24 @@ object SparkEntry {
         |  '${pipeline.LandedIngest.Q59LandingDir}/month=*/*.parquet',
         |  hive_partitioning = true)
         |WHERE month = '1960-07' AND latitude = 32.5 AND longitude = -70.0
-        |ORDER BY time""".stripMargin
+        |ORDER BY time""".stripMargin,
+
+    // transitive closure of the thresholded candidate graph; MIN over
+    // reachable ids = the same canonical component id minLabel emits
+    "q60_neardup_clusters" ->
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+        |e AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE jaccard_est >= 0.5
+        |  UNION
+        |  SELECT doc2, doc1 FROM pairs WHERE jaccard_est >= 0.5),
+        |cc(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, cc.comp FROM cc JOIN e ON cc.id = e.b)
+        |SELECT id AS doc_id, MIN(comp) AS component
+        |FROM cc
+        |GROUP BY id
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
@@ -1911,6 +1924,34 @@ object SparkEntry {
     (0 until AnnBands).map { t =>
       s"SELECT vec_id, $t AS band, ${sqlLshCode(AnnBits, t)} AS bucket FROM v"
     }.mkString("\nUNION ALL\n")
+
+  /** Shared CTE chain producing the minhash-banding candidate pair set
+    * `pairs(doc1, doc2, jaccard_est)` — the oracle twin of
+    * [[bandedPairs]]∘[[minhashSigsFrame]], used by q31 (the pair
+    * carrier) and q60 (components over the same graph). */
+  private val SqlMinhashPairCtes: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+      |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+      |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+      |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+      |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, mh1, mh2, mh3, mh4, 2 AS band, mh3 AS x, mh4 AS y FROM sigs),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    (CAST(a.mh1 = b.mh1 AS INT) + CAST(a.mh2 = b.mh2 AS INT) +
+      |     CAST(a.mh3 = b.mh3 AS INT) + CAST(a.mh4 = b.mh4 AS INT)) / 4.0 AS jaccard_est
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id)""".stripMargin
 
   /** DuckDB literal for Text.Stopwords (kept in lockstep). */
   private def SqlStopwords: String =

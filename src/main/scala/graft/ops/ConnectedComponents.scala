@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step a
+  * dedup pipeline needs BETWEEN pairwise candidates and keeper
+  * selection: near-dup similarity is not transitive, so pairwise
+  * keeper rules (drop the higher id of each pair) can drop a document
+  * whose only "duplicate" was itself transitively kept. Clustering the
+  * candidate graph and keeping one representative per component is the
+  * standard fix (this is how production dedup at corpus scale works:
+  * MinHash/LSH pairs → components → one doc per component survives).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round every node takes the min of its
+  * label and its neighbors' labels; at fixpoint the label is the min
+  * id reachable — a canonical, deterministic component id (which is
+  * what lets a DuckDB recursive CTE oracle the result, q60).
+  *
+  * Scale shape per round: ONE join of the bidirected edge list against
+  * the current labels (shuffle keyed by node id) + a min-aggregate —
+  * the classic BSP round every distributed CC implementation runs.
+  * Rounds needed = cluster diameter, and near-dup clusters are
+  * shallow (a handful of hops); `maxIter` caps pathological chains.
+  * The driver loop is inherently iterative (like any k-means/CC): each
+  * round is an action, `localCheckpoint` truncates the lineage so
+  * round N's plan does not replay rounds 1..N-1 (the classic
+  * iterative-Spark blowup), and convergence is detected by the
+  * label-sum fixpoint — labels only ever DECREASE, so an unchanged
+  * sum means an unchanged labeling (no row-by-row diff join needed;
+  * the sum accumulates in DECIMAL(38,0) so overflow cannot fake a
+  * fixpoint at any id range).
+  */
+object ConnectedComponents {
+
+  /** Label every node with the smallest node id in its component.
+    * Output columns: (`id`, `component`), one row per node; nodes
+    * absent from `edges` keep their own id (singleton components). */
+  def minLabel(nodes: DataFrame, idCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+                         col(dstCol).cast("long").as("b"))
+    val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // scanned every round: materialize once
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = bidir
+        .join(labels.select(col("id").as("b"), col("component").as("bcomp")), "b")
+        .groupBy("a").agg(min("bcomp").as("nbrMin"))
+      val updated = labels
+        .join(nbrMin.select(col("a").as("id"), col("nbrMin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbrMin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val cur = labelSum(updated)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+}
