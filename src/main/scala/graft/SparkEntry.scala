@@ -980,6 +980,31 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", pairs, "doc1", "doc2")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // ---- distinctive-term extraction (tf-idf family) ----
+    // Top-3 terms per document by tf × N/df — the rational-idf variant
+    // (no log damping) so the score is pure IEEE mul/div with the same
+    // expression shape on both engines (ln is libm-dependent and has
+    // no cross-engine bit guarantee). Scale shape: slim (doc, term)
+    // rows shuffle for tf, terms shuffle for df, N broadcasts as one
+    // row; the rank window is per-doc (high-cardinality → parallel).
+    "q61_tfidf_terms" -> ((s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+                round(col("score"), 6).as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
     })
   )
 
@@ -1897,7 +1922,31 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(comp) AS component
         |FROM cc
         |GROUP BY id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q61_tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, round(score, 6) AS score, CAST(rk AS INT) AS rk
+        |FROM scored
+        |WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
