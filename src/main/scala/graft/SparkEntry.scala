@@ -1005,6 +1005,49 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
                 round(col("score"), 6).as("score"), col("rk"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // ---- grouped describe: per-stratum exact quartiles ----
+    // pandas' groupby().describe() shape: count/mean/quartiles of doc
+    // length per language. Groups are stratum-like (few, large), so the
+    // per-group `percentile` value-map aggregate is the right tool here
+    // (distinct n_chars values are bounded); the ~all-distinct global
+    // case is q32's sort-based plan.
+    "q62_grouped_describe" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+          min(col("n_chars")).as("min_chars"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("pct"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("lang"), col("n_docs"), round(col("mean_chars"), 6).as("mean_chars"),
+                col("min_chars"),
+                round(col("pct").getItem(0), 6).as("q25_chars"),
+                round(col("pct").getItem(1), 6).as("q50_chars"),
+                round(col("pct").getItem(2), 6).as("q75_chars"),
+                col("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- time-range window frame: 7-day moving average ----
+    // The RANGE-frame window surface (q09 is ROWS-framed): per-type
+    // daily event counts smoothed over the trailing 7 days. The order
+    // key is integer days-since-epoch so the frame arithmetic is
+    // identical on both engines; avg is spelled sum/count (exact
+    // integer sums, one double division).
+    "q63_moving_avg" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("event_type").orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"), col("n"),
+          (sum("n").over(w).cast("double") / count(lit(1)).over(w)).as("avg_7d"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1946,7 +1989,35 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(score, 6) AS score, CAST(rk AS INT) AS rk
         |FROM scored
         |WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q62_grouped_describe" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+        |  MIN(n_chars) AS min_chars,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS q25_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS q50_chars,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS q75_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q63_moving_avg" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events
+        |  GROUP BY event_type, date_trunc('day', ts),
+        |           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |SELECT event_type, day, n,
+        |  CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
