@@ -1048,6 +1048,40 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("n"),
           (sum("n").over(w).cast("double") / count(lit(1)).over(w)).as("avg_7d"))
         .orderBy("event_type", "day")
+    }),
+
+    // ---- source-mixture sampling (temperature-weighted corpus mix) ----
+    // Each source gets its own deterministic sampling rate (10/30/50/
+    // 70% by source tier) — how a pretraining mix up/down-weights
+    // sources. Same md5-bucket discipline as q45/q50: no RNG, re-runs
+    // and late shards land identically on every engine.
+    "q64_source_mixture" -> ((s, dir) => {
+      val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+      val rate = lit(10) + (srcNum % 4) * 20
+      val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             max(rate).as("rate_pct"),
+             count(when(bucket < rate, 1)).as("n_sampled"),
+             coalesce(sum(when(bucket < rate, col("n_chars"))), lit(0L))
+               .as("sampled_chars"))
+        .orderBy("source")
+    }),
+
+    // ---- per-stratum quantile bucketing (ntile) ----
+    // Curriculum/balance tooling: decile buckets of document length
+    // within each language. The tie-break on doc_id makes the order
+    // total, so ntile's bucket boundaries are engine-identical.
+    "q65_length_buckets" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, dir)
+        .withColumn("bucket", ntile(10).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -2017,7 +2051,36 @@ object SparkEntry {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q64_source_mixture" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    10 + (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4) * 20
+        |      AS rate_pct,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(rate_pct) AS rate_pct,
+        |  CAST(COUNT(*) FILTER (bucket < rate_pct) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(n_chars) FILTER (bucket < rate_pct), 0) AS BIGINT)
+        |    AS sampled_chars
+        |FROM d
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q65_length_buckets" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT lang, CAST(bucket AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM b
+        |GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
