@@ -36,7 +36,15 @@ object ConnectedComponents {
 
   /** Label every node with the smallest node id in its component.
     * Output columns: (`id`, `component`), one row per node; nodes
-    * absent from `edges` keep their own id (singleton components). */
+    * absent from `edges` keep their own id (singleton components).
+    *
+    * Only the EDGE SUBGRAPH iterates: a node in no candidate pair can
+    * never change label, so the BSP rounds run over the (much smaller)
+    * set of pair-participating ids and the corpus joins in exactly
+    * once at the end for the singleton labels — at 100 TB the corpus
+    * is billions of docs while the near-dup graph is orders of
+    * magnitude smaller, and it would be a scale bug to drag every doc
+    * through every round. */
   def minLabel(nodes: DataFrame, idCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
                maxIter: Int = 25): DataFrame = {
@@ -46,8 +54,9 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint() // scanned every round: materialize once
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("component"))
+    var labels = bidir
+      .select(col("a").as("id")).distinct() // both directions present
+      .withColumn("component", col("id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -72,6 +81,10 @@ object ConnectedComponents {
       labels = updated
       iter += 1
     }
-    labels
+    // corpus joins in ONCE: nodes outside the edge subgraph are their
+    // own (singleton) component
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }
