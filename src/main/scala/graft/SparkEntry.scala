@@ -994,7 +994,11 @@ object SparkEntry {
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // df derives from tf — (doc, term) is already distinct there — so
+      // the tokenize+explode subtree has ONE consumer (twin subtrees
+      // re-execute; see q35) and df's input is the small aggregate,
+      // not the raw exploded terms
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
       tf.join(dfreq, "term")
