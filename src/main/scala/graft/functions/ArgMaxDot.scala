@@ -37,6 +37,10 @@ case class ArgMaxDot(left: Expression, right: Expression)
     StructField("idx", IntegerType, nullable = false),
     StructField("dot", DoubleType, nullable = false)))
 
+  // an empty matrix evaluates to null even when both children are
+  // non-null, so nullability cannot be children-derived
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
@@ -80,7 +84,12 @@ case class ArgMaxDot(left: Expression, right: Expression)
         acc += v(d) * c(d)
         d += 1
       }
-      if (bestIdx < 0 || acc > bestDot) { bestIdx = i; bestDot = acc }
+      // NaN ranks GREATEST, matching ORDER BY dot DESC in both Spark
+      // and DuckDB (the window formulation this replaces); ties keep
+      // the lowest index
+      val wins = bestIdx < 0 || acc > bestDot ||
+        (acc.isNaN && !bestDot.isNaN)
+      if (wins) { bestIdx = i; bestDot = acc }
       i += 1
     }
     val row = new GenericInternalRow(2)

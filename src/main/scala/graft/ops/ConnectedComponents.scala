@@ -37,6 +37,11 @@ object ConnectedComponents {
   /** Label every node with the smallest node id in its component.
     * Output columns: (`id`, `component`), one row per node; nodes
     * absent from `edges` keep their own id (singleton components).
+    * If the graph has not converged after `maxIter` rounds (a
+    * component chain deeper than the cap), `strict = true` (default)
+    * THROWS instead of silently returning partial labels — wrong
+    * components with no signal is the worse failure; pass
+    * `strict = false` to accept the partial min-so-far labeling.
     *
     * Only the EDGE SUBGRAPH iterates: a node in no candidate pair can
     * never change label, so the BSP rounds run over the (much smaller)
@@ -47,7 +52,7 @@ object ConnectedComponents {
     * through every round. */
   def minLabel(nodes: DataFrame, idCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
-               maxIter: Int = 25): DataFrame = {
+               maxIter: Int = 25, strict: Boolean = true): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("a"),
                          col(dstCol).cast("long").as("b"))
     val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -81,6 +86,10 @@ object ConnectedComponents {
       labels = updated
       iter += 1
     }
+    if (!converged && strict)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(component deeper than the cap); raise maxIter or pass strict = false")
     // corpus joins in ONCE: nodes outside the edge subgraph are their
     // own (singleton) component
     nodes.select(col(idCol).cast("long").as("id"))

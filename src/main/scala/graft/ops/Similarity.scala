@@ -132,6 +132,9 @@ object Similarity {
     typed
       .select(col(idCol),
         call_function("argmax_dot", col("v"), typedlit(matrix)).as("am"))
+      // empty centroid set → argmax is null → zero rows, the same
+      // output contract as the crossJoin formulation this replaced
+      .filter(col("am").isNotNull)
       .select(col(idCol),
         element_at(typedlit(ids), col("am.idx") + 1).as("centroid"),
         col("am.dot").as("dot"))

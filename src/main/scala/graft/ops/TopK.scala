@@ -36,10 +36,18 @@ object TopK {
       Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
     case FloatType | DoubleType =>
       Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue())
-    // strings, decimals, timestamps/dates (java.sql or java.time
-    // external forms alike): natural Comparable order — the same
-    // total order Spark's sort uses for these types
-    case StringType | TimestampType | TimestampNTZType | DateType | _: DecimalType =>
+    // Spark sorts strings as UTF8String binary (code-point order);
+    // java.lang.String.compareTo is UTF-16 order — they disagree for
+    // supplementary characters vs U+E000..U+FFFF, so compare through
+    // UTF8String to match the final window's sort exactly
+    case StringType =>
+      (a: Any, b: Any) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    // decimals, timestamps/dates (java.sql or java.time external forms
+    // alike): natural Comparable order — the same total order Spark's
+    // sort uses for these types
+    case TimestampType | TimestampNTZType | DateType | _: DecimalType =>
       (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
     case other =>
       throw new IllegalArgumentException(s"TopK cannot order by type ${other.catalogString}")

@@ -9,7 +9,10 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.build("plan-probe")
     val df = graft.SparkEntry.queries(args(0))(spark, args(1))
-    df.write.format("noop").mode("overwrite").save()
+    // execute df's OWN QueryExecution (a write would spawn a separate
+    // one, leaving this AdaptiveSparkPlanExec un-finalized and the
+    // printout pre-AQE)
+    df.foreach(_ => ())
     println(df.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Join") || l.contains("Exchange") ||
                    l.contains("Scan") || l.contains("Aggregate"))

@@ -9,11 +9,11 @@ import graft.ops.ConnectedComponents
 class ConnectedComponentsSpec extends AnyFunSuite with SparkTestSession {
 
   private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
-                  maxIter: Int = 25): Map[Long, Long] = {
+                  maxIter: Int = 25, strict: Boolean = true): Map[Long, Long] = {
     import spark.implicits._
     ConnectedComponents.minLabel(
         nodes.toDF("id"), "id",
-        edges.toDF("s", "d"), "s", "d", maxIter)
+        edges.toDF("s", "d"), "s", "d", maxIter, strict)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -31,9 +31,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.toSet == Set(1L))
   }
 
-  test("maxIter caps the rounds (partial labels, no hang)") {
-    val got = run((1L to 50L), (2L to 50L).map(i => (i, i - 1)), maxIter = 2)
-    // not converged — but every label is a valid min-so-far and node 1 is fixed
+  test("maxIter cap: strict throws, non-strict returns partial min-so-far labels") {
+    val nodes = (1L to 50L)
+    val chain = (2L to 50L).map(i => (i, i - 1))
+    assertThrows[IllegalStateException] { run(nodes, chain, maxIter = 2) }
+    val got = run(nodes, chain, maxIter = 2, strict = false)
     assert(got(1L) == 1L)
     assert(got.values.min == 1L)
   }

@@ -42,6 +42,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-4)
   }
 
+  test("ivfAssign with an empty centroid set returns zero rows (old-plan contract)") {
+    val v = Seq.tabulate(8)(d => math.sin(d + 1))
+    // k=0: no vec_id < 0 → no centroids; the crossJoin formulation
+    // produced an empty frame, the argmax projection must too
+    assert(Similarity.ivfAssign(vecs(5L -> v, 6L -> v.map(-_)), k = 0).count() == 0)
+  }
+
   test("cosineTopK ranks by true cosine against the probe") {
     val base = Seq.tabulate(64)(d => math.cos(d * 0.1))
     val close = base.map(_ * 2.0)         // cosine 1.0 (scaled copy)

@@ -48,6 +48,23 @@ class TopKSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("string tie-breaks use Spark's UTF8 binary order, not Java UTF-16 order") {
+    import spark.implicits._
+    // U+10000 (surrogate pair, UTF-8 F0 90 80 80) vs U+E000 (EE 80 80):
+    // Java compareTo says U+10000 < U+E000; Spark's binary sort says
+    // the opposite — the heap pre-prune must agree with the window
+    val lo = "\uD800\uDC00" // U+10000
+    val hi = "\uE000"
+    val df = Seq(("a", lo, 5L), ("a", hi, 5L)).toDF("g", "name", "score")
+      .coalesce(1) // same partition: the heap must evict the right one
+    val got = TopK.perGroup(df, Seq("g"), "score", "name", k = 1)
+      .select("name").collect().map(_.getString(0)).toSeq
+    val w = Window.partitionBy("g").orderBy(desc_nulls_last("score"), asc_nulls_last("name"))
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 1)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(got == want && got == Seq(hi))
+  }
+
   test("double-typed scores rank by value, not a truncated long") {
     import spark.implicits._
     // 1.9 vs 1.2: a long-truncating comparison would call these tied

@@ -16,7 +16,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 sfdir = sys.argv[1]
 oracles = json.load(open(sys.argv[2]))
-names = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] != "all" else sorted(oracles)
+# q59's oracle reads the Spark-landed /tmp parquet, not sfdir — only
+# meaningful right after the Spark carrier ran; excluded from "all"
+names = (sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] != "all"
+         else sorted(n for n in oracles if n != "q59_ingest_landing"))
 reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
 con = duckdb.connect()

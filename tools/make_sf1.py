@@ -39,7 +39,7 @@ def copy_out(sql, t):
 
 okey_max, ckey_max = con.execute(
     f"SELECT (SELECT max(o_orderkey)+1 FROM {src('orders')}),"
-    f" (SELECT max(c_custkey)+1 FROM {src('orders').replace('orders','customer')})").fetchone()
+    f" (SELECT max(c_custkey)+1 FROM {src('customer')})").fetchone()
 
 copy_out(f"""
   SELECT l_orderkey + i * {okey_max} AS l_orderkey,
