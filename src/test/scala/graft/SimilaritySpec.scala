@@ -42,6 +42,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-4)
   }
 
+  test("ivfAssign ranks a NaN dot greatest (ORDER BY dot DESC parity)") {
+    val finite = Seq.tabulate(8)(d => math.cos(d))
+    val poisoned = finite.updated(3, Double.NaN) // centroid 1 -> NaN dot
+    val got = Similarity.ivfAssign(
+        vecs(0L -> finite, 1L -> poisoned, 7L -> finite.map(_ * 2)), k = 2)
+      .filter(col("vec_id") === 7L).select("centroid").head().getLong(0)
+    // the window formulation (desc puts NaN first) and DuckDB both
+    // pick the NaN centroid; the native argmax must agree
+    assert(got == 1L)
+  }
+
   test("ivfAssign with an empty centroid set returns zero rows (old-plan contract)") {
     val v = Seq.tabulate(8)(d => math.sin(d + 1))
     // k=0: no vec_id < 0 → no centroids; the crossJoin formulation
