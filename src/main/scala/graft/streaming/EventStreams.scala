@@ -147,6 +147,17 @@ object EventStreams {
               col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-static enrichment: every micro-batch LEFT-joins the
+    * static dimension (broadcast — the dim is small by definition of
+    * being a dim). Stream-static joins need no watermark and keep no
+    * join state: the static side is simply re-planned per micro-batch,
+    * which also means a dim backed by a table/files picks up updates
+    * between batches. Unmatched stream rows survive with null dim
+    * columns (enrichment must never drop events). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup — the incremental twin of the batch
     * hash-groupBy dedup (q21): duplicates by `keys` are dropped for as
     * long as their event time is within the watermark, and the

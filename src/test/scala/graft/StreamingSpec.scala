@@ -181,6 +181,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("stream-static join: each micro-batch enriches against the dim, unmatched kept") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(input.toDF(), dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 1, user = 1L), ev(2, 2, user = 2L), ev(3, 3, user = 9L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_t").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow: incremental runs over a growing dir, exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("avnow-src").toString
+    val sink = java.nio.file.Files.createTempDirectory("avnow-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("avnow-ckpt").toString
+    def land(events: Event*): Unit =
+      events.toSeq.toDF().write.mode("append").parquet(src)
+    // the modern scheduled-batch pattern: start, drain ALL available
+    // input, stop — the checkpoint carries progress to the next run
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not drain and stop")
+    }
+    land(ev(1, 1), ev(2, 2, typ = "view"), ev(3, 3))
+    runOnce()
+    assert(spark.read.parquet(sink).select("event_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    land(ev(4, 4), ev(5, 5, typ = "error"))
+    runOnce()
+    // run 2 processed ONLY the new files: 1 and 3 are not duplicated
+    assert(spark.read.parquet(sink).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L))
+  }
+
   test("file-backed stream: readStream over parquet drives the same transform") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
