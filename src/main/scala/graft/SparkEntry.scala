@@ -987,21 +987,25 @@ object SparkEntry {
     // (no log damping) so the score is pure IEEE mul/div with the same
     // expression shape on both engines (ln is libm-dependent and has
     // no cross-engine bit guarantee). Scale shape: slim (doc, term)
-    // rows shuffle for tf, terms shuffle for df, N broadcasts as one
-    // row; the rank window is per-doc (high-cardinality → parallel).
+    // rows shuffle once for tf and once for the per-term window, N
+    // broadcasts as one row; the rank window is per-doc
+    // (high-cardinality → parallel).
     "q61_tfidf_terms" -> ((s, dir) => {
       val terms = Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df derives from tf — (doc, term) is already distinct there — so
-      // the tokenize+explode subtree has ONE consumer (twin subtrees
-      // re-execute; see q35) and df's input is the small aggregate,
-      // not the raw exploded terms
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df = docs containing the term = rows per term in tf ((doc,
+      // term) is distinct there). A count window OVER (PARTITION BY
+      // term) computes it in the same term-clustered pass a separate
+      // groupBy+join would shuffle for twice — one term exchange
+      // instead of an aggregate subtree plus a join re-shuffle (and
+      // the tokenize+explode subtree keeps its ONE consumer; twin
+      // subtrees re-execute, see q35).
+      val wdf = Window.partitionBy("term")
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-      tf.join(dfreq, "term")
+      tf.withColumn("df", count(lit(1)).over(wdf))
         .crossJoin(broadcast(n))
         .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
         .withColumn("rk", row_number().over(w))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the step a
@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * label-sum fixpoint — labels only ever DECREASE, so an unchanged
   * sum means an unchanged labeling (no row-by-row diff join needed;
   * the sum accumulates in DECIMAL(38,0) so overflow cannot fake a
-  * fixpoint at any id range).
+  * fixpoint at any id range). The sum rides the SAME job as the
+  * checkpoint materialization via `observe` (a `CollectMetrics`
+  * node the rows stream through on their way into the checkpoint) —
+  * one action per round, not a checkpoint plus a separate aggregate
+  * scan, halving the per-round driver-floor cost.
   */
 object ConnectedComponents {
 
@@ -59,28 +63,40 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint() // scanned every round: materialize once
-    var labels = bidir
-      .select(col("a").as("id")).distinct() // both directions present
-      .withColumn("component", col("id"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
+    // The label sum is observed on the same materialization that
+    // checkpoints the round (verified: Observation fires on the
+    // eager localCheckpoint action), so each round is ONE job.
+    def checkpointWithSum(df: DataFrame, obsName: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = Observation(obsName)
+      val ck = df
+        .observe(obs, sum(col("component").cast("decimal(38,0)")).as("labelSum"))
+        .localCheckpoint()
+      val s = obs.get("labelSum") match {
+        case null                     => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal  => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+        case other => throw new IllegalStateException(s"unexpected labelSum $other")
+      }
+      (ck, s)
     }
-    var prev = labelSum(labels)
+    var (labels, prev) = checkpointWithSum(
+      bidir
+        .select(col("a").as("id")).distinct() // both directions present
+        .withColumn("component", col("id")),
+      "cc_init")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = bidir
         .join(labels.select(col("id").as("b"), col("component").as("bcomp")), "b")
         .groupBy("a").agg(min("bcomp").as("nbrMin"))
-      val updated = labels
-        .join(nbrMin.select(col("a").as("id"), col("nbrMin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbrMin"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      val cur = labelSum(updated)
+      val (updated, cur) = checkpointWithSum(
+        labels
+          .join(nbrMin.select(col("a").as("id"), col("nbrMin")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbrMin"), col("component")))
+              .as("component")),
+        s"cc_round_$iter")
       converged = cur.compareTo(prev) == 0
       prev = cur
       labels = updated

@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed per-partition (SURVEY extended
   * scope).
   *
-  * The container ships no image/audio libraries, so the *codec* is a
-  * deterministic fake — a tiny self-describing header followed by raw
-  * bytes ("GIMG" | width | height | channels | payload). Everything
-  * around the codec is real and is what matters at 100 TB:
+  * Two codecs sit behind one decode path:
+  *
+  *  - [[ImageCodec]] — REAL image decode via the JDK's
+  *    `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP, zero external
+  *    dependencies): container bytes in, sRGB-interleaved pixel bytes
+  *    + (width, height, channels) out.
+  *  - [[FakeCodec]] — a deterministic self-describing test container
+  *    ("GIMG" | width | height | channels | payload) standing in for
+  *    formats the JDK cannot read (video, audio); header parsing,
+  *    bounds checks and byte math are real.
+  *
+  * `decode` sniffs the container magic per row and dispatches.
+  * Everything around the codecs is what matters at 100 TB:
   *
   *  - schema: `(media_id LONG, kind STRING, data BINARY,
   *    meta STRUCT<width INT, height INT, channels INT>)`
@@ -24,9 +33,6 @@ import org.apache.spark.sql.functions._
   *  - partitioning: payloads are opaque blobs; operators repartition
   *    by media_id so a skewed handful of 100 MB videos cannot pile
   *    onto one task.
-  *
-  * A real deployment swaps [[FakeCodec.decodePixels]] for an actual
-  * decoder (JNI/javacpp); every signature stays the same.
   */
 object Multimodal {
 
@@ -68,13 +74,64 @@ object Multimodal {
     }
   }
 
+  /** Real image decode: JDK `ImageIO` (no external dependencies).
+    * Pixels come out as sRGB-interleaved bytes row-major w×h×c
+    * (R,G,B or R,G,B,A per `hasAlpha`) via `getRGB`, which is
+    * deterministic regardless of the file's internal raster layout
+    * (palette, grayscale, interlace all normalize to the same bytes). */
+  object ImageCodec {
+    /** Container sniff on magic bytes — PNG, JPEG, GIF, BMP. */
+    def looksLikeImage(data: Array[Byte]): Boolean =
+      data != null && data.length >= 4 && {
+        (data(0) == 0x89.toByte && data(1) == 'P' && data(2) == 'N' && data(3) == 'G') ||
+        (data(0) == 0xFF.toByte && data(1) == 0xD8.toByte && data(2) == 0xFF.toByte) ||
+        (data(0) == 'G' && data(1) == 'I' && data(2) == 'F' && data(3) == '8') ||
+        (data(0) == 'B' && data(1) == 'M')
+      }
+
+    /** None on undecodable bytes (truncated stream, wrong magic,
+      * malformed chunks) — per-row containment, never an exception. */
+    def decodePixels(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] = {
+      if (data == null || data.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        val channels = if (img.getColorModel.hasAlpha) 4 else 3
+        val out = new Array[Byte]((w.toLong * h * channels).toInt)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            out(i) = ((argb >> 16) & 0xff).toByte
+            out(i + 1) = ((argb >> 8) & 0xff).toByte
+            out(i + 2) = (argb & 0xff).toByte
+            if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+            i += channels
+            x += 1
+          }
+          y += 1
+        }
+        Some((MediaMeta(w, h, channels), out))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Per-row codec dispatch on the container magic: real image bytes
+    * go through [[ImageCodec]], GIMG test containers through
+    * [[FakeCodec]]; anything neither can parse is corrupt. */
+  def decodeBytes(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] =
+    if (ImageCodec.looksLikeImage(data)) ImageCodec.decodePixels(data)
+    else FakeCodec.decodePixels(data)
+
   /** Decode a media Dataset per-partition; corrupt rows survive with
     * meta = None and kind suffixed `:corrupt`. */
   def decode(media: Dataset[Media]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        FakeCodec.decodePixels(m.data) match {
+        decodeBytes(m.data) match {
           case Some((meta, px)) => Decoded(m.media_id, m.kind, Some(meta), px)
           case None => Decoded(m.media_id, s"${m.kind}:corrupt", None, Array.emptyByteArray)
         }

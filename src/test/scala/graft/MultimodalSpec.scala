@@ -86,4 +86,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(meta == MediaMeta(4, 4, 1)) // (3%16)+1, (3%8)+1
     assert(new String(px) == "hello world")
   }
+
+  // Committed real PNG, generated as a 7×5 TYPE_INT_RGB gradient with
+  // R = x*36, G = y*51, B = (x+y)*17 — every pixel is predictable, so
+  // the decode is asserted value-by-value, not just shape-by-shape.
+  private val PngFixture = "/root/repo/data/fixtures/tiny_rgb.png"
+
+  test("ImageIO codec: real PNG decodes to exact dimensions and pixel bytes") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PngFixture))
+    assert(Multimodal.ImageCodec.looksLikeImage(bytes))
+    val Some((meta, px)) = Multimodal.ImageCodec.decodePixels(bytes)
+    assert(meta == MediaMeta(7, 5, 3))
+    assert(px.length == 7 * 5 * 3)
+    // exact pixel values per the generator formula
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val i = (y * 7 + x) * 3
+      assert((px(i) & 0xff) == x * 36, s"R at ($x,$y)")
+      assert((px(i + 1) & 0xff) == y * 51, s"G at ($x,$y)")
+      assert((px(i + 2) & 0xff) == (x + y) * 17, s"B at ($x,$y)")
+    }
+    // and the full-buffer checksum, so any future regression in byte
+    // order or channel layout trips even outside the sampled loop
+    val want = (for (y <- 0 until 5; x <- 0 until 7)
+      yield x * 36 + y * 51 + (x + y) * 17).sum
+    assert(px.map(_ & 0xff).sum == want)
+  }
+
+  test("ImageIO codec: truncated PNG is contained, not thrown") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PngFixture))
+    assert(Multimodal.ImageCodec.decodePixels(bytes.take(20)) == None)
+    assert(Multimodal.ImageCodec.decodePixels(Array.emptyByteArray) == None)
+    assert(Multimodal.ImageCodec.decodePixels(null) == None)
+  }
+
+  test("decode dataset dispatches per row: real PNG, GIMG container, corrupt") {
+    import spark.implicits._
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PngFixture))
+    val media = Seq(
+      Media(1L, "png", png),
+      Media(2L, "image", FakeCodec.encode(2, 2, 1, Array[Byte](9, 8, 7, 6))),
+      Media(3L, "png", png.take(20)) // sniffs as PNG, fails to decode
+    ).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).meta.contains(MediaMeta(7, 5, 3)) && out(0).pixels.length == 105)
+    assert(out(1).meta.contains(MediaMeta(2, 2, 1)) && out(1).pixels.toSeq == Seq[Byte](9, 8, 7, 6))
+    assert(out(2).kind == "png:corrupt" && out(2).meta.isEmpty)
+  }
 }

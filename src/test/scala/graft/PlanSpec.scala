@@ -99,6 +99,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"expected broadcast anti-join:\n${p.take(800)}")
   }
 
+  test("q53: grouped top-k is one Tungsten aggregation — no RDD detour, no window") {
+    val p = plan("q53_top_per_lang")
+    // the bounded_topk TypedImperativeAggregate runs in
+    // ObjectHashAggregate with a partial (map-side pre-prune) phase
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_bounded_topk") || p.contains("bounded_topk"),
+           "bounded_topk aggregate missing from the plan")
+    // the old formulation round-tripped through df.rdd (an
+    // ExistingRDD scan severing codegen) and re-ranked with a window
+    assert(!p.contains("Scan ExistingRDD"), "RDD detour is back")
+    assert(!p.contains("Window"), "window sort is back")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // FormattedMode under AQE omits codegen spans; CodegenMode lists
     // the compiled subtrees explicitly.
