@@ -79,12 +79,17 @@ object ConnectedComponents {
       }
       (ck, s)
     }
+    // Round 1 fuses into the init checkpoint: starting labels are
+    // least(id, min(neighbor)) computed straight off the edge list —
+    // identical to one BSP round from the trivial id-labeling, one
+    // whole action cheaper (and since both directions are present,
+    // groupBy(a) covers every edge-subgraph node).
     var (labels, prev) = checkpointWithSum(
-      bidir
-        .select(col("a").as("id")).distinct() // both directions present
-        .withColumn("component", col("id")),
+      bidir.groupBy("a").agg(min("b").as("nbrMin"))
+        .select(col("a").as("id"),
+                least(col("a"), col("nbrMin")).as("component")),
       "cc_init")
-    var iter = 0
+    var iter = 1 // the fused init IS propagation round 1
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = bidir

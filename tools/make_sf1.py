@@ -57,8 +57,34 @@ copy_out(f"""
          * EXCLUDE (c_custkey)
   FROM {src('customer')}, range({COPIES}) t(i)""", "customer")
 
-for t in ("nation", "region"):
+# supplier/part stay unscaled like nation/region: lineitem copies keep
+# their l_suppkey/l_partkey, so "10x the orders over the same catalog"
+# is the consistent scaling story (and the star-join dims stay
+# broadcast-sized, as they would at any SF).
+for t in ("nation", "region", "supplier", "part"):
     copy_out(f"SELECT * FROM {src(t)}", t)
+
+# events scales as 10x the USERS over the same month (event_id/user_id
+# shifted per copy): per-user session shapes stay constant, which is
+# the realistic way an event stream grows. Written via pyarrow, not
+# DuckDB, to preserve the table's nanosecond-timestamp physicality
+# (the engine reads ts as int64 nanos via nanosAsLong).
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ev = pq.read_table(f"{SRC}/events.parquet")
+eid_max = pc.max(ev.column("event_id")).as_py() + 1
+uid_max = pc.max(ev.column("user_id")).as_py() + 1
+chunks = []
+for i in range(COPIES):
+    t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                      pc.add(ev.column("event_id"), i * eid_max))
+    t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                     pc.add(t.column("user_id"), i * uid_max))
+    chunks.append(t)
+pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet")
+print(f"events: {sum(c.num_rows for c in chunks)} rows")
 
 doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()
 copy_out(f"""
