@@ -178,6 +178,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(twoBands >= oneBand, s"bands=2 produced fewer candidates ($twoBands < $oneBand)")
   }
 
+  test("bounded_topk at k=500: buffers stay bounded, result matches the window") {
+    import spark.implicits._
+    // 200k rows, 4 groups, shuffled input across 16 partitions: the
+    // partial phase must reduce each map task to ≤ k entries per
+    // group (the whole point), and the merged result must equal the
+    // naive window ranking exactly — at a k two orders of magnitude
+    // above the carriers' k=3.
+    val k = 500
+    val df = (1 to 200000)
+      .map(i => (s"g${i % 4}", i.toLong, ((i * 2654435761L) % 1000003L)))
+      .toDF("g", "id", "score")
+      .repartition(16)
+    val got = graft.ops.TopK.perGroup(df, Seq("g"), "score", "id", k)
+    assert(got.count() == 4L * k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("score"), asc("id"))
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    assert(got.select("g", "id", "score", "rk").except(
+             want.select("g", "id", "score", "rk")).isEmpty,
+           "bounded_topk disagrees with the window ranking at k=500")
+  }
+
   test("sketch aggregates: HLL distinct within documented error of exact") {
     val dir = "/root/testdata/sf0.01"
     val orders = graft.core.Tables.orders(spark, dir)
