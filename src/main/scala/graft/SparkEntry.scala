@@ -1103,7 +1103,7 @@ object SparkEntry {
     * permutations in one pass per row (registered by GraftSession;
     * the composed transform+array_min form it replaces ran the HOF
     * lambda interpreted per shingle — 7.5 s vs <1 s at sf0.1). */
-  private def minhashSigsFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSigsFrame(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), expr("minhash_sigs(text)").as("sig"))
       .select(col("doc_id"),
@@ -1114,7 +1114,7 @@ object SparkEntry {
     * candidate near-dup pairs with estimated Jaccard = fraction of the
     * 4 signature components agreeing. Shuffle keys are (band, bucket)
     * — never all-pairs (shared by q31 and q35). */
-  private def bandedPairs(sigs: DataFrame): DataFrame = {
+  private[graft] def bandedPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("*"),
       explode(array(
         struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),

@@ -56,7 +56,16 @@ object ConnectedComponents {
     * through every round. */
   def minLabel(nodes: DataFrame, idCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
-               maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+               maxIter: Int = 25, strict: Boolean = true): DataFrame =
+    minLabelWithRounds(nodes, idCol, edges, srcCol, dstCol, maxIter, strict)._1
+
+  /** Same as [[minLabel]], also returning the number of BSP rounds
+    * run (including the fused first round and the final fixpoint-
+    * confirmation round) — the scale-relevant statistic: rounds track
+    * component diameter, not corpus size. */
+  def minLabelWithRounds(nodes: DataFrame, idCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               maxIter: Int = 25, strict: Boolean = true): (DataFrame, Int) = {
     val e = edges.select(col(srcCol).cast("long").as("a"),
                          col(dstCol).cast("long").as("b"))
     val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -113,8 +122,9 @@ object ConnectedComponents {
           "(component deeper than the cap); raise maxIter or pass strict = false")
     // corpus joins in ONCE: nodes outside the edge subgraph are their
     // own (singleton) component
-    nodes.select(col(idCol).cast("long").as("id"))
+    val out = nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (out, iter)
   }
 }
