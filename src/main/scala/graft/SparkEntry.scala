@@ -364,19 +364,23 @@ object SparkEntry {
 
     // ---- language-ID heuristic (whole-word marker scoring) ----
     // Counts marker TOKENS on word boundaries (round-1 version counted
-    // substrings, so 'other' scored as 'the'); tokenized once.
+    // substrings, so 'other' scored as 'the'). All five marker counts
+    // come from ONE byte scan (native word_marker_counts) — the HOF
+    // form paid a token-array materialization plus five interpreted
+    // filter lambdas per row (q24 3.09→0.73 s solo at sf1).
     "q24_langid" -> ((s, dir) => {
-      def occ(word: String): Column =
-        size(filter(col("toks"), t => t === word)).cast("bigint")
-      val (en, de, fr, es, zh) =
-        (occ("the"), occ("table"), occ("filter"), occ("data"), occ("query"))
+      val markers = Seq("the", "table", "filter", "data", "query")
+      def occ(i: Int): Column = element_at(col("c"), i)
+      val (en, de, fr, es, zh) = (occ(1), occ(2), occ(3), occ(4), occ(5))
       val pred = when(en >= de && en >= fr && en >= es && en >= zh, "en")
         .when(de >= fr && de >= es && de >= zh, "de")
         .when(fr >= es && fr >= zh, "fr")
         .when(es >= zh, "es")
         .otherwise("zh")
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          call_function("word_marker_counts", col("text"),
+            array(markers.map(lit): _*)).as("c"))
         .select(
           col("doc_id"), pred.as("pred_lang"),
           when(pred === col("lang"), 1).otherwise(0).as("is_match"))

@@ -77,6 +77,37 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     assert(java.lang.Long.bitCount(ham(0) ^ ham(1)) > 0)
   }
 
+  test("word_marker_counts equals the per-marker HOF filter composition") {
+    import spark.implicits._
+    val markers = Seq("the", "table", "filter", "data", "query")
+    val cases = Seq(
+      "The THE the data-table query!", "other others brother", "",
+      "   ", "table", "querydata data query", "a the b the c THE",
+      "filter,filter;filter", "no markers here at all",
+      "data\ttable\nquery the filter")
+    val df = cases.toDF("text")
+    val native = df.select(
+      call_function("word_marker_counts", col("text"),
+        array(markers.map(lit): _*)).as("c")).collect().map(_.getSeq[Long](0))
+    val hof = df.select(array(markers.map(w =>
+      size(filter(Text.tokens(col("text")), t => t === w)).cast("bigint")): _*)
+      .as("c")).collect().map(_.getSeq[Long](0))
+    native.zip(hof).zip(cases).foreach { case ((n, h), s) =>
+      assert(n == h, s"mismatch on: '$s'")
+    }
+  }
+
+  test("word_marker_counts: whole words only, null text, duplicate markers") {
+    import spark.implicits._
+    // 'other' must not count as 'the'; duplicates counted independently
+    val df = Seq(Option("the other the"), None).toDF("text")
+      .select(call_function("word_marker_counts", col("text"),
+        array(lit("the"), lit("other"), lit("the"))).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0) == Seq(2L, 1L, 2L))
+    assert(rows(1).isNullAt(0))
+  }
+
   test("near-identical docs have small Hamming distance, unrelated large") {
     import spark.implicits._
     val base = "spark streaming watermark window aggregation state store checkpoint recovery exactly once"
