@@ -1094,6 +1094,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
              min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .orderBy("lang", "bucket")
+    }),
+
+    // ---- cross-source n-gram overlap matrix ----
+    // Mixture-design tooling: exact Jaccard of 3-gram SETS between
+    // every source pair. Scale shape: one gram-keyed shuffle folds
+    // each gram's sources into a BITMASK (bit_or is idempotent — no
+    // distinct needed), then the mask HISTOGRAM — ≤ 2^|sources| rows
+    // at ANY corpus size, domain-bounded like the cents histogram —
+    // crossJoins the broadcast 190-pair table. Never doc×doc, never
+    // gram×gram, and the corpus-proportional stage carries slim
+    // (gram, mask) rows only.
+    "q66_source_overlap" -> ((s, dir) => {
+      // 'srcN' → bit N (SQL-form shiftleft: the Column API variant
+      // only takes a literal shift amount)
+      def onebit(name: String): Column =
+        expr(s"shiftleft(1L, cast(substring($name, 4, 2) as int))")
+      val masks = Tables.documents(s, dir)
+        .select(col("source"), Text.tokens(col("text")).as("toks"))
+        .select(col("source"), Text.ngrams(col("toks"), 3).as("g3"))
+        .select(onebit("source").as("m"), explode(col("g3")).as("gram"))
+        .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("c"))
+      val srcs = Tables.documents(s, dir).select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("src_a"))
+        .crossJoin(srcs.select(col("source").as("src_b")))
+        .filter(col("src_a") < col("src_b"))
+      def bit(name: String): Column = col("mask").bitwiseAND(onebit(name)) =!= 0
+      masks.crossJoin(broadcast(pairs))
+        .groupBy("src_a", "src_b")
+        .agg(sum(when(bit("src_a") && bit("src_b"), col("c"))
+                   .otherwise(0L)).as("n_common"),
+             sum(when(bit("src_a") || bit("src_b"), col("c"))
+                   .otherwise(0L)).as("n_union"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_union"),
+                round(col("n_common").cast("double") / col("n_union"), 6)
+                  .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- product-quantization encoding (IVF-PQ compression) ----
+    // 4 subspaces × 16 dims, 16-entry sub-codebooks from the first 16
+    // corpus vectors: each 64-dim vector compresses to 4 small codes.
+    // Pure projection via argmax_dot per slice — no join/window/row
+    // expansion (ops/Similarity.pqEncode).
+    "q67_pq_encode" -> ((s, dir) => {
+      val enc = ops.Similarity.pqEncode(Tables.embeddings(s, dir), m = 4, ksub = 16)
+      enc.select(col("vec_id") +: (0 until 4).flatMap(j =>
+        Seq(col(s"code_$j"), round(col(s"dot_$j"), 6).as(s"dot_$j"))): _*)
+        .orderBy("vec_id")
     })
   )
 
@@ -2092,7 +2141,74 @@ object SparkEntry {
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM b
         |GROUP BY lang, bucket
-        |ORDER BY lang, bucket""".stripMargin
+        |ORDER BY lang, bucket""".stripMargin,
+
+    "q66_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(0, len(toks) - 2),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS g3
+        |  FROM t),
+        |gm AS (
+        |  SELECT gram,
+        |    bit_or(1::BIGINT << CAST(substr(source, 4, 2) AS INT)) AS mask
+        |  FROM (SELECT source, unnest(g3) AS gram FROM g)
+        |  GROUP BY gram),
+        |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM gm GROUP BY mask),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+        |agg AS (
+        |  SELECT src_a, src_b,
+        |    CAST(SUM(CASE WHEN
+        |        (mask & (1::BIGINT << CAST(substr(src_a, 4, 2) AS INT))) != 0
+        |        AND (mask & (1::BIGINT << CAST(substr(src_b, 4, 2) AS INT))) != 0
+        |      THEN c ELSE 0 END) AS BIGINT) AS n_common,
+        |    CAST(SUM(CASE WHEN
+        |        (mask & (1::BIGINT << CAST(substr(src_a, 4, 2) AS INT))) != 0
+        |        OR (mask & (1::BIGINT << CAST(substr(src_b, 4, 2) AS INT))) != 0
+        |      THEN c ELSE 0 END) AS BIGINT) AS n_union
+        |  FROM mc CROSS JOIN pairs
+        |  GROUP BY src_a, src_b)
+        |SELECT src_a, src_b, n_common, n_union,
+        |  round(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+        |FROM agg
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q67_pq_encode" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sub AS (SELECT vec_id, j, v[j*16+1 : (j+1)*16] AS sv
+        |        FROM v CROSS JOIN js),
+        |scb AS (SELECT cid, j, cv[j*16+1 : (j+1)*16] AS scv
+        |        FROM cb CROSS JOIN js),
+        |scored AS (
+        |  SELECT vec_id, sub.j AS j, cid,
+        |    list_dot_product(sv, scv) AS dot,
+        |    row_number() OVER (PARTITION BY vec_id, sub.j
+        |                       ORDER BY list_dot_product(sv, scv) DESC, cid) AS rn
+        |  FROM sub JOIN scb ON sub.j = scb.j)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN j = 0 THEN cid END) AS INT) AS code_0,
+        |  round(MAX(CASE WHEN j = 0 THEN dot END), 6) AS dot_0,
+        |  CAST(MAX(CASE WHEN j = 1 THEN cid END) AS INT) AS code_1,
+        |  round(MAX(CASE WHEN j = 1 THEN dot END), 6) AS dot_1,
+        |  CAST(MAX(CASE WHEN j = 2 THEN cid END) AS INT) AS code_2,
+        |  round(MAX(CASE WHEN j = 2 THEN dot END), 6) AS dot_2,
+        |  CAST(MAX(CASE WHEN j = 3 THEN cid END) AS INT) AS code_3,
+        |  round(MAX(CASE WHEN j = 3 THEN dot END), 6) AS dot_3
+        |FROM scored WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -161,6 +161,52 @@ object Similarity {
               (col("sd").cast("double") / col("n")).as("mean_val"))
   }
 
+  /** Product-quantization (PQ) encoding — the compression half of
+    * IVF-PQ, the standard billion-vector ANN layout: split each
+    * vector into `m` contiguous subspaces and store, per subspace,
+    * the id of the nearest sub-codebook centroid (by dot product,
+    * ties to the lowest id — the [[ivfAssign]] discipline). A
+    * 64-dim float vector (256 bytes) becomes `m` small ints; at the
+    * 100 TB design point that ~64× compression is what lets the
+    * candidate scan stay in memory.
+    *
+    * Scale shape: like [[ivfAssign]] this is a PURE PROJECTION — the
+    * k×dim codebook lives driver-side (every PQ trainer keeps it
+    * resident; k ≤ 256 per subspace), each subspace code is one
+    * native `argmax_dot` over the vector slice, no join, no window,
+    * no row expansion. Codebook here: the first `ksub` corpus
+    * vectors, sliced per subspace (a real trainer would k-means each
+    * subspace; the assignment plan is identical either way).
+    *
+    * Output: (id, code_0 … code_{m−1}, dot_0 … dot_{m−1}) — codes
+    * are codebook row ids, dots the winning similarities. */
+  def pqEncode(emb: DataFrame, m: Int, ksub: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cbRows = typed.filter(col(idCol) < ksub).orderBy(idCol).collect()
+    val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
+    val full: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val dim = full.headOption.map(_.length).getOrElse(0)
+    require(full.isEmpty || dim % m == 0,
+      s"pqEncode: dim $dim not divisible into $m subspaces")
+    val subLen = if (full.isEmpty) 0 else dim / m
+    // Two projections, not one: each argmax struct is consumed twice
+    // (code + dot), and keeping the struct behind an alias blocks
+    // CollapseProject from inlining the argmax per field reference
+    // (the ivfAssign discipline).
+    val ams = (0 until m).map { j =>
+      val sub: Seq[Seq[Double]] = full.map(_.slice(j * subLen, (j + 1) * subLen))
+      call_function("argmax_dot",
+        slice(col("v"), j * subLen + 1, subLen), typedlit(sub)).as(s"am_$j")
+    }
+    val outs = (0 until m).flatMap { j =>
+      Seq(element_at(typedlit(ids), col(s"am_$j").getField("idx") + 1)
+            .cast("int").as(s"code_$j"),
+          col(s"am_$j").getField("dot").as(s"dot_$j"))
+    }
+    typed.select(col(idCol) +: ams: _*).select(col(idCol) +: outs: _*)
+  }
+
   /** Brute-force top-k against one probe vector. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

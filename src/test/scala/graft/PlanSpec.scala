@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
   }
 
+  test("q67: PQ encoding is a pure projection — no join, no window, no row expansion") {
+    val p = plan("q67_pq_encode")
+    assert(!p.contains("Join"), s"row-expansion join in PQ encoding:\n$p")
+    assert(!p.contains("Window"), s"window selection in PQ encoding:\n$p")
+    assert(p.contains("argmax_dot"), "native argmax expression missing from the plan")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+  }
+
+  test("q66: source overlap joins the mask histogram, never gram or doc pairs") {
+    val p = plan("q66_source_overlap")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    // the only join input that expands rows is the broadcast pair
+    // table against the domain-bounded (≤2^sources) mask histogram —
+    // the corpus-proportional side is aggregated twice before any join
+    assert(p.contains("bit_or"), "mask aggregation missing from the plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+           s"pair table should broadcast:\n$p")
+  }
+
   test("q49: contamination joins on gram keys, never doc pairs") {
     val p = plan("q49_contamination")
     assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")

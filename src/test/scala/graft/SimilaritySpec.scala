@@ -60,6 +60,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.ivfAssign(vecs(5L -> v, 6L -> v.map(-_)), k = 0).count() == 0)
   }
 
+  test("pqEncode: per-subspace codes pick the max-dot sub-centroid independently") {
+    // 4-dim vectors, 2 subspaces × 2 dims, 2-entry sub-codebooks from
+    // vec_id 0/1. Vector 2 is built to agree with codebook 0 in
+    // subspace 0 and codebook 1 in subspace 1 — the codes must differ
+    // across subspaces, which a whole-vector argmax could never emit.
+    val df = Similarity.pqEncode(vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 1.0),
+      1L -> Seq(0.0, 1.0, 1.0, 0.0),
+      2L -> Seq(2.0, 0.0, 3.0, 0.0)), m = 2, ksub = 2)
+    val rows = df.collect().map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Int]("code_0"), r.getAs[Double]("dot_0")),
+       (r.getAs[Int]("code_1"), r.getAs[Double]("dot_1")))).toMap
+    assert(rows(2L)._1 == ((0, 2.0))) // subspace 0: (2,0)·(1,0)=2 beats (2,0)·(0,1)=0
+    assert(rows(2L)._2 == ((1, 3.0))) // subspace 1: (3,0)·(1,0)=3 beats (3,0)·(0,1)=0
+    // codebook vectors reconstruct themselves exactly in every subspace
+    assert(rows(0L) == (((0, 1.0), (0, 1.0))))
+    assert(rows(1L) == (((1, 1.0), (1, 1.0))))
+  }
+
+  test("pqEncode ties keep the lowest codebook id (ivfAssign discipline)") {
+    val df = Similarity.pqEncode(vecs(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(1.0, 0.0), 2L -> Seq(5.0, 0.0)),
+      m = 1, ksub = 2)
+    val codes = df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("code_0")).toMap
+    assert(codes == Map(0L -> 0, 1L -> 0, 2L -> 0)) // both centroids dot equal → id 0
+  }
+
   test("cosineTopK ranks by true cosine against the probe") {
     val base = Seq.tabulate(64)(d => math.cos(d * 0.1))
     val close = base.map(_ * 2.0)         // cosine 1.0 (scaled copy)
