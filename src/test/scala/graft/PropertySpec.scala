@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Percentiles, PrefixSum, TopK}
+
+/** Seeded randomized equivalence tests: each exact-selection operator
+  * is checked against an independent DRIVER-SIDE oracle (plain Scala
+  * over the collected input — no Spark operator on the oracle side)
+  * across many generated datasets. Seeds are fixed so failures
+  * reproduce exactly; shapes cover duplicates, negatives, nulls,
+  * ties, singletons, and empty inputs that hand-written cases miss.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestSession {
+
+  /** quantile_cont on the driver: sort + linear interpolation —
+    * the same formula both engines implement. */
+  private def quantileCont(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val r = p * (s.length - 1)
+    val lo = math.floor(r).toInt
+    val hi = math.ceil(r).toInt
+    s(lo) + (s(hi) - s(lo)) * (r - lo)
+  }
+
+  test("exactBySort matches driver-side quantile_cont on random shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED1L)
+    val shapes = Seq(1, 2, 3, 7, 41, 200, 500)
+    for (n <- shapes; round <- 0 until 2) {
+      val vs: Seq[Double] = Seq.tabulate(n) { _ =>
+        round match {
+          case 0 => rnd.nextInt(9) - 4.0            // heavy duplicates, negatives
+          case _ => (rnd.nextDouble() - 0.5) * 1e6  // ~all-distinct, wide spread
+        }
+      }
+      val got = Percentiles.exactBySort(
+        vs.toDF("v"), "v", Seq(0.25, 0.5, 0.75), prefix = "pp").head()
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+        val want = quantileCont(vs, p)
+        assert(math.abs(got.getDouble(i) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+               s"n=$n round=$round p=$p: got ${got.getDouble(i)}, want $want")
+      }
+    }
+    // empty input → one all-null row (documented contract)
+    val empty = Percentiles.exactBySort(
+      Seq.empty[Double].toDF("v"), "v", Seq(0.5), prefix = "pp").head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("exactByCentsHistogram matches quantile_cont on random 2-decimal data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED2L)
+    for (n <- Seq(1, 5, 100, 400); round <- 0 until 2) {
+      val cents: Seq[Long] = Seq.tabulate(n) { _ =>
+        round match {
+          case 0 => rnd.nextInt(2000) - 1000L  // dense small domain incl. negatives
+          case _ => rnd.nextInt(10000000).toLong // price-like spread, many buckets
+        }
+      }
+      val vs = cents.map(_ / 100.0)
+      val got = Percentiles.exactByCentsHistogram(
+        vs.toDF("v"), "v", Seq(0.25, 0.5, 0.75), prefix = "pp").head()
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+        val want = quantileCont(vs, p)
+        assert(math.abs(got.getDouble(i) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+               s"n=$n round=$round p=$p: got ${got.getDouble(i)}, want $want")
+      }
+    }
+  }
+
+  test("TopK.perGroup matches a driver-side ranking with null-last semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED3L)
+    for (trial <- 0 until 6) {
+      val k = 1 + rnd.nextInt(4)
+      val n = 5 + rnd.nextInt(60)
+      // fractional scores pin the typed (non-truncating) ordering;
+      // unique ties except for occasional nulls
+      val rows: Seq[(String, Option[Double], Option[String], Long)] =
+        Seq.tabulate(n) { i =>
+          val g = s"g${rnd.nextInt(3)}"
+          val score = if (rnd.nextDouble() < 0.15) None
+                      else Some(rnd.nextInt(5) + rnd.nextInt(4) * 0.25)
+          val tie = if (rnd.nextDouble() < 0.1) None else Some(f"t$i%03d")
+          (g, score, tie, i.toLong)
+        }
+      val df = rows.toDF("g", "score", "tie", "id")
+      val got = TopK.perGroup(df, Seq("g"), "score", "tie", k)
+        .select("g", "rk", "score", "tie").collect()
+        .map(r => (r.getString(0), r.getInt(1),
+                   if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+                   Option(r.getString(3)))).toSet
+      // oracle: sort desc by score (None last), then asc by tie (None
+      // last); ambiguity-free because exact (score, tie) duplicates
+      // within a group are not generated (ties are unique or null and
+      // null ties only collide on a shared score with prob ~0 here)
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy { case (_, score, tie, _) =>
+          (score.map(-_).getOrElse(Double.MaxValue),
+           tie.getOrElse("\uffff\uffff"))
+        }.take(k).zipWithIndex.map { case ((_, score, tie, _), i) =>
+          (g, i + 1, score, tie)
+        }
+      }.toSet
+      assert(got == want, s"trial=$trial k=$k:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("PrefixSum.runningTotal matches a driver-side cumulative sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED4L)
+    for (trial <- 0 until 4) {
+      val n = 1 + rnd.nextInt(300)
+      val keys = rnd.shuffle((1L to n.toLong).toList)
+      val rows = keys.map(kk => (kk, rnd.nextInt(1000).toLong))
+      val got = PrefixSum.runningTotal(rows.toDF("k", "x"), "k", "x", "cum")
+        .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (kk, x) =>
+        acc += x
+        assert(got(kk) == acc, s"trial=$trial key=$kk: got ${got(kk)}, want $acc")
+      }
+    }
+  }
+
+  test("word_marker_counts matches a driver-side regex tokenizer on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED5L)
+    val markers = Seq("the", "data", "q7")
+    val vocab = Seq("the", "thee", "other", "data", "dat", "q7", "q77", "x", "Y9", "DATA", "The")
+    val seps = Seq(" ", ", ", "--", "\t", "!", ".")
+    val texts = Seq.tabulate(40) { _ =>
+      Seq.fill(rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.length)) + seps(rnd.nextInt(seps.length))).mkString
+    }
+    val got = texts.toDF("text").select(
+      call_function("word_marker_counts", col("text"),
+        array(markers.map(lit): _*)).as("c")).collect().map(_.getSeq[Long](0))
+    texts.zip(got).foreach { case (t, cs) =>
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val want = markers.map(m => toks.count(_ == m).toLong)
+      assert(cs == want, s"text='$t': got $cs, want $want")
+    }
+  }
+
+  test("array_jaccard matches driver-side set arithmetic on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED6L)
+    val pool = ('a' to 'j').map(_.toString)
+    val pairs = Seq.tabulate(40) { _ =>
+      def arr() = Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.length)))
+      (arr(), arr())
+    }
+    val got = pairs.toDF("x", "y")
+      .select(call_function("array_jaccard", col("x"), col("y")))
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((x, y), j) =>
+      val (sx, sy) = (x.toSet, y.toSet)
+      val u = (sx union sy).size
+      val want = if (u == 0) 0.0 else (sx intersect sy).size.toDouble / u
+      assert(j == want, s"x=$x y=$y: got $j, want $want")
+    }
+  }
+}
