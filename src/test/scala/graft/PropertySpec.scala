@@ -145,6 +145,32 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("json_field matches get_json_object on random flat and nested objects") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EED7L)
+    def value(): String = rnd.nextInt(6) match {
+      case 0 => rnd.nextInt(1000).toString
+      case 1 => (-rnd.nextInt(1000)).toString
+      case 2 => "\"s" + rnd.nextInt(100) + "\""
+      case 3 => if (rnd.nextBoolean()) "true" else "false"
+      case 4 => "null"
+      // minified: get_json_object RE-SERIALIZES container values while
+      // json_field returns the raw text (documented divergence), so
+      // the two agree only when the raw form is already minified
+      case _ => s"""{"in":${rnd.nextInt(50)},"arr":[1,"two",{"d":3}]}"""
+    }
+    val docs = Seq.tabulate(60) { _ =>
+      val keys = rnd.shuffle(List("k", "a", "bb", "k2")).take(1 + rnd.nextInt(4))
+      keys.map(kk => s""""$kk": ${value()}""").mkString("{", ", ", "}")
+    } ++ Seq("{}", """{"other": 1}""", "", "not json", """{"k": {"k":9}}""")
+    val got = docs.toDF("doc").select(
+      call_function("json_field", col("doc"), lit("k")).as("a"),
+      get_json_object(col("doc"), "$.k").as("b")).collect()
+    docs.zip(got).foreach { case (d, r) =>
+      assert(r.get(0) == r.get(1), s"doc=$d: json_field=${r.get(0)}, get_json_object=${r.get(1)}")
+    }
+  }
+
   test("array_jaccard matches driver-side set arithmetic on random arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED6L)
