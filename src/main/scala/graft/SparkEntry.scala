@@ -1152,6 +1152,19 @@ object SparkEntry {
       enc.select(col("vec_id") +: (0 until 4).flatMap(j =>
         Seq(col(s"code_$j"), round(col(s"dot_$j"), 6).as(s"dot_$j"))): _*)
         .orderBy("vec_id")
+    }),
+
+    // ---- semantic dedup (SemDeDup-style, centroid-anchored) ----
+    // Embedding-space dedup at cluster granularity: one cosine per
+    // row against a broadcast k-row representative table — linear at
+    // any corpus size (ops/Similarity.semanticDedup; the pairwise
+    // member of the family is q47's LSH path). τ=0.4 mirrors q47's
+    // threshold against the near-orthogonal synthetic embeddings.
+    "q68_semantic_dedup" -> ((s, dir) => {
+      ops.Similarity.semanticDedup(Tables.embeddings(s, dir), k = 16, tau = 0.4)
+        .select(col("vec_id"), col("rep_id"),
+                round(col("rep_cos"), 6).as("rep_cos"))
+        .orderBy("vec_id")
     })
   )
 
@@ -2217,6 +2230,36 @@ object SparkEntry {
         |  round(MAX(CASE WHEN j = 3 THEN dot END), 6) AS dot_3
         |FROM scored WHERE rn = 1
         |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "q68_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid, v AS cv FROM v WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id, c.centroid,
+        |    list_dot_product(v.v, c.cv) AS dot,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |                       ORDER BY list_dot_product(v.v, c.cv) DESC, c.centroid) AS rn
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, centroid, dot FROM scored WHERE rn = 1),
+        |reps AS (
+        |  SELECT centroid, vec_id AS rep_id,
+        |    row_number() OVER (PARTITION BY centroid
+        |                       ORDER BY dot DESC, vec_id) AS rr
+        |  FROM asg),
+        |r1 AS (SELECT centroid, rep_id FROM reps WHERE rr = 1),
+        |j AS (
+        |  SELECT a.vec_id, r.rep_id,
+        |    list_dot_product(v1.v, v2.v) /
+        |      (sqrt(list_dot_product(v1.v, v1.v)) *
+        |       sqrt(list_dot_product(v2.v, v2.v))) AS rep_cos
+        |  FROM asg a
+        |  JOIN r1 r ON a.centroid = r.centroid
+        |  JOIN v v1 ON v1.vec_id = a.vec_id
+        |  JOIN v v2 ON v2.vec_id = r.rep_id)
+        |SELECT vec_id, rep_id, round(rep_cos, 6) AS rep_cos
+        |FROM j WHERE vec_id = rep_id OR rep_cos < 0.4
         |ORDER BY vec_id""".stripMargin
   )
 

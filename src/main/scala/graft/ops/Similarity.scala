@@ -161,6 +161,36 @@ object Similarity {
               (col("sd").cast("double") / col("n")).as("mean_val"))
   }
 
+  /** SemDeDup-style semantic dedup, centroid-anchored: cluster by
+    * nearest centroid ([[ivfAssign]]), pick each cluster's
+    * REPRESENTATIVE (max dot to its centroid, ties to the lowest id),
+    * and drop every other member whose cosine to the representative
+    * reaches `tau`. The published SemDeDup computes all within-cluster
+    * pairs — O(Σ|cluster|²), which at a fixed k grows quadratically in
+    * the corpus; anchoring at one representative per cluster keeps
+    * the scan LINEAR (one cosine per row against a broadcast k-row
+    * table) while preserving the semantic-dup-collapse behavior for
+    * the dense near-dup neighborhoods the method targets. The
+    * pairwise-exact variant on bounded candidate sets is the LSH
+    * bucket path (`bucketJoin` + threshold, q47).
+    *
+    * Returns survivors as (id, rep_id, rep_cos): the representative
+    * itself plus members below the threshold. */
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssign(emb, k, idCol, vecCol)
+    val reps = asg.groupBy("centroid")
+      .agg(expr(s"max_by($idCol, struct(dot, -$idCol))").as("rep_id"))
+    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val repVecs = broadcast(reps)
+      .join(vecs, reps("rep_id") === vecs(idCol))
+      .select(col("centroid"), col("rep_id"), col("v").as("rep_v"))
+    asg.join(vecs, idCol)
+      .join(broadcast(repVecs), "centroid")
+      .select(col(idCol), col("rep_id"), cosine(col("v"), col("rep_v")).as("rep_cos"))
+      .filter(col(idCol) === col("rep_id") || col("rep_cos") < tau)
+  }
+
   /** Product-quantization (PQ) encoding — the compression half of
     * IVF-PQ, the standard billion-vector ANN layout: split each
     * vector into `m` contiguous subspaces and store, per subspace,

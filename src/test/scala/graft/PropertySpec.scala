@@ -145,6 +145,34 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ConnectedComponents.minLabel matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    import graft.ops.ConnectedComponents
+    val rnd = new scala.util.Random(0x5EED8L)
+    for (trial <- 0 until 3) {
+      val nNodes = 20 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(nNodes) // sparse → many components, some chains
+      val nodes = (0L until nNodes.toLong).toDF("id")
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2)
+      val got = ConnectedComponents.minLabel(
+        nodes, "id", edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: plain union-find with min-id representative
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until nNodes).foreach { v =>
+        assert(got(v.toLong) == find(v).toLong,
+               s"trial=$trial node=$v: got ${got(v.toLong)}, want ${find(v)}")
+      }
+    }
+  }
+
   test("json_field matches get_json_object on random flat and nested objects") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED7L)

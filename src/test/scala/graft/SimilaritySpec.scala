@@ -87,6 +87,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(codes == Map(0L -> 0, 1L -> 0, 2L -> 0)) // both centroids dot equal → id 0
   }
 
+  test("semanticDedup drops near-representative members, keeps orthogonal ones") {
+    // 4-dim space, k=2 (centroids = vectors 0 and 1). Vector 2 is a
+    // scaled copy of vector 0 (same direction → cosine 1 to the rep),
+    // vector 3 is orthogonal to everything (cosine 0 → survives).
+    val df = Similarity.semanticDedup(vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),
+      2L -> Seq(0.9, 0.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 1.0, 0.0)), k = 2, tau = 0.4)
+    val rows = df.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("rep_id"), r.getAs[Double]("rep_cos"))).sortBy(_._1)
+    // vector 2 (cos 1.0 to rep 0) is gone; rep rows keep cos 1.0 to themselves
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 3L))
+    assert(rows.map(_._2).toSeq == Seq(0L, 1L, 0L)) // 3 ties to centroid 0 (dot 0 both)
+    assert(math.abs(rows(2)._3) < 1e-12) // orthogonal survivor: cosine 0
+  }
+
   test("cosineTopK ranks by true cosine against the probe") {
     val base = Seq.tabulate(64)(d => math.cos(d * 0.1))
     val close = base.map(_ * 2.0)         // cosine 1.0 (scaled copy)

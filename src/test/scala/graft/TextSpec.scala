@@ -108,6 +108,25 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).isNullAt(0))
   }
 
+  test("json_field: strings unquoted, nested containers skipped, null contract") {
+    import spark.implicits._
+    def f(doc: String): Any = Seq(doc).toDF("d")
+      .select(call_function("json_field", col("d"), lit("k"))).head.get(0)
+    assert(f("""{"k": 42}""") == "42")
+    assert(f("""{"k": -7.5}""") == "-7.5")
+    assert(f("""{"k": "hello"}""") == "hello")
+    assert(f("""{"k": "a\"b"}""") == "a\\\"b") // escapes preserved as written
+    assert(f("""{"a": {"k": 1}, "k": 2}""") == "2") // nested "k" is not top-level
+    assert(f("""{"a": [1, {"k": 1}], "k": 3}""") == "3") // nor inside arrays
+    assert(f("""{ "a" : 1 , "k" : true }""") == "true") // whitespace everywhere
+    assert(f("""{"k": null}""") == null) // JSON null → SQL NULL
+    assert(f("""{"a": 1}""") == null) // missing key
+    assert(f("""[1, 2]""") == null) // non-object document
+    assert(f("not json") == null)
+    assert(f("""{"k": {"a":1}}""") == """{"a":1}""") // container value raw text
+    assert(f("""{"kk": 1, "k": 5}""") == "5") // no prefix confusion
+  }
+
   test("near-identical docs have small Hamming distance, unrelated large") {
     import spark.implicits._
     val base = "spark streaming watermark window aggregation state store checkpoint recovery exactly once"
