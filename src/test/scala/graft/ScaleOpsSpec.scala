@@ -47,6 +47,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(range.getLong(0) >= 0L && range.getLong(1) < 1024L)
   }
 
+  test("semanticDedup at k=256: joins stay broadcast, output one row per survivor") {
+    import spark.implicits._
+    // the corpus side must never expand or shuffle-join: reps are a
+    // broadcast k-row table, so the only joins in the plan are
+    // broadcast hash joins and the member scan stays linear
+    val n = 4096
+    val dim = 16
+    val emb = (0 until n)
+      .map(i => (i.toLong, Seq.tabulate(dim)(d => math.sin(i * 0.37 + d * 0.91))))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.semanticDedup(emb, k = 256, tau = 0.999)
+    val p = out.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+           s"non-broadcast join in semanticDedup plan:\n$p")
+    assert(!p.contains("Window"), s"window in semanticDedup plan:\n$p")
+    val rows = out.select("vec_id").collect().map(_.getLong(0))
+    assert(rows.length == rows.distinct.length, "one row per survivor")
+    assert(rows.length <= n && rows.length >= 256,
+           "every representative survives; drops only above the threshold")
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     // DROP clears the (session-scoped) catalog entry but a previous
     // JVM's warehouse directory survives and blocks CTAS — remove both.
