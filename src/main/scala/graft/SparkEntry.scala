@@ -1165,6 +1165,37 @@ object SparkEntry {
         .select(col("vec_id"), col("rep_id"),
                 round(col("rep_cos"), 6).as("rep_cos"))
         .orderBy("vec_id")
+    }),
+
+    // ---- per-group OLS trend (closed-form linear regression) ----
+    // slope/intercept of value over day index per event_type, from
+    // the five classic sums — one aggregation pass, map-side
+    // combinable, no window/sort. Cross-engine parity by the repo's
+    // integer discipline: x (day) and y (cents) are exact integers,
+    // the sums accumulate in DECIMAL(38,0) (DuckDB: HUGEINT), and
+    // both engines evaluate the same closed forms
+    // slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    // intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²)
+    // as double-division of identical exact integers.
+    "q69_grouped_trend" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val x = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long")
+      val y = round(col("value") * 100, 0).cast("long")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      Tables.events(s, dir)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(D38).as("n"),
+             sum(col("x").cast(D38)).as("sx"),
+             sum(col("y").cast(D38)).as("sy"),
+             sum((col("x") * col("y")).cast(D38)).as("sxy"),
+             sum((col("x") * col("x")).cast(D38)).as("sxx"))
+        .select(col("event_type"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / den / 100.0, 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+                  / den / 100.0, 6).as("intercept"))
+        .orderBy("event_type")
     })
   )
 
@@ -2260,7 +2291,28 @@ object SparkEntry {
         |  JOIN v v2 ON v2.vec_id = r.rep_id)
         |SELECT vec_id, rep_id, round(rep_cos, 6) AS rep_cos
         |FROM j WHERE vec_id = rep_id OR rep_cos < 0.4
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q69_grouped_trend" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |          / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS slope,
+        |  round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |          / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
