@@ -178,15 +178,28 @@ object Similarity {
     * itself plus members below the threshold. */
   def semanticDedup(emb: DataFrame, k: Int, tau: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val asg = ivfAssign(emb, k, idCol, vecCol)
-    val reps = asg.groupBy("centroid")
-      .agg(expr(s"max_by($idCol, struct(dot, -$idCol))").as("rep_id"))
-    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val repVecs = broadcast(reps)
-      .join(vecs, reps("rep_id") === vecs(idCol))
-      .select(col("centroid"), col("rep_id"), col("v").as("rep_v"))
-    asg.join(vecs, idCol)
-      .join(broadcast(repVecs), "centroid")
+    // The assignment projection KEEPS the vector so the representative
+    // aggregate can carry (id, vector) in one max_by and the member
+    // scan joins only the broadcast k-row rep table — the corpus is
+    // never joined with itself (re-attaching vectors by id would
+    // shuffle the corpus twice at 10⁹ rows).
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cbRows = typed.filter(col(idCol) < k).orderBy(idCol).collect()
+    val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
+    val matrix: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val asgv = typed
+      .select(col(idCol), col("v"),
+        call_function("argmax_dot", col("v"), typedlit(matrix)).as("am"))
+      .filter(col("am").isNotNull)
+      .select(col(idCol), col("v"),
+        element_at(typedlit(ids), col("am.idx") + 1).as("centroid"),
+        col("am.dot").as("dot"))
+    // partial max_by keeps ONE (id, vector) candidate per centroid per
+    // map task — the exchange carries ≤ k·partitions slim rows
+    val reps = asgv.groupBy("centroid")
+      .agg(expr(s"max_by(struct($idCol, v), struct(dot, -$idCol))").as("rep"))
+      .select(col("centroid"), col(s"rep.$idCol").as("rep_id"), col("rep.v").as("rep_v"))
+    asgv.join(broadcast(reps), "centroid")
       .select(col(idCol), col("rep_id"), cosine(col("v"), col("rep_v")).as("rep_cos"))
       .filter(col(idCol) === col("rep_id") || col("rep_cos") < tau)
   }

@@ -62,6 +62,12 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
            s"non-broadcast join in semanticDedup plan:\n$p")
     assert(!p.contains("Window"), s"window in semanticDedup plan:\n$p")
+    // exactly ONE join in the whole plan: members × broadcast reps —
+    // the corpus is never joined with itself to re-attach vectors
+    // (count tree lines only — FormattedMode repeats node names in
+    // the details section)
+    val joins = "BroadcastHashJoin Inner".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly one broadcast join, got $joins:\n$p")
     val rows = out.select("vec_id").collect().map(_.getLong(0))
     assert(rows.length == rows.distinct.length, "one row per survivor")
     assert(rows.length <= n && rows.length >= 256,
