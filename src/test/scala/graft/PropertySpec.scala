@@ -173,6 +173,56 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("pqEncode matches a driver-side per-subspace argmax on random vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(0x5EED9L)
+    val (n, dim, m, ksub) = (60, 8, 2, 4)
+    val data = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(9) - 4.0))) // small ints → exact dots, real ties
+    val got = Similarity.pqEncode(data.toDF("vec_id", "embedding"), m, ksub)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until m).map(j => (r.getAs[Int](s"code_$j"), r.getAs[Double](s"dot_$j")))).toMap
+    val sub = dim / m
+    val cb = data.take(ksub).map(_._2)
+    data.foreach { case (id, v) =>
+      (0 until m).foreach { j =>
+        val slice = v.slice(j * sub, (j + 1) * sub)
+        val dots = cb.map(c => slice.zip(c.slice(j * sub, (j + 1) * sub)).map(p => p._1 * p._2).sum)
+        val best = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) } // ties → lowest id
+        assert(got(id)(j) == ((best._2, best._1)),
+               s"id=$id j=$j: got ${got(id)(j)}, want $best")
+      }
+    }
+  }
+
+  test("semanticDedup matches a driver-side rep-anchored filter on random vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(0x5EEDAL)
+    val (n, dim, k, tau) = (80, 6, 5, 0.9)
+    val data = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(7) - 3.0)))
+    val got = Similarity.semanticDedup(data.toDF("vec_id", "embedding"), k, tau)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rep_id")).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val cents = data.take(k)
+    val asg = data.map { case (id, v) =>
+      val best = cents.map(c => dot(v, c._2)).zipWithIndex.maxBy { case (d, i) => (d, -i) }
+      (id, v, best._2.toLong, best._1)
+    }
+    val reps = asg.groupBy(_._3).map { case (c, members) =>
+      c -> members.maxBy(mm => (mm._4, -mm._1))
+    }
+    val want = asg.flatMap { case (id, v, c, _) =>
+      val rep = reps(c)
+      val cos = dot(v, rep._2) / (math.sqrt(dot(v, v)) * math.sqrt(dot(rep._2, rep._2)))
+      if (id == rep._1 || cos < tau) Some(id -> rep._1) else None
+    }.toMap
+    assert(got == want,
+      s"mismatch: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+  }
+
   test("json_field matches get_json_object on random flat and nested objects") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED7L)
