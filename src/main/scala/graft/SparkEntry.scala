@@ -1196,6 +1196,23 @@ object SparkEntry {
           round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
                   / den / 100.0, 6).as("intercept"))
         .orderBy("event_type")
+    }),
+
+    // ---- exact quartiles, bits-histogram regime (vs q32's sort) ----
+    // The SAME exact quartiles q32 computes for l_extendedprice, via
+    // the third percentile regime: a two-level histogram over
+    // order-preserving IEEE-754 bits (ops/Percentiles.
+    // exactByBitsHistogram) — no range sampling, no corpus sort;
+    // aggregation-only, bucket count bounded by the data's exponent
+    // spread. Same oracle numbers as q32's pct_p columns; the bench
+    // table shows the two regimes side by side on identical work.
+    "q70_quartiles_hist" -> ((s, dir) => {
+      ops.Percentiles.exactByBitsHistogram(
+        Tables.lineitem(s, dir).select(col("l_extendedprice")),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75), prefix = "pp")
+        .select(round(col("pp25"), 6).as("q25_price"),
+                round(col("pp50"), 6).as("q50_price"),
+                round(col("pp75"), 6).as("q75_price"))
     })
   )
 
@@ -2312,7 +2329,14 @@ object SparkEntry {
         |          / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS slope,
         |  round(CAST(sy*sxx - sx*sxy AS DOUBLE)
         |          / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS intercept
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q70_quartiles_hist" ->
+      """SELECT
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q25_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS q50_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q75_price
+        |FROM lineitem""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

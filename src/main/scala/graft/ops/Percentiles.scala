@@ -109,6 +109,81 @@ object Percentiles {
     * no corpus-proportional sort anywhere, which is why this beats
     * [[exactBySort]] (two range-sample+shuffle pipelines over all
     * values) whenever the fixed-precision precondition holds. */
+  /** Exact interpolated percentiles for ARBITRARY doubles via a
+    * two-level histogram over ORDER-PRESERVING IEEE-754 bits — the
+    * third regime, closing the gap between [[exactByCentsHistogram]]
+    * (needs fixed precision) and [[exactBySort]] (general but pays a
+    * corpus-wide range exchange + sort):
+    *
+    *  1. level 1: counts per bucket `double_order_bits(v) >> 41`
+    *     (sign + exponent + 11 mantissa bits — deterministic,
+    *     order-contiguous, no range sampling; bucket count is bounded
+    *     by the EXPONENT SPREAD of the data, ~2048 per binade
+    *     actually present, not by the corpus);
+    *  2. the ≤2·|ps| buckets whose rank range brackets a target are
+    *     broadcast back;
+    *  3. level 2: per-value counts inside those buckets only, exactly
+    *     as the cents path — the rows flowing here are the bracketing
+    *     buckets' members (~n / buckets), never the corpus.
+    *
+    * No sort, no sampled exchange, map-side-combinable aggregates
+    * only. Degenerate only when ~all values share one bucket AND are
+    * ~all distinct (sub-binade uniform data) — use [[exactBySort]]
+    * there; for anything value-spread (prices, lengths, scores) this
+    * is the plan you want at 100 TB. Same output contract and
+    * interpolation as the other regimes. */
+  def exactByBitsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
+                           prefix: String = "p"): DataFrame = {
+    def tag(p: Double): String = math.round(p * 100).toString
+    def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
+    val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
+    def bucketOf(c: Column): Column =
+      shiftright(call_function("double_order_bits", c), 41)
+
+    // unpartitioned by design (the expected WindowExec warning): the
+    // window sees bucket-count rows, bounded by the data's exponent
+    // spread, never values
+    val wB = Window.orderBy("b")
+    val bmeta = vals.groupBy(bucketOf(col("v")).as("b")).agg(count(lit(1)).as("bcnt"))
+      .select(col("b"), col("bcnt"),
+        coalesce(sum("bcnt").over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("boff"),
+        sum("bcnt").over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+
+    def bucketCovers(k: Column) = k >= col("boff") && k <= col("boff") + col("bcnt") - 1
+    val targets = bmeta.filter(
+      ps.map(p => bucketCovers(floor(r(p)).cast("long")) ||
+                  bucketCovers(ceil(r(p)).cast("long"))).reduce(_ || _))
+      .select("b", "boff", "n")
+
+    // within a bucket, value order == bit order (the transform is
+    // monotonic), so ordering by v is exact
+    val wC = Window.partitionBy("b").orderBy("v")
+    val ranked = vals.join(broadcast(targets), bucketOf(col("v")) === col("b"))
+      .groupBy("v", "b", "boff", "n").agg(count(lit(1)).as("ccnt"))
+      .withColumn("cum", sum("ccnt").over(
+        wC.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("loRank", col("boff") + col("cum") - col("ccnt"))
+      .withColumn("hiRank", col("boff") + col("cum") - 1)
+
+    def covers(k: Column) = k >= col("loRank") && k <= col("hiRank")
+    val picked = ranked.filter(
+      ps.map(p => covers(floor(r(p)).cast("long")) ||
+                  covers(ceil(r(p)).cast("long"))).reduce(_ || _))
+    val aggd = picked.agg(
+      max(col("n")).as("n"),
+      ps.flatMap(p => Seq(
+        max(when(covers(floor(r(p)).cast("long")), col("v"))).as(s"lo_${tag(p)}"),
+        max(when(covers(ceil(r(p)).cast("long")), col("v"))).as(s"hi_${tag(p)}"))): _*)
+    aggd.select(ps.map { p =>
+      val rr = r(p)
+      (col(s"lo_${tag(p)}") +
+        (col(s"hi_${tag(p)}") - col(s"lo_${tag(p)}")) * (rr - floor(rr)))
+        .as(s"$prefix${tag(p)}")
+    }: _*)
+  }
+
   def exactByCentsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
                             prefix: String = "p"): DataFrame = {
     def tag(p: Double): String = math.round(p * 100).toString

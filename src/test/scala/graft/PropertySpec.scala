@@ -49,6 +49,27 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(empty.isNullAt(0))
   }
 
+  test("exactByBitsHistogram matches quantile_cont on random doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EEDBL)
+    for (n <- Seq(1, 2, 17, 300); round <- 0 until 3) {
+      val vs: Seq[Double] = Seq.tabulate(n) { _ =>
+        round match {
+          case 0 => rnd.nextInt(9) - 4.0                       // duplicates, negatives, zero
+          case 1 => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12) - 3) // wide exponent spread
+          case _ => 1.0 + rnd.nextDouble() * 1e-4              // sub-binade cluster (few buckets)
+        }
+      }
+      val got = Percentiles.exactByBitsHistogram(
+        vs.toDF("v"), "v", Seq(0.25, 0.5, 0.75), prefix = "pp").head()
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+        val want = quantileCont(vs, p)
+        assert(math.abs(got.getDouble(i) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+               s"n=$n round=$round p=$p: got ${got.getDouble(i)}, want $want")
+      }
+    }
+  }
+
   test("exactByCentsHistogram matches quantile_cont on random 2-decimal data") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED2L)
