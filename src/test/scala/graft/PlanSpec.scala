@@ -91,6 +91,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"pair table should broadcast:\n$p")
   }
 
+  test("q70: bits-histogram percentiles plan has no range sampling and no corpus sort") {
+    val p = plan("q70_quartiles_hist")
+    assert(p.contains("double_order_bits"), "order-bits bucketing missing from the plan")
+    // the sort regime's defining cost (q32) is the sampled range
+    // exchange — this regime must not have one anywhere
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+           s"range exchange in histogram-regime plan:\n$p")
+    // windows exist but only over bucket-count rows / bracket-bucket
+    // members; the level-1 pass must be a hash aggregate
+    assert(p.contains("HashAggregate"), s"level-1 counts not hash-aggregated:\n$p")
+  }
+
+  test("q69: grouped trend is one aggregation — no window, no join") {
+    val p = plan("q69_grouped_trend")
+    assert(!p.contains("Window"), s"window in closed-form regression plan:\n$p")
+    assert(!p.contains("Join"), s"join in closed-form regression plan:\n$p")
+  }
+
   test("q49: contamination joins on gram keys, never doc pairs") {
     val p = plan("q49_contamination")
     assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
