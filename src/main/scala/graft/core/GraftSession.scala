@@ -42,6 +42,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.WordMarkerCounts.description)
         ext.injectFunction(graft.functions.JsonField.description)
         ext.injectFunction(graft.functions.DoubleOrderBits.description)
+        ext.injectFunction(graft.functions.InterleaveBits.description)
         ext.injectFunction(graft.functions.BoundedTopK.description)
       }
       .master(s"local[$cpus]")

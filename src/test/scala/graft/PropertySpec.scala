@@ -146,6 +146,21 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("interleave_bits matches a driver-side bit loop on random indices") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EEDCL)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (90L, 60L), ((1L << 32) - 1, (1L << 32) - 1)) ++
+      Seq.fill(40)((rnd.nextLong(1L << 32), rnd.nextLong(1L << 32)))
+    val got = pairs.toDF("x", "y")
+      .select(call_function("interleave_bits", col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((x, y), z) =>
+      val want = (0 until 32).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+      assert(z == want, s"x=$x y=$y: got $z, want $want")
+    }
+  }
+
   test("word_marker_counts matches a driver-side regex tokenizer on random text") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED5L)
