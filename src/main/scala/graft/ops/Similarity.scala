@@ -142,23 +142,24 @@ object Similarity {
 
   /** The k-means/IVF UPDATE step paired with [[ivfAssign]]:
     * per-centroid vector means as (centroid, dim, mean_val) rows.
-    * Scale shape: explode vectors to scalar (centroid, dim, val)
-    * cells and aggregate per (centroid × dim) key — no vector is
-    * ever buffered whole, and the shuffle carries scalars. Float
-    * inputs accumulate in DECIMAL(38,30) so the sum is
-    * order-independent (cross-engine/re-run deterministic); one
-    * double conversion + division at the end. */
+    * One whole-vector aggregate per row (native `vec_decimal_sum` —
+    * element-wise EXACT decimal sums, bit-identical to the former
+    * dimension-exploded `sum(cast(x as decimal(38,30)))` but without
+    * shuffling dim× scalar cells; the buffer crossing the exchange is
+    * one k×dim decimal vector per map task). Decimal accumulation
+    * keeps the sum order-independent (cross-engine/re-run
+    * deterministic); the tiny k-row result explodes to (centroid,
+    * dim) cells at the end. */
   def ivfUpdate(emb: DataFrame, assignments: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 30)
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     assignments.select(col(idCol), col("centroid"))
       .join(vecs, idCol)
-      .select(col("centroid"), posexplode(col("v")))
-      .groupBy(col("centroid"), col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("col").cast(D)).as("sd"))
+      .groupBy(col("centroid"))
+      .agg(count(lit(1)).as("n"), call_function("vec_decimal_sum", col("v")).as("sums"))
+      .select(col("centroid"), col("n"), posexplode(col("sums")))
       .select(col("centroid"), col("pos").cast("int").as("dim"),
-              (col("sd").cast("double") / col("n")).as("mean_val"))
+              (col("col").cast("double") / col("n")).as("mean_val"))
   }
 
   /** SemDeDup-style semantic dedup, centroid-anchored: cluster by

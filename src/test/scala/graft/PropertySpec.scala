@@ -146,6 +146,27 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("vec_decimal_sum is bit-identical to the dimension-exploded decimal sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(0x5EEDDL)
+    val dim = 7
+    val rows = Seq.tabulate(200)(i =>
+      (s"g${i % 5}", Seq.fill(dim)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7) - 3))))
+    val df = rows.toDF("g", "v")
+    val vec = df.groupBy("g")
+      .agg(call_function("vec_decimal_sum", col("v")).as("sums"))
+      .select(col("g"), posexplode(col("sums")))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val exploded = df.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(sum(col("col").cast(DecimalType(38, 30))).as("sd"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    assert(vec.keySet == exploded.keySet)
+    vec.foreach { case (k, d) =>
+      assert(d.compareTo(exploded(k)) == 0, s"$k: vec=$d exploded=${exploded(k)}")
+    }
+  }
+
   test("interleave_bits matches a driver-side bit loop on random indices") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EEDCL)
