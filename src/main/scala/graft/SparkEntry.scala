@@ -818,12 +818,12 @@ object SparkEntry {
     // runs 8–13-grams; 3 here because the synthetic 40-word vocabulary
     // makes longer grams collision-free and the carrier vacuous.)
     "q49_contamination" -> ((s, dir) => {
-      // tokenize in its OWN projection (multiple toks references block
-      // CollapseProject): inlining tokens() into ngrams() re-evaluates
-      // the full split+filter per element_at — 52 s vs 1 s at sf0.1
+      // fused tokenize+gram native expression: one byte scan, no
+      // intermediate token array (and no HOF-inlining hazard — the
+      // round-2 bug where inlined tokens() re-evaluated per
+      // element_at cost 52 s vs 1 s at sf0.1)
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), Text.ngrams(col("toks"), 3).as("g3"))
+        .select(col("doc_id"), Text.ngramsOfText(col("text"), 3).as("g3"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(explode(col("g3")).as("gram")).distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
@@ -1115,8 +1115,7 @@ object SparkEntry {
       def onebit(name: String): Column =
         expr(s"shiftleft(1L, cast(substring($name, 4, 2) as int))")
       val masks = Tables.documents(s, dir)
-        .select(col("source"), Text.tokens(col("text")).as("toks"))
-        .select(col("source"), Text.ngrams(col("toks"), 3).as("g3"))
+        .select(col("source"), Text.ngramsOfText(col("text"), 3).as("g3"))
         .select(onebit("source").as("m"), explode(col("g3")).as("gram"))
         .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
         .groupBy("mask").agg(count(lit(1)).as("c"))

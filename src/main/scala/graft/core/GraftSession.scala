@@ -44,6 +44,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.DoubleOrderBits.description)
         ext.injectFunction(graft.functions.InterleaveBits.description)
         ext.injectFunction(graft.functions.VecDecimalSum.description)
+        ext.injectFunction(graft.functions.WordTextNgrams.description)
         ext.injectFunction(graft.functions.BoundedTopK.description)
       }
       .master(s"local[$cpus]")

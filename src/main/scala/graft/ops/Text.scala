@@ -31,6 +31,13 @@ object Text {
   def ngrams(toks: Column, n: Int): Column =
     call_function("word_ngrams", toks, lit(n))
 
+  /** Fused `ngrams(tokens(text), n)` in one byte scan (native
+    * [[graft.functions.WordTextNgrams]]) — for consumers that need
+    * ONLY the grams, skipping the intermediate token-array
+    * materialization (q49/q66's gram stage). */
+  def ngramsOfText(text: Column, n: Int): Column =
+    call_function("word_text_ngrams", text, lit(n))
+
   /** English stopword list used by the quality scorer — a fixed,
     * documented set so the oracle can embed the same literal. */
   val Stopwords: Seq[String] = Seq(

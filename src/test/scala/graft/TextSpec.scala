@@ -108,6 +108,18 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).isNullAt(0))
   }
 
+  test("word_text_ngrams equals ngrams(tokens(text)) on every corpus shape") {
+    val cases = Seq(
+      "The quick brown-fox; jumps! over_the lazy dog 42",
+      "", "   ", "one", "one two", "a b c d e",
+      "MiXeD CaSe--punct,,sep\ttab\nnewline", "a-b_c.d,e;f:g!h?i")
+    for (s <- cases; n <- Seq(1, 2, 3, 5)) {
+      val fused = one(s, Text.ngramsOfText(col("text"), n))
+      val composed = one(s, Text.ngrams(Text.tokens(col("text")), n))
+      assert(fused == composed, s"mismatch on '$s' n=$n")
+    }
+  }
+
   test("json_field: strings unquoted, nested containers skipped, null contract") {
     import spark.implicits._
     def f(doc: String): Any = Seq(doc).toDF("d")
