@@ -1235,6 +1235,94 @@ object SparkEntry {
              min("z").as("z_min"), max("z").as("z_max"),
              min("event_id").as("first_event"))
         .orderBy("z_bucket")
+    }),
+
+    // ---- PII detection + masking (the pre-training scrub stage) ----
+    // Deterministic doc_id-derived emails/phones/IPs are appended to
+    // the synthetic text (both engines construct the identical string
+    // — the q38 enrichment discipline), then the native single-pass
+    // `pii_scrub` masks and counts all three families at once (the
+    // composed regexp built-ins it replaces paid six regex passes and
+    // five intermediate strings per row). Pure per-row projection:
+    // zero shuffles, and the patterns stay in the regex subset where
+    // Java and RE2 agree.
+    "q72_pii_scrub" -> ((s, dir) => {
+      val enriched = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach u"), col("doc_id").cast("string"), lit("@mail"),
+                 (col("doc_id") % 5).cast("string"), lit(".example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                 lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      // the scrub struct stays behind an alias across two selects
+      // (pqEncode discipline) so CollapseProject cannot re-run the
+      // scan once per consumed field
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ops.Pii.scrub(enriched).as("p"))
+        .select(col("doc_id"),
+          col("p.n_emails").as("n_emails"),
+          col("p.n_phones").as("n_phones"),
+          col("p.n_ips").as("n_ips"),
+          col("p.clean_text").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- paragraph(chunk)-level dedup (boilerplate removal) ----
+    // Dolma-style sub-document dedup: an 8-word per-source header is
+    // prepended (identically in both engines), so chunk 0 is shared
+    // boilerplate across each source's documents; ops/ChunkDedup
+    // keeps the corpus-wide first occurrence of every distinct chunk
+    // and reassembles survivors in document order. Shuffle keys are
+    // chunk texts (high-cardinality — the window parallelizes), then
+    // one doc_id regroup; never doc×doc.
+    "q73_chunk_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("std header boilerplate for source "), col("source"),
+               lit(" v1 end "), col("text")).as("text"))
+      ops.ChunkDedup.dedup(docs, "text", "doc_id", w = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- incremental dedup: bloom prefilter + exact confirm ----
+    // The cross-batch form of q21: corpus = doc_id < 400, batch =
+    // doc_id >= 400 with every third document carrying the text of
+    // corpus doc (doc_id − 400) — deterministic overlap constructed
+    // identically by both engines. The native `bloom_agg` blob prunes
+    // the batch before the exact confirm join (ops/IncrementalDedup);
+    // pruning never changes the answer, so the oracle is the plain
+    // NOT IN.
+    "q74_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") < 400).select("doc_id", "text")
+      val donors = d.select((col("doc_id") + 400).as("doc_id"),
+                            col("text").as("donor_text"))
+      val batch = d.filter(col("doc_id") >= 400)
+        .join(donors, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("donor_text"))
+            .otherwise(col("text")).as("text"))
+      ops.IncrementalDedup.newDocs(corpus, batch).orderBy("doc_id")
+    }),
+
+    // ---- IVF-PQ probe-time ANN search (ADC) ----
+    // The read path the q42/q67 build steps exist for: prune to the
+    // probe's nprobe=4 coarse clusters, score members by asymmetric
+    // distance (m=4 LUT lookups per row — codes, not vectors), top-20
+    // via TakeOrderedAndProject. Scan → projections → filter → top-k;
+    // no join, no window, no shuffle (ops/Similarity.ivfPqTopK).
+    "q75_ivfpq_search" -> ((s, dir) => {
+      ops.Similarity.ivfPqTopK(Tables.embeddings(s, dir), probeId = 123,
+          coarseK = 16, m = 4, ksub = 16, nprobe = 4, k = 20)
+        .select(col("vec_id"), col("centroid"),
+                round(col("adc"), 6).as("adc"))
+        .orderBy(desc("adc"), col("vec_id"))
     })
   )
 
@@ -2382,7 +2470,119 @@ object SparkEntry {
         |  MIN(z) AS z_min, MAX(z) AS z_max,
         |  MIN(event_id) AS first_event
         |FROM z GROUP BY z_bucket
-        |ORDER BY z_bucket""".stripMargin
+        |ORDER BY z_bucket""".stripMargin,
+
+    "q72_pii_scrub" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' reach u' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |      || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, t2,
+        |  regexp_replace(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
+        |  FROM e),
+        |m2 AS (SELECT doc_id, t2, s1,
+        |  regexp_replace(s1,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS s2
+        |  FROM m1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s2,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s1,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+        |  regexp_replace(s2,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    "q73_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'std header boilerplate for source ' || source || ' v1 end ' || text AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        |n AS (SELECT doc_id,
+        |        greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1) AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, toks,
+        |        CAST(unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS INT) AS pos
+        |      FROM t),
+        |ch AS (SELECT doc_id, pos,
+        |         array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS chunk
+        |       FROM c),
+        |r AS (SELECT doc_id, pos, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |      FROM ch),
+        |k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |        string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+        |      FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept,
+        |       COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM n LEFT JOIN k ON n.doc_id = k.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "q74_incremental_dedup" ->
+      """WITH b AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 3 = 0 THEN o.text ELSE d.text END AS text
+        |  FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 400
+        |  WHERE d.doc_id >= 400)
+        |SELECT doc_id,
+        |  (text NOT IN (SELECT text FROM documents WHERE doc_id < 400)) AS is_new
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q75_ivfpq_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |probe AS (SELECT v AS pv FROM v WHERE vec_id = 123),
+        |pc AS (SELECT cid FROM cb, probe
+        |       ORDER BY list_dot_product(pv, cv) DESC, cid LIMIT 4),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, cb.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |                         ORDER BY list_dot_product(v.v, cb.cv) DESC, cb.cid) AS rn
+        |    FROM v CROSS JOIN cb WHERE v.vec_id <> 123) WHERE rn = 1),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sub AS (SELECT vec_id, j, v[j*16+1 : (j+1)*16] AS sv
+        |        FROM v CROSS JOIN js WHERE vec_id <> 123),
+        |scb AS (SELECT cid, j, cv[j*16+1 : (j+1)*16] AS scv
+        |        FROM cb CROSS JOIN js),
+        |codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.j, scb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.j
+        |                         ORDER BY list_dot_product(sv, scv) DESC, cid) AS rn
+        |    FROM sub JOIN scb ON sub.j = scb.j) WHERE rn = 1),
+        |lut AS (
+        |  SELECT j, cid, list_dot_product(pv[j*16+1 : (j+1)*16], scv) AS term
+        |  FROM probe CROSS JOIN scb),
+        |adc AS (
+        |  SELECT c.vec_id,
+        |    ((MAX(CASE WHEN c.j = 0 THEN l.term END)
+        |      + MAX(CASE WHEN c.j = 1 THEN l.term END))
+        |      + MAX(CASE WHEN c.j = 2 THEN l.term END))
+        |      + MAX(CASE WHEN c.j = 3 THEN l.term END) AS adc
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
+        |  GROUP BY c.vec_id),
+        |top AS (
+        |  SELECT a.vec_id, g.cid AS centroid, a.adc
+        |  FROM adc a JOIN asg g ON g.vec_id = a.vec_id
+        |  WHERE g.cid IN (SELECT cid FROM pc)
+        |  ORDER BY a.adc DESC, a.vec_id LIMIT 20)
+        |SELECT vec_id, centroid, round(adc, 6) AS adc
+        |FROM top ORDER BY round(adc, 6) DESC, vec_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -46,6 +46,10 @@ object GraftSession {
         ext.injectFunction(graft.functions.VecDecimalSum.description)
         ext.injectFunction(graft.functions.WordTextNgrams.description)
         ext.injectFunction(graft.functions.BoundedTopK.description)
+        ext.injectFunction(graft.functions.BloomFilterAgg.description)
+        ext.injectFunction(graft.functions.BloomMightContain.description)
+        ext.injectFunction(graft.functions.WordChunks.description)
+        ext.injectFunction(graft.functions.PiiScrub.description)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

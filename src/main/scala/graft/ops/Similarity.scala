@@ -251,6 +251,90 @@ object Similarity {
     typed.select(col(idCol) +: ams: _*).select(col(idCol) +: outs: _*)
   }
 
+  /** IVF-PQ probe-time search — the read path that [[ivfAssign]]
+    * (coarse quantizer) and [[pqEncode]] (compression) exist to serve,
+    * i.e. the full billion-vector ANN query: restrict the scan to the
+    * probe's `nprobe` nearest coarse clusters, score the members by
+    * asymmetric distance computation (ADC), return the top `k`.
+    *
+    * ADC: the probe precomputes, per subspace `j`, the dot of its
+    * slice with every sub-codebook centroid — an m×ksub lookup table.
+    * A member's score is then `Σ_j lut[j][code_j]`: m table lookups
+    * and m−1 additions per row, NO access to the member's vector — at
+    * the design point the scan reads codes (m bytes/row), not vectors
+    * (256+ bytes/row), which is the entire point of PQ.
+    *
+    * Scale shape: the coarse centroids, sub-codebooks, and LUT are all
+    * driver-resident metadata shipped as literals (the [[ivfAssign]]
+    * discipline); the whole query is scan → projection → filter
+    * (cluster pruning) → projection (ADC) → TakeOrderedAndProject.
+    * No join, no window, no shuffle beyond the k-row final heap
+    * merge. Both argmaxes keep their struct behind an alias so
+    * CollapseProject cannot duplicate them per field ([[pqEncode]]
+    * discipline). Ties: coarse assignment and codes tie to the lowest
+    * centroid id; the final top-k ties to the lowest member id.
+    *
+    * Codebooks here are corpus rows (coarse: ids < `coarseK`; PQ: ids
+    * < `ksub`, sliced per subspace) — deterministic, no RNG to ship
+    * to an oracle; a production deployment k-means both, the search
+    * plan is identical. The probe itself is excluded from results. */
+  def ivfPqTopK(emb: DataFrame, probeId: Long, coarseK: Int, m: Int,
+                ksub: Int, nprobe: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cbRows = typed.filter(col(idCol) < math.max(coarseK, ksub)).orderBy(idCol).collect()
+    val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
+    val vecs: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val coarseIds = ids.take(coarseK)
+    val coarse = vecs.take(coarseK)
+    val pq = vecs.take(ksub)
+    val probe: Seq[Double] = typed.filter(col(idCol) === probeId)
+      .collect().headOption
+      .map(_.getSeq[Double](1).toSeq)
+      .getOrElse(throw new IllegalArgumentException(s"ivfPqTopK: no vector with $idCol=$probeId"))
+    val dim = probe.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+
+    // left-to-right accumulation — the same summation order as the
+    // native array_dot / DuckDB list_dot_product, so LUT doubles are
+    // bit-identical to what either engine would compute
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probeCentroids: Seq[Long] =
+      coarseIds.zip(coarse).map { case (cid, cv) => (cid, ddot(probe, cv)) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1)
+    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+      pq.map(cv => ddot(probe.slice(j * subLen, (j + 1) * subLen),
+                        cv.slice(j * subLen, (j + 1) * subLen)))
+    }
+
+    val assigned = typed.filter(col(idCol) =!= probeId)
+      .select(col(idCol), col("v"),
+        call_function("argmax_dot", col("v"), typedlit(coarse)).as("amc"))
+      .filter(col("amc").isNotNull)
+      .select(col(idCol), col("v"),
+        element_at(typedlit(coarseIds), col("amc.idx") + 1).as("centroid"))
+      .filter(col("centroid").isin(probeCentroids: _*))
+    val ams = (0 until m).map { j =>
+      val sub: Seq[Seq[Double]] = pq.map(_.slice(j * subLen, (j + 1) * subLen))
+      call_function("argmax_dot",
+        slice(col("v"), j * subLen + 1, subLen), typedlit(sub)).as(s"am_$j")
+    }
+    val terms: Seq[Column] = (0 until m).map { j =>
+      element_at(typedlit(lut(j)), col(s"am_$j").getField("idx") + 1)
+    }
+    assigned
+      .select(col(idCol) +: col("centroid") +: ams: _*)
+      .select(col(idCol), col("centroid"),
+        terms.reduceLeft(_ + _).as("adc"))
+      .orderBy(desc("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force top-k against one probe vector. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IncrementalDedup
+
+/** Bloom-prefiltered incremental dedup: exactness of the end result
+  * (the filter must only prune work, never change the answer), the
+  * no-false-negative guarantee of the native `bloom_agg` blob, its
+  * merge across partitions, and the sized false-positive rate that
+  * bounds the exact-confirm traffic. */
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("newDocs is exact: agrees with set membership on a crafted overlap") {
+    val corpus = (0L until 50L).map(i => (i, s"text number $i")).toDF("doc_id", "text")
+    val batch = (100L until 130L)
+      .map(i => (i, if (i % 3 == 0) s"text number ${i - 100}" else s"fresh $i"))
+      .toDF("doc_id", "text")
+    val got = IncrementalDedup.newDocs(corpus, batch)
+      .collect().map { case Row(id: Long, n: Boolean) => id -> n }.toMap
+    (100L until 130L).foreach { i =>
+      assert(got(i) == (i % 3 != 0), s"doc $i")
+    }
+  }
+
+  test("bloom_agg has no false negatives, and merges across partitions") {
+    val n = 2000
+    val df = spark.range(n).select(col("id"), concat(lit("k"), col("id")).as("s"))
+      .repartition(8) // force partial buffers + the word-wise OR merge
+    val blob = df.agg(call_function("bloom_agg",
+        xxhash64(col("s")), lit(1 << 15), lit(3)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val misses = spark.range(n)
+      .select(concat(lit("k"), col("id")).as("s"))
+      .filter(!call_function("bloom_might_contain",
+        lit(blob), xxhash64(col("s"))))
+      .count()
+    assert(misses == 0, "bloom filter produced a false negative")
+  }
+
+  test("false-positive rate stays near the sized bound") {
+    val n = 2000
+    val blob = spark.range(n)
+      .select(concat(lit("k"), col("id")).as("s"))
+      .agg(call_function("bloom_agg",
+        xxhash64(col("s")), lit(1 << 15), lit(3)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // 32768 bits / 2000 keys = 16.4 bits/key, k=3 → theoretical ~0.45%
+    val probes = 20000
+    val fps = spark.range(probes)
+      .select(concat(lit("absent"), col("id")).as("s"))
+      .filter(call_function("bloom_might_contain",
+        lit(blob), xxhash64(col("s"))))
+      .count()
+    assert(fps.toDouble / probes < 0.02,
+      s"false-positive rate ${fps.toDouble / probes} far above the sized ~0.5%")
+  }
+
+  test("bloom_might_contain: null key or null filter gives null") {
+    val blob = spark.range(1).select(lit("x").as("s"))
+      .agg(call_function("bloom_agg", xxhash64(col("s")), lit(64), lit(2)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val r = spark.range(1).select(
+      call_function("bloom_might_contain",
+        lit(blob), lit(null).cast("bigint")).as("a"),
+      call_function("bloom_might_contain",
+        lit(null).cast("binary"), lit(7L)).as("b")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

@@ -150,6 +150,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), "window sort is back")
   }
 
+  test("q72: PII scrub is map-only — zero exchanges before the final sort") {
+    val p = plan("q72_pii_scrub")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a projection pipeline:\n$p")
+  }
+
+  test("q73: chunk dedup shuffles chunk keys, never doc pairs") {
+    val p = plan("q73_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
+    // first-occurrence keeper partitions by the high-cardinality
+    // chunk text — the parallel-safe window shape
+    assert(p.contains("Window"), "first-occurrence window missing")
+  }
+
+  test("q75: IVF-PQ search is scan → project → filter → TakeOrdered — no shuffle at all") {
+    val p = plan("q75_ivfpq_search")
+    assert(!p.contains("Join"), s"join in the ADC scan:\n$p")
+    assert(!p.contains("Window"), s"window in the ADC scan:\n$p")
+    assert(p.contains("argmax_dot"), "native argmax expression missing")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should be a bounded heap, not a sort")
+    // one exchange: the carrier's presentation ORDER BY over the 20-row
+    // result — the corpus-sized scan itself never shuffles
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges <= 1, s"ADC scan should not shuffle, got $exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // FormattedMode under AQE omits codegen spans; CodegenMode lists
     // the compiled subtrees explicitly.

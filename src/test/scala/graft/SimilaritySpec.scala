@@ -171,4 +171,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val candidates = Similarity.bucketJoin(df).count()
     assert(candidates < 40L * 39 / 2)
   }
+
+  // hand-traceable IVF-PQ corpus: ids 0/1 double as coarse centroids
+  // and PQ codebook (dim 4, m=2); probe 10 leans toward cluster 0
+  private def ivfPqCorpus = vecs(
+    0L -> Seq(1.0, 0.0, 1.0, 0.0),
+    1L -> Seq(0.0, 1.0, 0.0, 1.0),
+    2L -> Seq(0.9, 0.0, 1.0, 0.2),  // cluster 0, codes (0,0)
+    3L -> Seq(0.0, 0.8, 0.1, 0.9),  // cluster 1 — pruned at nprobe=1
+    4L -> Seq(1.0, 0.0, 0.0, 1.0),  // coarse TIE (1.0 both) → cluster 0
+    10L -> Seq(1.0, 0.1, 0.9, 0.0)) // the probe
+
+  test("ivfPqTopK: ADC scores, cluster pruning, ties, and probe exclusion") {
+    val got = Similarity.ivfPqTopK(ivfPqCorpus, probeId = 10L,
+        coarseK = 2, m = 2, ksub = 2, nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cluster 0 members = {0, 2, 4}; LUT: l0=[1.0, 0.1], l1=[0.9, 0.0];
+    // ADC: id0 → l0[0]+l1[0]=1.9, id2 → 1.9, id4 codes (0,1) → 1.0;
+    // adc ties break by vec_id; probe 10 and cluster-1 id 3 absent
+    assert(got.toSeq == Seq((0L, 0L, 1.9), (2L, 0L, 1.9), (4L, 0L, 1.0)))
+  }
+
+  test("ivfPqTopK: nprobe=2 admits the second cluster; k caps the heap") {
+    val got = Similarity.ivfPqTopK(ivfPqCorpus, probeId = 10L,
+        coarseK = 2, m = 2, ksub = 2, nprobe = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all five members compete; top-2 by ADC are the 1.9 pair
+    assert(got.toSeq == Seq((0L, 0L), (2L, 0L)))
+    val all = Similarity.ivfPqTopK(ivfPqCorpus, probeId = 10L,
+        coarseK = 2, m = 2, ksub = 2, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(0L, 1L, 2L, 3L, 4L), "nprobe=2 must cover both clusters")
+  }
 }
