@@ -1323,6 +1323,51 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid"),
                 round(col("adc"), 6).as("adc"))
         .orderBy(desc("adc"), col("vec_id"))
+    }),
+
+    // ---- URL/domain analysis + per-domain caps ----
+    // The domain-mixture control every crawl pipeline runs: extract
+    // host (built-in parse_url), reduce to the registered domain
+    // (anchored 3-label regexp), then per-domain doc counts + a
+    // per-domain cap — the cap reuses the bounded_topk native
+    // aggregate (q53's operator), so stage-1 memory is 2 rows per
+    // domain per map task and no window sort exists. The 30-row
+    // domain-count table broadcasts back onto the capped rows.
+    "q76_domain_caps" -> ((s, dir) => {
+      val url = concat(lit("https://sub"), (col("doc_id") % 7).cast("string"),
+        lit(".domain"), (col("doc_id") % 30).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"))
+      val hosted = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .select(col("doc_id"), col("n_chars"),
+          regexp_extract(expr("parse_url(url, 'HOST')"),
+            "([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z]+)$", 1).as("domain"))
+      val counts = hosted.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"))
+      ops.TopK.perGroup(hosted, Seq("domain"), "n_chars", "doc_id", 2)
+        .join(broadcast(counts), Seq("domain"))
+        .select(col("domain"), col("n_docs"), col("rk"),
+                col("doc_id"), col("n_chars"))
+        .orderBy("domain", "rk")
+    }),
+
+    // ---- Unicode text cleanup (NFC + control strip + collapse) ----
+    // Deterministic dirt is appended (alternating composed é /
+    // decomposed e+U+0301 — both engines build the identical bytes —
+    // plus tab, BEL, double spaces, trailing space); Text.cleanup
+    // NFC-composes (native nfc_normalize — Spark has no built-in;
+    // DuckDB's nfc_normalize is the oracle), strips controls,
+    // collapses runs, trims. Pure projection, zero shuffles.
+    "q77_text_cleanup" -> ((s, dir) => {
+      val dirty = concat(col("text"), lit(" caf"),
+        when(col("doc_id") % 2 === 0, lit("e\u0301")) // decomposed e+combining acute
+          .otherwise(lit("\u00e9")),                  // precomposed \u00e9
+        lit("\tctrl\u0007bell  done "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ops.Text.cleanup(dirty).as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+                length(col("clean_text")).as("n_cp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2582,7 +2627,43 @@ object SparkEntry {
         |  WHERE g.cid IN (SELECT cid FROM pc)
         |  ORDER BY a.adc DESC, a.vec_id LIMIT 20)
         |SELECT vec_id, centroid, round(adc, 6) AS adc
-        |FROM top ORDER BY round(adc, 6) DESC, vec_id""".stripMargin
+        |FROM top ORDER BY round(adc, 6) DESC, vec_id""".stripMargin,
+
+    "q76_domain_caps" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.domain'
+        |      || CAST(doc_id % 30 AS VARCHAR) || '.example.org/p/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |        regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+        |                       '([a-z0-9-]+\.[a-z0-9-]+\.[a-z]+)$', 1) AS domain
+        |      FROM u),
+        |c AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY domain),
+        |r AS (SELECT domain, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY domain
+        |                           ORDER BY n_chars DESC, doc_id) AS rk
+        |      FROM h)
+        |SELECT r.domain, c.n_docs, CAST(r.rk AS INT) AS rk, r.doc_id, r.n_chars
+        |FROM r JOIN c ON r.domain = c.domain
+        |WHERE r.rk <= 2
+        |ORDER BY r.domain, r.rk""".stripMargin,
+
+    "q77_text_cleanup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' caf'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END
+        |      || chr(9) || 'ctrl' || chr(7) || 'bell  done ' AS t2
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(
+        |          regexp_replace(nfc_normalize(t2), '[\x00-\x1f\x7f]', ' ', 'g'),
+        |          '  +', ' ', 'g')) AS clean_text
+        |      FROM d)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_cp
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

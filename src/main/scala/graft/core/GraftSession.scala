@@ -50,6 +50,8 @@ object GraftSession {
         ext.injectFunction(graft.functions.BloomMightContain.description)
         ext.injectFunction(graft.functions.WordChunks.description)
         ext.injectFunction(graft.functions.PiiScrub.description)
+        ext.injectFunction(graft.functions.NfcNormalize.description)
+        ext.injectFunction(graft.functions.CleanSpaces.description)
       }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -150,4 +150,44 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m("base"), m("near")) < ham(m("base"), m("far")))
   }
+
+  test("nfc: composes decomposed sequences; ASCII and composed text pass through") {
+    assert(one("cafe\u0301", Text.nfc(col("text"))) == "caf\u00e9")
+    assert(one("caf\u00e9", Text.nfc(col("text"))) == "caf\u00e9")
+    assert(one("plain ascii 42", Text.nfc(col("text"))) == "plain ascii 42")
+    // composed and decomposed inputs land on identical bytes
+    assert(one("A\u030angstro\u0308m", Text.nfc(col("text"))) ==
+           one("\u00c5ngstr\u00f6m", Text.nfc(col("text"))))
+  }
+
+  test("cleanup: NFC + control strip + space collapse + trim") {
+    assert(one("a\tb\u0007c", Text.cleanup(col("text"))) == "a b c")
+    assert(one("  lots   of    space  ", Text.cleanup(col("text"))) == "lots of space")
+    assert(one("cafe\u0301\u0007done", Text.cleanup(col("text"))) == "caf\u00e9 done")
+    assert(one("", Text.cleanup(col("text"))) == "")
+    assert(one("\u0007", Text.cleanup(col("text"))) == "")
+  }
+
+  test("native clean_spaces cleanup equals the composed regexp form") {
+    import spark.implicits._
+    // fuzz over spaces, controls, multibyte, and word chars
+    val alphabet = "ab \t\u0007\u00e9 x  "
+    var seed = 424242L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val fuzz = Seq.fill(300) {
+      val len = nextInt(30)
+      (0 until len).map(_ => alphabet(nextInt(alphabet.length))).mkString
+    }
+    val crafted = Seq(
+      "a\tb\u0007c", "  lots   of    space  ", "", " ", "\u0007",
+      "\u0000start", "end\u001f", "only\u007fdel", "cafe\u0301 mix\td")
+    val df = (crafted ++ fuzz).toDF("text")
+    val bad = df.select(Text.cleanup(col("text")).as("n"),
+                        Text.cleanupComposed(col("text")).as("r"), col("text"))
+      .filter(col("n") =!= col("r")).collect()
+    assert(bad.isEmpty, s"clean_spaces divergence on: ${bad.take(3).mkString("; ")}")
+  }
 }
