@@ -175,4 +175,49 @@ object EventStreams {
     val schema = spark.read.parquet(dir).schema
     transform(spark.readStream.schema(schema).parquet(dir))
   }
+
+  /** Continuous corpus ingest with CROSS-BATCH exact dedup — the
+    * streaming face of [[graft.ops.IncrementalDedup]] (q74) and the
+    * contract a training-data pipeline actually needs: a document is
+    * a duplicate if its text appeared in ANY earlier batch, not just
+    * inside the watermark window ([[dedupeStream]]'s bounded-state
+    * regime). Each micro-batch first collapses its own internal
+    * repeats (lowest id wins, the q21 keeper discipline), then checks
+    * the ENTIRE landed corpus through the bloom-prefiltered exact
+    * confirm, and appends only genuinely-new rows to the landing dir.
+    *
+    * The landed corpus IS the dedup state — there is no separate
+    * state store to size, checkpoint, or lose. That makes retries
+    * self-healing: if a batch reruns after a partial failure, every
+    * row it already landed probes as a duplicate of itself and is
+    * skipped, so at-least-once batch delivery still converges to an
+    * exactly-once corpus (rows inside one task's un-committed parquet
+    * file either all landed or none did — parquet commits per file).
+    * At 100 TB the corpus side is exactly q74's shape: one bloom scan
+    * + a confirm join bounded by the batch's dup rate. */
+  def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
+                  textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // in-batch keeper: lowest id per text (the q21 discipline);
+        // the id leads the struct so min() orders by it
+        val fields = col(idCol) +: batch.columns.filterNot(_ == idCol).map(col).toSeq
+        val firsts = batch
+          .groupBy(col(textCol))
+          .agg(min(struct(fields: _*)).as("r"))
+          .select(col("r.*"))
+        val fresh = scala.util.Try(spark.read.parquet(landingDir)) match {
+          case scala.util.Failure(_) => firsts // first batch: nothing landed yet
+          case scala.util.Success(corpus) =>
+            firsts.join(
+              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol)
+                .filter(col("is_new")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+        }
+        fresh.write.mode("append").parquet(landingDir)
+      }
+      .start()
 }

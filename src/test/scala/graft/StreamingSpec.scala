@@ -265,4 +265,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("ingestDedup: cross-batch corpus dedup, landed corpus as the state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      // batch 1: an in-batch duplicate (ids 1/2 share text; 1 wins)
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate ("beta"), one genuinely new
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      // batch 3: everything already landed — appends nothing
+      input.addData((6L, "alpha"), (7L, "gamma"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(landed == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
 }
