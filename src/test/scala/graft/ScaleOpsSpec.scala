@@ -238,4 +238,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     val approxP50 = orders.select(expr("percentile_approx(o_totalprice, 0.5D, 10000)")).head.getDouble(0)
     assert(math.abs(approxP50 - exactP50) / exactP50 < 0.01)
   }
+
+  test("bloom_agg at 100k keys: blob stays bits/8, zero false negatives, sized FP rate") {
+    import org.apache.spark.sql.functions._
+    val n = 100000
+    val bits = 1 << 21 // ~21 bits/key → k=3 theoretical FP ~0.1%
+    val blob = spark.range(n)
+      .select(concat(lit("corpus-"), col("id")).as("s"))
+      .agg(call_function("bloom_agg", xxhash64(col("s")), lit(bits), lit(3)))
+      .collect()(0).getAs[Array[Byte]](0)
+    // the whole 100k-key corpus compressed to a fixed-size blob: the
+    // broadcast cost is bits/8 + 16-byte header, independent of n
+    assert(blob.length == bits / 8 + 16, s"blob ${blob.length} B")
+    val fn = spark.range(n).select(concat(lit("corpus-"), col("id")).as("s"))
+      .filter(!call_function("bloom_might_contain", lit(blob), xxhash64(col("s"))))
+      .count()
+    assert(fn == 0, "false negative at scale")
+    val probes = 100000
+    val fp = spark.range(probes).select(concat(lit("novel-"), col("id")).as("s"))
+      .filter(call_function("bloom_might_contain", lit(blob), xxhash64(col("s"))))
+      .count()
+    assert(fp.toDouble / probes < 0.01, s"FP rate ${fp.toDouble / probes}")
+  }
 }
