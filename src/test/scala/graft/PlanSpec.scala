@@ -166,6 +166,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Window"), "first-occurrence window missing")
   }
 
+  test("q74: bloom prefilter guards the exact-confirm join") {
+    val p = plan("q74_incremental_dedup")
+    // the batch probes the collected blob BEFORE any join: provably-
+    // absent rows never reach the confirm semi-join
+    assert(p.contains("bloom_might_contain"), "bloom probe missing from the plan")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+  }
+
+  test("q76: per-domain cap is the bounded_topk aggregate, counts broadcast back") {
+    val p = plan("q76_domain_caps")
+    assert(p.contains("bounded_topk"), "cap should reuse the bounded_topk aggregate")
+    assert(!p.contains("Window"), "window-sort cap is the few-groups scale trap")
+    assert(p.contains("BroadcastHashJoin"), "30-row count table should broadcast")
+  }
+
+  test("q77: text cleanup is map-only — zero exchanges before the final sort") {
+    val p = plan("q77_text_cleanup")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+    assert(p.contains("nfc_normalize") && p.contains("clean_spaces"),
+           "native cleanup expressions missing from the plan")
+  }
+
   test("q75: IVF-PQ search is scan → project → filter → TakeOrdered — no shuffle at all") {
     val p = plan("q75_ivfpq_search")
     assert(!p.contains("Join"), s"join in the ADC scan:\n$p")
