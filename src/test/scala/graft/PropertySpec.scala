@@ -253,6 +253,45 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqTopK matches a driver-side ADC search on random vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(0x5EEDBL)
+    val (n, dim, m, ksub, coarseK, nprobe, k) = (120, 8, 2, 6, 6, 3, 15)
+    val data = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(9) - 4.0))) // small ints → exact dots, real ties
+    val probeId = 77L
+    val got = Similarity.ivfPqTopK(data.toDF("vec_id", "embedding"),
+        probeId, coarseK, m, ksub, nprobe, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // driver-side mirror of the full semantics
+    val sub = dim / m
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val byId = data.toMap
+    val coarse = data.take(coarseK)
+    val cb = data.take(ksub).map(_._2)
+    val probe = byId(probeId)
+    val probeCentroids = coarse
+      .map { case (cid, cv) => (cid, dot(probe, cv)) }
+      .sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1).toSet
+    val want = data.filter(_._1 != probeId).flatMap { case (id, v) =>
+      val centroid = coarse.map { case (cid, cv) => (cid, dot(v, cv)) }
+        .maxBy { case (cid, d) => (d, -cid) }._1
+      if (!probeCentroids(centroid)) None
+      else {
+        val adc = (0 until m).map { j =>
+          val slice = v.slice(j * sub, (j + 1) * sub)
+          val codes = cb.map(c => dot(slice, c.slice(j * sub, (j + 1) * sub)))
+          val code = codes.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+          dot(probe.slice(j * sub, (j + 1) * sub),
+              cb(code).slice(j * sub, (j + 1) * sub))
+        }.sum
+        Some((id, centroid, adc))
+      }
+    }.sortBy { case (id, _, adc) => (-adc, id) }.take(k)
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("semanticDedup matches a driver-side rep-anchored filter on random vectors") {
     import spark.implicits._
     import graft.ops.Similarity
