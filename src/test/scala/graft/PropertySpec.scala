@@ -253,6 +253,26 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ChunkDedup matches a driver-side first-occurrence reference on random docs") {
+    import spark.implicits._
+    import graft.ops.ChunkDedup
+    val rnd = new scala.util.Random(0x5EEDCL)
+    val vocab = Seq("a", "b", "c") // tiny vocab → real chunk collisions
+    for (w <- Seq(2, 3)) {
+      val docs = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      val got = ChunkDedup.dedup(docs.toDF("doc_id", "text"), "text", "doc_id", w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      docs.foreach { case (id, text) =>
+        val chunks = text.split(" ", -1).grouped(w).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        assert(got(id) == ((chunks.size.toLong, kept.size.toLong, kept.mkString(" "))),
+               s"w=$w id=$id text='$text': got ${got(id)}")
+      }
+    }
+  }
+
   test("ivfPqTopK matches a driver-side ADC search on random vectors") {
     import spark.implicits._
     import graft.ops.Similarity
