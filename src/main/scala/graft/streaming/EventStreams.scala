@@ -191,8 +191,9 @@ object EventStreams {
     * self-healing: if a batch reruns after a partial failure, every
     * row it already landed probes as a duplicate of itself and is
     * skipped, so at-least-once batch delivery still converges to an
-    * exactly-once corpus (rows inside one task's un-committed parquet
-    * file either all landed or none did — parquet commits per file).
+    * exactly-once corpus (and a FAILED append publishes nothing —
+    * task outputs stay under `_temporary` until the job-level commit
+    * renames them in, and readers ignore `_`-prefixed paths).
     * At 100 TB the corpus side is exactly q74's shape: one bloom scan
     * + a confirm join bounded by the batch's dup rate. */
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
