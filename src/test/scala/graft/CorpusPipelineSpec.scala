@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.{ChunkDedup, Pii, Text}
+
+/** End-to-end corpus-pipeline integration: the LLM-data operators
+  * compose into one flow over the real test corpus — cleanup → PII
+  * scrub → exact dedup → chunk-level dedup → quality filter →
+  * deterministic split — and the whole chain is reproducible. Each
+  * stage is oracled/spec'd on its own elsewhere; this spec pins that
+  * their schemas and semantics actually CHAIN (the property a library
+  * user depends on and no per-operator test exercises). */
+class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pipeline(): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+    // 1. normalize + scrub (projections)
+    val scrubbed = raw
+      .select(col("doc_id"), col("lang"), col("source"),
+              Pii.scrub(Text.cleanup(col("text"))).as("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("p.clean_text").as("text"),
+              (col("p.n_emails") + col("p.n_phones") + col("p.n_ips")).as("n_pii"))
+    // 2. exact dedup (lowest id per text — the q21 keeper)
+    val exact = scrubbed
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("keeper")).drop("keeper")
+    // 3. chunk-level boilerplate dedup; drop fully-deduplicated docs
+    val chunked = ChunkDedup.dedup(exact, "text", "doc_id", w = 8)
+      .filter(col("n_kept") > 0)
+      .join(exact.select("doc_id", "lang", "source", "n_pii"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_pii"),
+              col("text_dedup").as("text"), col("n_chunks"), col("n_kept"))
+    // 4. quality gate + deterministic 80/20 split (the q45 discipline)
+    chunked
+      .filter(size(Text.tokens(col("text"))) >= 5)
+      .withColumn("split",
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+               .cast("long") % 100 < 80, "train").otherwise("eval"))
+  }
+
+  test("the corpus pipeline chains, filters monotonically, and reproduces") {
+    val out = pipeline().cache()
+    try {
+      val total = Tables.documents(spark, dir).count()
+      val n = out.count()
+      assert(n > 0 && n <= total, s"pipeline kept $n of $total")
+      // schema contract downstream consumers rely on
+      assert(out.columns.toSet == Set(
+        "doc_id", "lang", "source", "n_pii", "text", "n_chunks", "n_kept", "split"))
+      // dedup really deduped: no repeated text survives
+      assert(out.groupBy("text").count().filter(col("count") > 1).count() == 0)
+      // split covers both classes and is deterministic
+      val splits = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(splits.keySet == Set("train", "eval"), splits.toString)
+      // end-to-end determinism: a second independent run is identical
+      val a = out.orderBy("doc_id").collect().toSeq
+      val b = pipeline().orderBy("doc_id").collect().toSeq
+      assert(a == b, "pipeline is not reproducible")
+    } finally out.unpersist()
+  }
+}
