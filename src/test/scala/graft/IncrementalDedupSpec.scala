@@ -59,6 +59,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
       s"false-positive rate ${fps.toDouble / probes} far above the sized ~0.5%")
   }
 
+  test("empty (zero-row) corpus: every batch row is new") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val got = IncrementalDedup.newDocs(corpus, batch)
+      .collect().map { case Row(id: Long, n: Boolean) => (id, n) }.toSet
+    assert(got == Set((1L, true), (2L, true)))
+  }
+
   test("bloom_might_contain: null key or null filter gives null") {
     val blob = spark.range(1).select(lit("x").as("s"))
       .agg(call_function("bloom_agg", xxhash64(col("s")), lit(64), lit(2)))
