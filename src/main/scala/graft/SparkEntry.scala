@@ -1368,6 +1368,26 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"),
                 length(col("clean_text")).as("n_cp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- jsonl corpus round-trip (the training-corpus interchange) ----
+    // Spark lands the documents as gzip jsonl shards, reads them back
+    // with an explicit schema, and summarizes; the oracle reads the
+    // SAME shards with DuckDB's independent JSON parser (the q59
+    // landed-artifact discipline), so the green hash proves the
+    // emitted format cross-parses — escaping and numerics included.
+    // md5-distinct and length sums pin text payload fidelity.
+    "q78_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      sources.CorpusJsonl.roundTrip(docs)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             sum(length(col("text")).cast("long")).as("sum_text_len"),
+             countDistinct(md5(col("text"))).as("n_distinct_text"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -2663,7 +2683,23 @@ object SparkEntry {
         |          '  +', ' ', 'g')) AS clean_text
         |      FROM d)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_cp
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // reads the gzip jsonl shards the Spark side just landed — an
+    // independent parser checking the emitted format itself
+    "q78_jsonl_roundtrip" ->
+      s"""SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_text,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM read_json('${sources.CorpusJsonl.Q78Dir}/*.json.gz',
+        |  format = 'newline_delimited',
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |             source: 'VARCHAR', n_chars: 'BIGINT'})
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
