@@ -14,6 +14,8 @@ class VerifySpec extends AnyFunSuite {
     val oracles = SparkEntry.oracleSql
     assert(oracles.size == SparkEntry.queries.size,
            "every query needs an oracle (or a deliberate omission)")
+    assert(oracles.keySet == SparkEntry.queries.keySet,
+           s"oracle/query key drift: ${oracles.keySet.diff(SparkEntry.queries.keySet) ++ SparkEntry.queries.keySet.diff(oracles.keySet)}")
     val node = mapper.readTree(Verify.oracleJson(oracles))
     assert(node.size() == oracles.size)
     oracles.foreach { case (k, v) =>
