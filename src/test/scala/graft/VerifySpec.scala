@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The oracle_sql.json artifact IS the correctness gate's input: if it
   * fails to parse, the round's correctness silently zeroes. Parse the
-  * REAL oracle map (all 54 entries) with a real JSON parser and check
+  * REAL oracle map (every entry) with a real JSON parser and check
   * every value survives byte-for-byte. */
 class VerifySpec extends AnyFunSuite {
 
