@@ -1328,7 +1328,10 @@ object SparkEntry {
     // ---- URL/domain analysis + per-domain caps ----
     // The domain-mixture control every crawl pipeline runs: extract
     // host (built-in parse_url), reduce to the registered domain
-    // (anchored 3-label regexp), then per-domain doc counts + a
+    // (anchored 3-label regexp — hosts with fewer labels give an
+    // empty domain, fine for this corpus's uniform 4-label hosts; a
+    // general deployment consults a public-suffix list), then
+    // per-domain doc counts + a
     // per-domain cap — the cap reuses the bounded_topk native
     // aggregate (q53's operator), so stage-1 memory is 2 rows per
     // domain per map task and no window sort exists. The 30-row
