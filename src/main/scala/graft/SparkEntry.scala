@@ -1383,7 +1383,7 @@ object SparkEntry {
     "q78_jsonl_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      sources.CorpusJsonl.roundTrip(docs)
+      sources.CorpusJsonl.roundTrip(docs, dir)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).as("sum_chars"),
@@ -2557,7 +2557,7 @@ object SparkEntry {
         |  FROM documents),
         |m1 AS (SELECT doc_id, t2,
         |  regexp_replace(t2,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS s1
         |  FROM e),
         |m2 AS (SELECT doc_id, t2, s1,
         |  regexp_replace(s1,
@@ -2565,7 +2565,7 @@ object SparkEntry {
         |  FROM m1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t2,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(s2,
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
         |  CAST(len(regexp_extract_all(s1,
@@ -2697,7 +2697,7 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_text,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        |FROM read_json('${sources.CorpusJsonl.Q78Dir}/*.json.gz',
+        |FROM read_json('${sources.CorpusJsonl.lastDir}/*.json.gz',
         |  format = 'newline_delimited',
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             source: 'VARCHAR', n_chars: 'BIGINT'})

@@ -102,8 +102,11 @@ case class PiiScrub(child: Expression)
 }
 
 object PiiScrub {
-  /** user@host.tld — lowercase corpus, so the class skips A-Z. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** user@host.tld — case-insensitive classes so `User@Example.COM`
+    * is masked too (pii_scrub is a general SQL function; the corpus
+    * being lowercase is a property of THIS dataset, not a
+    * precondition). Mirrored verbatim in the q72 DuckDB oracle. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   /** International-prefix phone shape +C[C]-NNN-NNNN. */
   val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
   /** Dotted-quad IPv4. */

@@ -27,15 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Rows above which the confirmed-dup side stops being broadcast:
+    * ~1M ids is already a larger broadcast than Spark's 10 MB default
+    * autoBroadcast threshold would admit for a (long, long) relation. */
+  private val BroadcastDupLimit = 1000000L
+
+  /** `bits` for a corpus of `n` rows: ~16 bits/row (k=3 → ~0.5% FP)
+    * rounded up to a power of two, clamped to [2^13, 2^30] — the cap
+    * is a 128 MB blob, the floor avoids degenerate tiny filters. */
+  def sizedBits(n: Long): Int = {
+    val want = math.max(n, 1L) * 16L
+    val clamped = math.min(math.max(want, 1L << 13), 1L << 30)
+    java.lang.Long.highestOneBit(
+      if (java.lang.Long.bitCount(clamped) == 1) clamped else clamped << 1).toInt
+  }
+
   /** Mark each batch row `is_new` = its `textCol` value appears
-    * nowhere in `corpus`. `bits` sizes the prefilter: ~16 bits per
-    * corpus row keeps the false-positive confirm traffic ~0.1%. */
+    * nowhere in `corpus`. `bits` sizes the prefilter; pass 0 (the
+    * default) to derive it from `corpus.count()` — ~16 bits per
+    * corpus row ([[sizedBits]]), which keeps the false-positive
+    * confirm traffic ~0.5% regardless of corpus size. The count is
+    * one cheap extra job (parquet row-count metadata, no text read);
+    * callers that already know the cardinality pass `bits` explicitly
+    * and skip it. */
   def newDocs(corpus: DataFrame, batch: DataFrame,
               textCol: String = "text", idCol: String = "doc_id",
-              bits: Int = 1 << 16, hashes: Int = 3): DataFrame = {
+              bits: Int = 0, hashes: Int = 3): DataFrame = {
+    val nbits = if (bits > 0) bits else sizedBits(corpus.count())
     val blob = corpus
       .agg(call_function("bloom_agg",
-        xxhash64(col(textCol)), lit(bits), lit(hashes)).as("bf"))
+        xxhash64(col(textCol)), lit(nbits), lit(hashes)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
     val probed = batch.withColumn("maybe_dup",
       call_function("bloom_might_contain", lit(blob), xxhash64(col(textCol))))
@@ -43,8 +64,14 @@ object IncrementalDedup {
     val confirmed = probed.filter(col("maybe_dup"))
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
       .select(col(idCol).as("dup_id"))
+      .persist()
+    // Broadcast is bounded by the dup rate — a pathological ~100%-dup
+    // batch would broadcast ~the whole batch, so guard on actual size
+    // and fall back to a shuffle join when the dup side is large.
+    val dupSide =
+      if (confirmed.count() <= BroadcastDupLimit) broadcast(confirmed) else confirmed
     probed
-      .join(broadcast(confirmed), col(idCol) === col("dup_id"), "left")
+      .join(dupSide, col(idCol) === col("dup_id"), "left")
       .select(col(idCol), col("dup_id").isNull.as("is_new"))
   }
 }

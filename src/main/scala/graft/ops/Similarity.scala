@@ -260,9 +260,13 @@ object Similarity {
     * ADC: the probe precomputes, per subspace `j`, the dot of its
     * slice with every sub-codebook centroid — an m×ksub lookup table.
     * A member's score is then `Σ_j lut[j][code_j]`: m table lookups
-    * and m−1 additions per row, NO access to the member's vector — at
-    * the design point the scan reads codes (m bytes/row), not vectors
-    * (256+ bytes/row), which is the entire point of PQ.
+    * and m−1 additions per row. NOTE: here the codes are derived
+    * inline from each member's full vector (the same `argmax_dot` as
+    * [[pqEncode]]) because the test corpus stores vectors, not codes;
+    * a real deployment lands [[pqEncode]]'s output once and this scan
+    * then reads codes (m bytes/row) instead of vectors (256+
+    * bytes/row), which is the entire point of PQ — the plan shape
+    * (scan → project → prune → ADC → top-k) is identical either way.
     *
     * Scale shape: the coarse centroids, sub-codebooks, and LUT are all
     * driver-resident metadata shipped as literals (the [[ivfAssign]]
@@ -284,6 +288,10 @@ object Similarity {
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val cbRows = typed.filter(col(idCol) < math.max(coarseK, ksub)).orderBy(idCol).collect()
     val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
+    require(ids == (0L until math.max(coarseK, ksub).toLong),
+      s"ivfPqTopK: codebook rows must be the contiguous ids 0..${math.max(coarseK, ksub) - 1}; " +
+        s"got ${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""} — a missing low id " +
+        "would silently pair the wrong vector with the wrong codebook slot")
     val vecs: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
     val coarseIds = ids.take(coarseK)
     val coarse = vecs.take(coarseK)

@@ -15,11 +15,29 @@ import org.apache.spark.sql.DataFrame
   * unicode, and numeric formatting included — not merely that Spark
   * can read what Spark wrote. */
 object CorpusJsonl {
-  val Q78Dir = "/tmp/graft_q78_jsonl"
+  /** Landing dir derived from (user, source data dir): two runs on
+    * one host — two users, or one user benching sf0.1 while verifying
+    * sf0.01 — land in DIFFERENT dirs instead of clobbering each
+    * other's `mode("overwrite")` shards mid-oracle-read. */
+  def dirFor(dataDir: String): String = {
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q78_jsonl_${user}_$tag"
+  }
 
-  /** Land `docs` as gzip jsonl shards at `dir`, then read them back
-    * with the source frame's schema. */
-  def roundTrip(docs: DataFrame, dir: String = Q78Dir): DataFrame = {
+  /** Dir of the most recent [[roundTrip]] in this JVM — what the q78
+    * oracle SQL must point at. `Verify` dumps `oracleSql` AFTER
+    * running the queries, so by dump time this holds the dir the q78
+    * shards actually landed in. */
+  @volatile private var lastDirVar: String = dirFor("")
+  def lastDir: String = lastDirVar
+
+  /** Land `docs` as gzip jsonl shards derived from `dataDir`, then
+    * read them back with the source frame's schema. */
+  def roundTrip(docs: DataFrame, dataDir: String): DataFrame = {
+    val dir = dirFor(dataDir)
+    lastDirVar = dir
     docs.write.mode("overwrite").option("compression", "gzip").json(dir)
     docs.sparkSession.read.schema(docs.schema).json(dir)
   }

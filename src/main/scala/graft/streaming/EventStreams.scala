@@ -210,14 +210,20 @@ object EventStreams {
           .groupBy(col(textCol))
           .agg(min(struct(fields: _*)).as("r"))
           .select(col("r.*"))
-        val fresh = scala.util.Try(spark.read.parquet(landingDir)) match {
-          case scala.util.Failure(_) => firsts // first batch: nothing landed yet
-          case scala.util.Success(corpus) =>
+        // Only a genuinely-absent landing dir means "first batch".
+        // Any other read failure (transient IO, corrupt footer,
+        // permissions) must fail the batch so the retry re-runs WITH
+        // dedup — swallowing it would append duplicates permanently
+        // and break the exactly-once-corpus convergence contract.
+        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(landingPath)) firsts // first batch: nothing landed yet
+          else
             firsts.join(
-              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol)
+              graft.ops.IncrementalDedup.newDocs(spark.read.parquet(landingDir), firsts, textCol, idCol)
                 .filter(col("is_new")).select(col(idCol)),
               Seq(idCol), "left_semi")
-        }
         fresh.write.mode("append").parquet(landingDir)
       }
       .start()

@@ -11,10 +11,14 @@ import graft.sources.CorpusJsonl
 class CorpusJsonlSpec extends AnyFunSuite with SparkTestSession {
 
   test("gzip jsonl round-trip is row-level lossless") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/shards"
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val dir = CorpusJsonl.dirFor(dataDir)
+    assert(dir != CorpusJsonl.dirFor(dataDir + "-other"),
+      "landing dir must differ per source data dir (concurrent-run isolation)")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val back = CorpusJsonl.roundTrip(docs, dir)
+    val back = CorpusJsonl.roundTrip(docs, dataDir)
+    assert(CorpusJsonl.lastDir == dir, "lastDir must record the landing dir for the oracle")
     assert(back.schema == docs.schema, "schema drifted through jsonl")
     val a = docs.orderBy("doc_id").collect().toSeq
     val b = back.orderBy("doc_id").collect().toSeq

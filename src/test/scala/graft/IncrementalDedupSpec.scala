@@ -67,6 +67,31 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set((1L, true), (2L, true)))
   }
 
+  test("auto-sized bits track the corpus: unsized caller keeps FP traffic low at 100k rows") {
+    // sizedBits: ~16 bits/row rounded up to a power of two, clamped
+    assert(IncrementalDedup.sizedBits(0) == (1 << 13))
+    assert(IncrementalDedup.sizedBits(2000) == (1 << 15))
+    assert(IncrementalDedup.sizedBits(100000) == (1 << 21))
+    assert(IncrementalDedup.sizedBits(1L << 40) == (1 << 30)) // cap: 128 MB blob
+    // a caller who never sizes `bits` on a 100k-row corpus still gets
+    // a filter whose FP rate is the designed ~0.5%, not the ~100% a
+    // fixed 8 KB default would give (the round-5 ADVICE finding)
+    val n = 100000
+    val blob = spark.range(n)
+      .select(concat(lit("k"), col("id")).as("s"))
+      .agg(call_function("bloom_agg",
+        xxhash64(col("s")), lit(IncrementalDedup.sizedBits(n)), lit(3)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val probes = 50000
+    val fps = spark.range(probes)
+      .select(concat(lit("absent"), col("id")).as("s"))
+      .filter(call_function("bloom_might_contain",
+        lit(blob), xxhash64(col("s"))))
+      .count()
+    assert(fps.toDouble / probes < 0.02,
+      s"auto-sized false-positive rate ${fps.toDouble / probes} far above the designed ~0.5%")
+  }
+
   test("bloom_might_contain: null key or null filter gives null") {
     val blob = spark.range(1).select(lit("x").as("s"))
       .agg(call_function("bloom_agg", xxhash64(col("s")), lit(64), lit(2)))
