@@ -506,14 +506,17 @@ object SparkEntry {
     "q32_describe" -> ((s, dir) => {
       val D38 = DecimalType(38, 0)
       val li = Tables.lineitem(s, dir)
-      // Exact quartiles, two regimes: l_quantity has ~50 distinct
-      // values so the `percentile` aggregate (per-partition value→count
-      // map) is cheap; l_extendedprice is ~all-distinct, where that map
-      // degenerates (memory ∝ distinct count — a scale-killer). For
-      // it: ops/Percentiles.exactBySort — range-partitioned rank
-      // selection as ONE LAZY PLAN (round 2 ran it as two eager RDD
-      // jobs at construction time), crossJoined as a 1-row side input.
-      val pricePcts = ops.Percentiles.exactBySort(
+      // Exact quartiles through the REGIME CHOOSER (Percentiles
+      // .exactAuto): the caller no longer hand-picks the taxonomy.
+      // The profile pass routes l_quantity (~50 distinct) to the
+      // value-map regime and l_extendedprice (~all-distinct, ~8
+      // binades of spread) to the bits-histogram regime — the plan a
+      // regime-aware caller would have picked, now chosen from the
+      // data. Each lands as a 1-row crossJoin side input.
+      val qtyPcts = ops.Percentiles.exactAuto(
+        li.select(col("l_quantity")), "l_quantity",
+        Seq(0.25, 0.5, 0.75), prefix = "qq")
+      val pricePcts = ops.Percentiles.exactAuto(
         li.select(col("l_extendedprice")), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), prefix = "pp")
       def stats(c: String, suffix: String): Seq[Column] = {
@@ -526,8 +529,7 @@ object SparkEntry {
       }
       val agg = li.agg(
         count(lit(1)).as("n"),
-        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p") :+
-         expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("pct_q")): _*)
+        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p")): _*)
       val nd = col("n").cast("double")
       def out(suffix: String, label: String, pct: Int => Column): Seq[Column] = {
         val d = (col("n").cast(D38) * col(s"ss100_$suffix") -
@@ -541,8 +543,8 @@ object SparkEntry {
           round(pct(2), 6).as(s"q75_$label"),
           col(s"max_$suffix").as(s"max_$label"))
       }
-      agg.crossJoin(pricePcts).select((col("n") +:
-        (out("q", "qty", i => col("pct_q").getItem(i)) ++
+      agg.crossJoin(pricePcts).crossJoin(qtyPcts).select((col("n") +:
+        (out("q", "qty", i => col(s"qq${25 * (i + 1)}")) ++
          out("p", "price", i => col(s"pp${25 * (i + 1)}")))): _*)
     }),
 
@@ -822,14 +824,23 @@ object SparkEntry {
       // intermediate token array (and no HOF-inlining hazard — the
       // round-2 bug where inlined tokens() re-evaluated per
       // element_at cost 52 s vs 1 s at sf0.1)
+      // grams travel as 64-bit fingerprints (word_text_gram_hashes):
+      // the semi-join and both distincts only need gram equality, so
+      // every exchange carries 8-byte longs, not gram strings
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.ngramsOfText(col("text"), 3).as("g3"))
+        .select(col("doc_id"), Text.gramHashesOfText(col("text"), 3).as("g3"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(explode(col("g3")).as("gram")).distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+      // semi-join BEFORE distinct (equivalent: distinct∘semijoin ≡
+      // semijoin∘distinct): the broadcast semi prunes map-side, so
+      // the (doc_id, gram) distinct exchange carries only the SHARED
+      // grams — contamination is rare by construction, so that
+      // exchange is a small fraction of the corpus gram stream
       val hits = corpus
-        .select(col("doc_id"), explode(col("g3")).as("gram")).distinct()
-        .join(bench, Seq("gram"), "left_semi")
+        .select(col("doc_id"), explode(col("g3")).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       corpus.select("doc_id")
         .join(hits, Seq("doc_id"), "left")
@@ -1114,8 +1125,11 @@ object SparkEntry {
       // only takes a literal shift amount)
       def onebit(name: String): Column =
         expr(s"shiftleft(1L, cast(substring($name, 4, 2) as int))")
+      // gram identity = 64-bit fingerprint (word_text_gram_hashes):
+      // the bit_or fold only needs gram equality, so the per-gram
+      // exchange keys on a long instead of the gram string
       val masks = Tables.documents(s, dir)
-        .select(col("source"), Text.ngramsOfText(col("text"), 3).as("g3"))
+        .select(col("source"), Text.gramHashesOfText(col("text"), 3).as("g3"))
         .select(onebit("source").as("m"), explode(col("g3")).as("gram"))
         .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
         .groupBy("mask").agg(count(lit(1)).as("c"))

@@ -51,10 +51,14 @@ object Percentiles {
     // per-chunk counts → offset (rows strictly before the chunk) and
     // n (grand total), in ONE P-row window (P = shuffle partitions,
     // not data — the single-partition window here is over chunk
-    // COUNTS, never values). WindowExec's "No Partition Defined"
-    // warning fires here at runtime — expected and bounded by P; do
-    // not "fix" it by partitioning.
-    val wOff = Window.orderBy("pid")
+    // COUNTS, never values). The pmod(pid, 1) partition key is 0 by
+    // construction but opaque to constant folding (a bare lit(0)
+    // gets optimized away, reverting to an empty spec), so the
+    // single partition is EXPLICIT in the plan: execution is
+    // identical, and the "No Partition Defined" warning stays free
+    // to flag windows that are unpartitioned by ACCIDENT (PlanSpec
+    // pins the absence).
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
     val meta = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .select(col("pid"),
         coalesce(sum("cnt").over(
@@ -140,10 +144,11 @@ object Percentiles {
     def bucketOf(c: Column): Column =
       shiftright(call_function("double_order_bits", c), 41)
 
-    // unpartitioned by design (the expected WindowExec warning): the
-    // window sees bucket-count rows, bounded by the data's exponent
-    // spread, never values
-    val wB = Window.orderBy("b")
+    // single-partition by design, keyed by the fold-proof constant
+    // pmod(b, 1) = 0 so it is explicit (no "No Partition Defined"
+    // warning): the window sees bucket-count rows, bounded by the
+    // data's exponent spread, never values
+    val wB = Window.partitionBy(pmod(col("b"), lit(1))).orderBy("b")
     val bmeta = vals.groupBy(bucketOf(col("v")).as("b")).agg(count(lit(1)).as("bcnt"))
       .select(col("b"), col("bcnt"),
         coalesce(sum("bcnt").over(
@@ -184,15 +189,85 @@ object Percentiles {
     }: _*)
   }
 
+  /** Exact interpolated percentiles via Spark's `percentile`
+    * aggregate (per-partition value→count map) — the right regime for
+    * LOW-DISTINCT columns (enums, quantities, ratings): memory is
+    * ∝ distinct values, so below ~10⁴ distinct it is one
+    * map-side-combinable aggregate with no window, no join, no
+    * second pass. Degenerate for ~all-distinct columns (the map IS
+    * the column) — that is what the other regimes exist for. Same
+    * output contract as [[exactBySort]]. */
+  def exactByValueMap(src: DataFrame, valueCol: String, ps: Seq[Double],
+                      prefix: String = "p"): DataFrame = {
+    def tag(p: Double): String = math.round(p * 100).toString
+    val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
+    val arr = ps.map(p => s"${p}D").mkString(", ")
+    vals.agg(expr(s"percentile(v, array($arr))").as("pcts"))
+      .select(ps.zipWithIndex.map { case (p, i) =>
+        col("pcts").getItem(i).as(s"$prefix${tag(p)}") }: _*)
+  }
+
+  /** Regime CHOOSER: profile the column once (one cheap aggregate —
+    * approx distinct values + approx distinct order-bits buckets),
+    * then hand off to the regime whose boundedness argument holds:
+    *
+    *  - distinct ≤ `distinctCutoff` → [[exactByValueMap]] (the
+    *    value→count map stays tiny at any corpus size);
+    *  - order-bits buckets ≥ `minBuckets` → [[exactByBitsHistogram]]
+    *    (bracketing buckets hold ~n/buckets rows, so the level-2
+    *    scan is corpus-diluted);
+    *  - else → [[exactBySort]] (fully general: high-distinct data
+    *    crammed into a handful of binades — the one shape where only
+    *    a real distributed sort bounds every step).
+    *
+    * The profile is an EAGER extra job by design — ~a count(distinct)
+    * over one column, paid once so the expensive selection plan is
+    * the right one. Callers that know their column's shape call a
+    * regime directly and skip it; q57/q70 do exactly that. */
+  /** The pure decision given the profile: distinct-value estimate
+    * `nd`, order-bits-bucket estimate `nb`. Factored out so specs can
+    * pin branch selection without instrumenting plans. */
+  private[graft] def chooseRegime(nd: Long, nb: Long, distinctCutoff: Long,
+                                  minBuckets: Long): String =
+    if (nd <= distinctCutoff) "value-map"
+    else if (nb >= minBuckets) "bits"
+    else "sort"
+
+  /** [[exactAuto]]'s profile + decision (runs the one profiling job,
+    * returns the regime name) — also used directly by tests to pin
+    * branch selection. */
+  private[graft] def profileRegime(src: DataFrame, valueCol: String,
+                                   distinctCutoff: Long = 10000,
+                                   minBuckets: Long = 64): String = {
+    val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
+    val prof = vals.agg(
+      approx_count_distinct(col("v")).as("nd"),
+      approx_count_distinct(
+        shiftright(call_function("double_order_bits", col("v")), 41)).as("nb"))
+      .head()
+    chooseRegime(prof.getLong(0), prof.getLong(1), distinctCutoff, minBuckets)
+  }
+
+  def exactAuto(src: DataFrame, valueCol: String, ps: Seq[Double],
+                prefix: String = "p", distinctCutoff: Long = 10000,
+                minBuckets: Long = 64): DataFrame =
+    profileRegime(src, valueCol, distinctCutoff, minBuckets) match {
+      case "value-map" => exactByValueMap(src, valueCol, ps, prefix)
+      case "bits"      => exactByBitsHistogram(src, valueCol, ps, prefix)
+      case _           => exactBySort(src, valueCol, ps, prefix)
+    }
+
   def exactByCentsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
                             prefix: String = "p"): DataFrame = {
     def tag(p: Double): String = math.round(p * 100).toString
     def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
     val cents = src.select(round(col(valueCol) * 100, 0).cast("long").as("c")).na.drop()
 
-    // unpartitioned by design (the expected WindowExec warning): this
-    // window sees at most domain/256 bucket-count rows, never values
-    val wB = Window.orderBy("b")
+    // single-partition by design, keyed by the fold-proof constant
+    // pmod(b, 1) = 0 so it is explicit (no "No Partition Defined"
+    // warning): this window sees at most domain/256 bucket-count
+    // rows, never values
+    val wB = Window.partitionBy(pmod(col("b"), lit(1))).orderBy("b")
     val bmeta = cents.groupBy(shiftright(col("c"), 8).as("b")).agg(count(lit(1)).as("bcnt"))
       .select(col("b"), col("bcnt"),
         coalesce(sum("bcnt").over(

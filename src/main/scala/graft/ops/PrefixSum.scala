@@ -26,12 +26,15 @@ object PrefixSum {
                    cumCol: String): DataFrame = {
     val parts = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    // This unpartitioned window triggers WindowExec's "No Partition
-    // Defined" warning at runtime — EXPECTED and bounded: it orders
-    // the P per-chunk totals (P = shuffle partitions), never data
-    // rows. Do not "fix" it by partitioning; the offsets need the
-    // global chunk order.
-    val wOff = Window.orderBy("__pid")
+    // Single-partition by design — it orders the P per-chunk totals
+    // (P = shuffle partitions), never data rows. The pmod(pid, 1)
+    // partition key is 0 by construction but opaque to constant
+    // folding (a bare lit(0) gets optimized away, reverting to an
+    // empty spec), so the single partition is EXPLICIT: execution is
+    // identical, and WindowExec's "No Partition Defined" warning
+    // stays free to flag windows unpartitioned by ACCIDENT (PlanSpec
+    // pins the absence).
+    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
     val meta = parts.groupBy("__pid").agg(sum(col(valueCol)).as("__cnt"))
       .select(col("__pid"),
         coalesce(sum("__cnt").over(

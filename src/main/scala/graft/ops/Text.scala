@@ -38,6 +38,14 @@ object Text {
   def ngramsOfText(text: Column, n: Int): Column =
     call_function("word_text_ngrams", text, lit(n))
 
+  /** `transform(ngramsOfText(text, n), g -> xxhash64(g))` in one byte
+    * scan (native [[graft.functions.WordTextGramHashes]]): ARRAY<LONG>
+    * of 64-bit gram fingerprints, for consumers that only need gram
+    * EQUALITY (q49's semi-join, q66's bit_or fold) — exchanges then
+    * carry 8-byte longs instead of gram strings. */
+  def gramHashesOfText(text: Column, n: Int): Column =
+    call_function("word_text_gram_hashes", text, lit(n))
+
   /** English stopword list used by the quality scorer — a fixed,
     * documented set so the oracle can embed the same literal. */
   val Stopwords: Seq[String] = Seq(

@@ -131,6 +131,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"found globally-ordered window over the data in:\n$p")
   }
 
+  test("no WindowExec anywhere runs with an empty partition spec") {
+    // Every intentional single-partition meta window (Percentiles /
+    // PrefixSum chunk offsets) is keyed by a constant, so a window
+    // with NO partition spec can only be an accident — the exact
+    // shape whose "No Partition Defined" warning used to be drowned
+    // out by the intentional ones. Sweep the plans that use windows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (name <- Seq("q32_describe", "q51_token_shards", "q57_percentile_hist",
+                     "q70_quartiles_hist", "q08_window_rank", "q09_window_running")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      def sweep(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+        case w: WindowExec =>
+          assert(w.partitionSpec.nonEmpty,
+                 s"$name: WindowExec with empty partition spec:\n$w")
+        case a: AdaptiveSparkPlanExec => sweep(a.executedPlan)
+        case _ =>
+      }
+      sweep(df.queryExecution.executedPlan)
+    }
+  }
+
   test("q39: dedup anti-join broadcasts the dup-id set") {
     val p = plan("q39_neardup_dedup")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -16,6 +16,10 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestSession {
       .toDF("k", "v") // unique keys, arbitrary order
     val got = PrefixSum.runningTotal(df, "k", "v", "cum")
       .select("k", "cum").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the ORACLE is deliberately the naive global window (the thing
+    // runningTotal exists to avoid) — the "No Partition Defined"
+    // warning this line triggers is the oracle's, not the operator's
+    // (PlanSpec pins that no production plan carries one)
     val want = df.withColumn("cum",
         sum("v").over(Window.orderBy("k")
           .rowsBetween(Window.unboundedPreceding, 0)))

@@ -91,6 +91,32 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("exactAuto picks each regime by data shape and stays exact on all three") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5EEDAL)
+    // (name, data, cutoffs tuned so each case exercises one branch)
+    val cases: Seq[(String, Seq[Double], Long, Long)] = Seq(
+      // ≤cutoff distinct → value-map branch
+      ("value-map", Seq.tabulate(300)(_ => rnd.nextInt(9) - 4.0), 10000L, 64L),
+      // all-distinct with wide exponent spread → bits-histogram branch
+      ("bits", Seq.tabulate(300)(_ =>
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12) - 3)), 16L, 8L),
+      // all-distinct crammed sub-binade (few buckets) → sort fallback
+      ("sort", Seq.tabulate(300)(_ => 1.0 + rnd.nextDouble() * 1e-6), 16L, 64L))
+    for ((name, vs, cutoff, minB) <- cases) {
+      assert(Percentiles.profileRegime(vs.toDF("v"), "v", cutoff, minB) == name,
+             s"profile chose the wrong regime for the $name-shaped data")
+      val got = Percentiles.exactAuto(
+        vs.toDF("v"), "v", Seq(0.25, 0.5, 0.75), prefix = "pp",
+        distinctCutoff = cutoff, minBuckets = minB).head()
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+        val want = quantileCont(vs, p)
+        assert(math.abs(got.getDouble(i) - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+               s"branch=$name p=$p: got ${got.getDouble(i)}, want $want")
+      }
+    }
+  }
+
   test("TopK.perGroup matches a driver-side ranking with null-last semantics") {
     import spark.implicits._
     val rnd = new scala.util.Random(0x5EED3L)

@@ -120,6 +120,20 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("word_text_gram_hashes equals xxhash64 over word_text_ngrams, bit-for-bit") {
+    val cases = Seq(
+      "The quick brown-fox; jumps! over_the lazy dog 42",
+      "", "   ", "one", "one two", "a b c d e",
+      "MiXeD CaSe--punct,,sep\ttab\nnewline", "a-b_c.d,e;f:g!h?i",
+      "a gram long enough to exercise the growable hash buffer " * 4)
+    for (s <- cases; n <- Seq(1, 2, 3, 5)) {
+      val fused = one(s, Text.gramHashesOfText(col("text"), n))
+      val composed = one(s,
+        transform(Text.ngramsOfText(col("text"), n), g => xxhash64(g)))
+      assert(fused == composed, s"mismatch on '$s' n=$n")
+    }
+  }
+
   test("json_field: strings unquoted, nested containers skipped, null contract") {
     import spark.implicits._
     def f(doc: String): Any = Seq(doc).toDF("d")

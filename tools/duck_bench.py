@@ -26,7 +26,9 @@ con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in TABLES:
     p = f"{sfdir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # multi-file table (make_sf1.py splits>1)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 out = {}

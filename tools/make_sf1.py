@@ -32,10 +32,34 @@ con = duckdb.connect()
 def src(t):
     return f"read_parquet('{SRC}/{t}.parquet')"
 
-def copy_out(sql, t):
-    con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
-    n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
-    print(f"{t}: {n} rows")
+def copy_out(sql, t, splits=1):
+    """splits>1 writes {t}.parquet as a DIRECTORY of part files (round-
+    robin by row_number) — a single ~1 MB file is below Spark's split
+    granularity, so every scan of that table serializes on one core
+    and text-heavy stages (q49/q66/q72) measure one-core throughput
+    instead of the plan. Spark reads the dir transparently; DuckDB
+    reads it via the glob in duck_bench.py."""
+    import shutil
+    p = f"{DST}/{t}.parquet"
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+    elif os.path.exists(p):
+        os.remove(p)
+    if splits <= 1:
+        con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    else:
+        os.makedirs(f"{DST}/{t}.parquet", exist_ok=True)
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _split AS "
+                    f"SELECT *, row_number() OVER () AS _rn FROM ({sql})")
+        for s in range(splits):
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_rn) FROM _split WHERE _rn % {splits} = {s}) "
+                f"TO '{DST}/{t}.parquet/part-{s:05d}.parquet' (FORMAT PARQUET)")
+        con.execute("DROP TABLE _split")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet"
+        + ("/*.parquet" if splits > 1 else "") + "')").fetchone()[0]
+    print(f"{t}: {n} rows ({max(splits,1)} file(s))")
 
 okey_max, ckey_max = con.execute(
     f"SELECT (SELECT max(o_orderkey)+1 FROM {src('orders')}),"
@@ -90,7 +114,7 @@ doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone
 copy_out(f"""
   SELECT doc_id + i * {doc_max} AS doc_id,
          * EXCLUDE (doc_id)
-  FROM {src('documents')}, range({COPIES}) t(i)""", "documents")
+  FROM {src('documents')}, range({COPIES}) t(i)""", "documents", splits=16)
 
 vec_max, dim = con.execute(
     f"SELECT max(vec_id)+1, max(len(embedding)) FROM {src('embeddings')}").fetchone()
@@ -99,6 +123,6 @@ copy_out(f"""
          CAST(embedding[(i % {dim}) + 1 :] || embedding[: (i % {dim})] AS FLOAT[])
            AS embedding,
          * EXCLUDE (vec_id, embedding)
-  FROM {src('embeddings')}, range({COPIES}) t(i)""", "embeddings")
+  FROM {src('embeddings')}, range({COPIES}) t(i)""", "embeddings", splits=8)
 
 print("done:", DST)
