@@ -1405,6 +1405,21 @@ object SparkEntry {
              countDistinct(md5(col("text"))).as("n_distinct_text"),
              min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang", "source")
+    }),
+
+    // ---- batch IVF-PQ search (the serving shape of q75) ----
+    // Q probes against one corpus pass: probe-independent work
+    // (coarse assign + PQ codes) computed once, per-probe LUTs ride a
+    // broadcast (probe_id, centroid, lut) spec table, per-probe
+    // top-k via the bounded_topk aggregate — no corpus re-scan per
+    // probe (PlanSpec pins one parquet scan in the whole plan).
+    "q79_ivfpq_batch" -> ((s, dir) => {
+      ops.Similarity.ivfPqSearch(Tables.embeddings(s, dir),
+          probeIds = Seq(123L, 77L, 401L),
+          coarseK = 16, m = 4, ksub = 16, nprobe = 4, k = 10)
+        .select(col("probe_id"), col("vec_id"), col("centroid"),
+                round(col("adc"), 6).as("adc"), col("rk"))
+        .orderBy("probe_id", "rk")
     })
   )
 
@@ -2716,7 +2731,57 @@ object SparkEntry {
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             source: 'VARCHAR', n_chars: 'BIGINT'})
         |GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin
+        |ORDER BY lang, source""".stripMargin,
+
+    "q79_ivfpq_batch" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM v
+        |           WHERE vec_id IN (123, 77, 401)),
+        |pc AS (
+        |  SELECT probe_id, cid FROM (
+        |    SELECT p.probe_id, cb.cid,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |                         ORDER BY list_dot_product(pv, cv) DESC, cid) AS rn
+        |    FROM probes p CROSS JOIN cb) WHERE rn <= 4),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, cb.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |                         ORDER BY list_dot_product(v.v, cb.cv) DESC, cb.cid) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |sub AS (SELECT vec_id, j, v[j*16+1 : (j+1)*16] AS sv FROM v CROSS JOIN js),
+        |scb AS (SELECT cid, j, cv[j*16+1 : (j+1)*16] AS scv FROM cb CROSS JOIN js),
+        |codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT sub.vec_id, sub.j, scb.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.j
+        |                         ORDER BY list_dot_product(sv, scv) DESC, cid) AS rn
+        |    FROM sub JOIN scb ON sub.j = scb.j) WHERE rn = 1),
+        |lut AS (
+        |  SELECT probe_id, j, cid,
+        |         list_dot_product(pv[j*16+1 : (j+1)*16], scv) AS term
+        |  FROM probes CROSS JOIN scb),
+        |adc AS (
+        |  SELECT l.probe_id, c.vec_id,
+        |    ((MAX(CASE WHEN c.j = 0 THEN l.term END)
+        |      + MAX(CASE WHEN c.j = 1 THEN l.term END))
+        |      + MAX(CASE WHEN c.j = 2 THEN l.term END))
+        |      + MAX(CASE WHEN c.j = 3 THEN l.term END) AS adc
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
+        |  GROUP BY l.probe_id, c.vec_id),
+        |ranked AS (
+        |  SELECT a.probe_id, a.vec_id, g.cid AS centroid, a.adc,
+        |    CAST(row_number() OVER (PARTITION BY a.probe_id
+        |                            ORDER BY a.adc DESC, a.vec_id) AS INT) AS rk
+        |  FROM adc a
+        |  JOIN asg g ON g.vec_id = a.vec_id
+        |  JOIN pc ON pc.probe_id = a.probe_id AND pc.cid = g.cid
+        |  WHERE a.vec_id <> a.probe_id)
+        |SELECT probe_id, vec_id, centroid, round(adc, 6) AS adc, rk
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY probe_id, rk""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

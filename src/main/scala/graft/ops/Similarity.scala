@@ -343,6 +343,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVF-PQ search: [[ivfPqTopK]] generalized from one probe to
+    * a probe TABLE — the shape a real retrieval pipeline runs, where
+    * a serving batch of Q queries must not cost Q corpus scans.
+    *
+    * One corpus pass computes what is probe-independent (coarse
+    * assignment + per-subspace codes, and only for rows inside SOME
+    * probed cluster); per-probe work rides a broadcast spec table of
+    * (probe_id, centroid, flattened LUT) rows — Q·nprobe rows, built
+    * driver-side exactly like the single-probe LUT. The equi-join on
+    * `centroid` fans each corpus row out ONLY to the probes probing
+    * its cluster (expected expansion Q·nprobe/coarseK — the honest
+    * IVF read amplification), the ADC score is one projection over
+    * the joined row, and per-probe top-k is the bounded-heap
+    * `bounded_topk` aggregate ([[TopK.perGroup]]) — map tasks emit
+    * ≤k rows per probe, no per-probe window sort, no corpus re-scan
+    * per probe (PlanSpec pins one parquet scan in the whole plan).
+    *
+    * Output: (probe_id, `idCol`, centroid, adc, rk), rk = 1..k best-
+    * first per probe; each probe is excluded from its own results.
+    * Same codebook convention and tie rules as [[ivfPqTopK]]. */
+  def ivfPqSearch(emb: DataFrame, probeIds: Seq[Long], coarseK: Int, m: Int,
+                  ksub: Int, nprobe: Int, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeIds.nonEmpty, "ivfPqSearch: empty probe batch")
+    val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cbRows = typed.filter(col(idCol) < math.max(coarseK, ksub)).orderBy(idCol).collect()
+    val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
+    require(ids == (0L until math.max(coarseK, ksub).toLong),
+      s"ivfPqSearch: codebook rows must be the contiguous ids 0..${math.max(coarseK, ksub) - 1}")
+    val vecs: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val coarseIds = ids.take(coarseK)
+    val coarse = vecs.take(coarseK)
+    val pq = vecs.take(ksub)
+    // the probe batch is driver-resident by definition (it is the
+    // incoming query set, not corpus data)
+    val probeRows: Map[Long, Seq[Double]] =
+      typed.filter(col(idCol).isin(probeIds: _*)).collect()
+        .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1).toSeq).toMap
+    val missing = probeIds.filterNot(probeRows.contains)
+    require(missing.isEmpty, s"ivfPqSearch: no vector for probe id(s) ${missing.mkString(",")}")
+    val dim = probeRows(probeIds.head).length
+    require(dim % m == 0, s"ivfPqSearch: dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // spec rows (probe_id, centroid, lut): lut flattened [j*ksub + code]
+    val spec: Seq[(Long, Long, Seq[Double])] = probeIds.flatMap { pid =>
+      val pv = probeRows(pid)
+      val pcs = coarseIds.zip(coarse).map { case (cid, cv) => (cid, ddot(pv, cv)) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1)
+      val lutFlat: Seq[Double] = (0 until m).flatMap { j =>
+        pq.map(cv => ddot(pv.slice(j * subLen, (j + 1) * subLen),
+                          cv.slice(j * subLen, (j + 1) * subLen)))
+      }
+      pcs.map(cid => (pid, cid, lutFlat))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probeSpec = spec.toDF("probe_id", "centroid", "lut")
+    val probedCentroids = spec.map(_._2).distinct
+
+    // ONE corpus pass: assign, prune to probed clusters, THEN pay the
+    // m per-subspace code argmaxes only for surviving rows
+    val assigned = typed
+      .select(col(idCol), col("v"),
+        call_function("argmax_dot", col("v"), typedlit(coarse)).as("amc"))
+      .filter(col("amc").isNotNull)
+      .select(col(idCol), col("v"),
+        element_at(typedlit(coarseIds), col("amc.idx") + 1).as("centroid"))
+      .filter(col("centroid").isin(probedCentroids: _*))
+    val ams = (0 until m).map { j =>
+      val sub: Seq[Seq[Double]] = pq.map(_.slice(j * subLen, (j + 1) * subLen))
+      call_function("argmax_dot",
+        slice(col("v"), j * subLen + 1, subLen), typedlit(sub)).as(s"am_$j")
+    }
+    val codes = assigned.select(col(idCol) +: col("centroid") +: ams: _*)
+    val terms: Seq[Column] = (0 until m).map { j =>
+      element_at(col("lut"), lit(j * ksub) + col(s"am_$j").getField("idx") + 1)
+    }
+    val scored = codes.join(broadcast(probeSpec), Seq("centroid"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol), col("centroid"),
+        terms.reduceLeft(_ + _).as("adc"))
+    TopK.perGroup(scored, Seq("probe_id"), "adc", idCol, k)
+  }
+
   /** Brute-force top-k against one probe vector. */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

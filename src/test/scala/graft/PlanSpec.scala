@@ -224,6 +224,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 1, s"ADC scan should not shuffle, got $exchanges:\n$p")
   }
 
+  test("q79: batch IVF-PQ search scans the corpus ONCE for all probes") {
+    val p = plan("q79_ivfpq_batch")
+    // one FileScan in the lazy plan — per-probe work rides the
+    // broadcast spec join, never a corpus re-scan per probe
+    // formatted mode prints each scan once in the tree and once as a
+    // "(n) Scan parquet" detail header — count the detail headers
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), "probe fan-out must be an equi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+           s"probe spec not broadcast:\n$p")
+    assert(p.contains("bounded_topk"), "per-probe top-k must be the bounded-heap aggregate")
+    assert(!p.contains("WindowExec") && !p.contains("windowspecdefinition"),
+           "no per-probe window sort")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // FormattedMode under AQE omits codegen spans; CodegenMode lists
     // the compiled subtrees explicitly.
