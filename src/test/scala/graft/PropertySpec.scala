@@ -338,6 +338,31 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("ivfPqSearch batch agrees with per-probe ivfPqTopK on random vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(0x5EEDEL)
+    val (n, dim, m, ksub, coarseK, nprobe, k) = (120, 8, 2, 6, 6, 3, 12)
+    val data = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(9) - 4.0))) // small ints → exact dots, real ties
+    val df = data.toDF("vec_id", "embedding")
+    val probeIds = Seq(77L, 12L, 103L)
+    val batch = Similarity.ivfPqSearch(df, probeIds, coarseK, m, ksub, nprobe, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    for (pid <- probeIds) {
+      val single = Similarity.ivfPqTopK(df, pid, coarseK, m, ksub, nprobe, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      single.zipWithIndex.foreach { case (row, i) =>
+        assert(batch((pid, i + 1)) == row,
+               s"probe $pid rk ${i + 1}: batch=${batch.get((pid, i + 1))}, single=$row")
+      }
+      assert(batch.keys.count(_._1 == pid) == single.size,
+             s"probe $pid: batch returned ${batch.keys.count(_._1 == pid)} rows, single ${single.size}")
+    }
+  }
+
   test("semanticDedup matches a driver-side rep-anchored filter on random vectors") {
     import spark.implicits._
     import graft.ops.Similarity
