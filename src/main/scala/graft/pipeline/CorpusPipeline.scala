@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ChunkDedup, Pii, Text}
+
+/** The end-to-end LLM-corpus preparation flow, as one composable
+  * operator: cleanup → PII scrub → exact dedup → chunk-level
+  * boilerplate dedup → quality gate → deterministic split. Each stage
+  * is an operator oracled on its own (q77, q72, q21, q73, q23, q45);
+  * this object pins how they CHAIN, and [[graft.RunCorpus]] makes the
+  * chain drivable from the command line.
+  *
+  * Scale shape: stages 1–2 are pure projections; exact dedup is one
+  * hash aggregation (min-struct keeper — map-side combinable, the q21
+  * discipline, never a per-text window); chunk dedup shuffles chunk
+  * keys bounded by corpus chunks; the gate is a filter; the split is
+  * md5 arithmetic. No stage collects, no stage joins unbounded sides
+  * without a broadcast.
+  *
+  * Input contract: columns `doc_id` (unique id), `text`, plus any
+  * passthrough columns (kept on the output). Output adds `n_pii`,
+  * `n_chunks`, `n_kept`, `split` and rewrites `text`.
+  */
+object CorpusPipeline {
+
+  /** Stage toggles + knobs; defaults mirror CorpusPipelineSpec. */
+  case class Config(
+      cleanup: Boolean = true,
+      pii: Boolean = true,
+      exactDedup: Boolean = true,
+      chunkDedup: Boolean = true,
+      chunkW: Int = 8,
+      quality: Boolean = true,
+      minTokens: Int = 5,
+      split: Boolean = true,
+      trainPct: Int = 80)
+
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val passthrough = docs.columns.toSeq.filterNot(Set("doc_id", "text"))
+
+    // 1. normalize + scrub (projections; n_pii = 0 when the scrub is off)
+    val cleaned =
+      if (cfg.cleanup) docs.withColumn("text", Text.cleanup(col("text")))
+      else docs
+    val scrubbed =
+      if (cfg.pii)
+        cleaned
+          .withColumn("p", Pii.scrub(col("text")))
+          .withColumn("text", col("p.clean_text"))
+          .withColumn("n_pii",
+            col("p.n_emails") + col("p.n_phones") + col("p.n_ips"))
+          .drop("p")
+      else cleaned.withColumn("n_pii", lit(0))
+
+    // 2. exact dedup: lowest doc_id per text (the q21 keeper) as ONE
+    // hash aggregation — id leads the struct so min() orders by it
+    val exact =
+      if (cfg.exactDedup) {
+        val fields = col("doc_id") +: (passthrough :+ "n_pii").map(col)
+        scrubbed.groupBy(col("text"))
+          .agg(min(struct(fields: _*)).as("r"))
+          .select(Seq(col("r.*"), col("text")): _*)
+      } else scrubbed
+
+    // 3. chunk-level boilerplate dedup; drop fully-deduplicated docs
+    val chunked =
+      if (cfg.chunkDedup) {
+        ChunkDedup.dedup(exact, "text", "doc_id", w = cfg.chunkW)
+          .filter(col("n_kept") > 0)
+          .join(exact.drop("text"), Seq("doc_id"))
+          .drop("text").withColumnRenamed("text_dedup", "text")
+      } else exact.withColumn("n_chunks", lit(0L)).withColumn("n_kept", lit(0L))
+
+    // 4. quality gate + deterministic split (the q45 discipline:
+    // md5-bucket arithmetic, engine-stable, no RNG)
+    val gated =
+      if (cfg.quality) chunked.filter(size(Text.tokens(col("text"))) >= cfg.minTokens)
+      else chunked
+    if (cfg.split)
+      gated.withColumn("split",
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+               .cast("long") % 100 < cfg.trainPct, "train").otherwise("eval"))
+    else gated
+  }
+}

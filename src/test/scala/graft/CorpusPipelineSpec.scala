@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Tables
 import graft.ops.{ChunkDedup, Pii, Text}
+import graft.pipeline.CorpusPipeline
 
 /** End-to-end corpus-pipeline integration: the LLM-data operators
   * compose into one flow over the real test corpus — cleanup → PII
@@ -17,7 +18,17 @@ import graft.ops.{ChunkDedup, Pii, Text}
 class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
   private val dir = "/root/testdata/sf0.001"
 
-  private def pipeline(): DataFrame = {
+  // the production composition (graft.pipeline.CorpusPipeline) — the
+  // same object RunCorpus drives from the CLI; stages restricted to
+  // the documents table's columns
+  private def pipeline(): DataFrame =
+    CorpusPipeline.run(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"))
+
+  // independent hand-built composition (window-based exact dedup
+  // instead of the min-struct aggregate, explicit stage spelling) —
+  // pins that CorpusPipeline.run changes neither semantics nor schema
+  private def reference(): DataFrame = {
     val raw = Tables.documents(spark, dir)
     // 1. normalize + scrub (projections)
     val scrubbed = raw
@@ -43,6 +54,13 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
       .withColumn("split",
         when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
                .cast("long") % 100 < 80, "train").otherwise("eval"))
+  }
+
+  test("CorpusPipeline.run matches the hand-built reference composition") {
+    val key = Seq("doc_id", "lang", "source", "n_pii", "text", "n_chunks", "n_kept", "split")
+    val got = pipeline().select(key.map(col): _*).orderBy("doc_id").collect().toSeq
+    val want = reference().select(key.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(got == want)
   }
 
   test("the corpus pipeline chains, filters monotonically, and reproduces") {
