@@ -171,6 +171,41 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("skew mitigation equivalence: AQE-split join and salted join agree with plain") {
+    // The measurement behind BASELINE.md's skew paragraph
+    // (tools/SkewBench at 20M rows, 90% hot key): unmitigated 6.7s,
+    // AQE-split 1.0s (wins when its thresholds engage), salted 2.2s
+    // (wins over unmitigated; pays small-side replication vs AQE).
+    // Timing is environment-bound, so what this spec pins is the
+    // CORRECTNESS half: both mitigations return exactly the plain
+    // join's rows on a skewed key, so choosing by environment is safe.
+    import spark.implicits._
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1 to 60000)
+        .map(i => (if (i % 20 != 0) 1L else (i % 997).toLong, i.toLong))
+        .toDF("k", "row_id")
+      val right = (0 to 996).map(k => (k.toLong, s"dim_$k")).toDF("k", "name")
+      val aqe = left.join(right, "k").select("k", "row_id", "name")
+      val aqeRows = aqe.collect().map(_.toSeq).toSet
+      assert(aqe.queryExecution.executedPlan.toString.contains("skew=true"),
+             "AQE did not mark the skewed join")
+      val saltedRows = Skew.saltedJoin(left, right, "k", "row_id", saltBuckets = 8)
+        .select("k", "row_id", "name").collect().map(_.toSeq).toSet
+      assert(saltedRows == aqeRows,
+             "salted join and AQE-split join disagree on a skewed key")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("banded LSH: bits bound per-bucket candidates; bands recover recall") {
     // The scale contract of the q36/q37/q47 ANN family: bucket count
     // is 2^bits per band, so within-bucket pair count — the actual
