@@ -58,4 +58,41 @@ class ZOrderLandingSpec extends AnyFunSuite with SparkTestSession {
     assert(partitionsRead == boxBuckets.size,
       s"scan read $partitionsRead partitions, box needs ${boxBuckets.size}")
   }
+
+  test("the zland DSv2 write lands the same layout declaratively, and appends") {
+    import spark.implicits._
+    import graft.sources.ZOrderLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-zdsv2").toString + "/cells"
+    val half1 = (for (la <- 0L until 46L; lo <- 0L until 61L) yield (la, lo)).toSeq
+      .toDF("lat_idx", "lon_idx")
+    val half2 = (for (la <- 46L until 91L; lo <- 0L until 61L) yield (la, lo)).toSeq
+      .toDF("lat_idx", "lon_idx")
+
+    half1.write.format("zland").option("path", dir).mode("overwrite").save()
+    // incremental drop: append must not clobber the landed buckets
+    half2.write.format("zland").option("path", dir).mode("append").save()
+
+    val landed = spark.read.parquet(dir)
+    assert(landed.count() == 91L * 61L, "append lost or duplicated rows")
+    // layout contract: z_bucket is a partition column and equals the
+    // driver-side morton >> 6 for every row
+    assert(landed.schema.fieldNames.contains("z_bucket"))
+    // partition-column values come back inferred from dir names (int)
+    val bad = landed.collect().count { r =>
+      val (la, lo) = (r.getAs[Long]("lat_idx"), r.getAs[Long]("lon_idx"))
+      r.getAs[Number]("z_bucket").longValue() != (morton(la, lo) >> 6)
+    }
+    assert(bad == 0, s"$bad rows landed in the wrong bucket")
+
+    // the pruned box scan works identically over the DSv2-landed dir
+    val (la0, la1, lo0, lo1) = (10L, 20L, 15L, 25L)
+    val got = ZOrderLanding.boxScan(spark, dir, la0, la1, lo0, lo1)
+      .select("lat_idx", "lon_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (la <- la0 to la1; lo <- lo0 to lo1) yield (la, lo)).toSet
+    assert(got == want)
+    // overwrite mode really truncates (idempotent re-land)
+    half1.write.format("zland").option("path", dir).mode("overwrite").save()
+    assert(spark.read.parquet(dir).count() == 46L * 61L, "overwrite did not truncate")
+  }
 }
