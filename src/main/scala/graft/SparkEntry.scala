@@ -513,10 +513,12 @@ object SparkEntry {
       // binades of spread) to the bits-histogram regime — the plan a
       // regime-aware caller would have picked, now chosen from the
       // data. Each lands as a 1-row crossJoin side input.
-      val qtyPcts = ops.Percentiles.exactAuto(
+      val regimes = ops.Percentiles.profileRegimes(
+        li, Seq("l_quantity", "l_extendedprice")) // ONE profile job for both columns
+      val qtyPcts = ops.Percentiles.exactByRegime(regimes("l_quantity"),
         li.select(col("l_quantity")), "l_quantity",
         Seq(0.25, 0.5, 0.75), prefix = "qq")
-      val pricePcts = ops.Percentiles.exactAuto(
+      val pricePcts = ops.Percentiles.exactByRegime(regimes("l_extendedprice"),
         li.select(col("l_extendedprice")), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), prefix = "pp")
       def stats(c: String, suffix: String): Seq[Column] = {

@@ -233,29 +233,50 @@ object Percentiles {
     else if (nb >= minBuckets) "bits"
     else "sort"
 
+  /** Profile N columns in ONE job (approx_count_distinct ignores
+    * nulls, so no per-column dropna pass is needed) and decide each
+    * column's regime — a multi-column describe pays one profiling
+    * aggregate total, not one per column. */
+  private[graft] def profileRegimes(src: DataFrame, valueCols: Seq[String],
+                                    distinctCutoff: Long = 10000,
+                                    minBuckets: Long = 64): Map[String, String] = {
+    val aggs = valueCols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        approx_count_distinct(d).as(s"__nd_$c"),
+        approx_count_distinct(
+          shiftright(call_function("double_order_bits", d), 41)).as(s"__nb_$c"))
+    }
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    valueCols.map { c =>
+      c -> chooseRegime(row.getAs[Long](s"__nd_$c"), row.getAs[Long](s"__nb_$c"),
+                        distinctCutoff, minBuckets)
+    }.toMap
+  }
+
   /** [[exactAuto]]'s profile + decision (runs the one profiling job,
     * returns the regime name) — also used directly by tests to pin
     * branch selection. */
   private[graft] def profileRegime(src: DataFrame, valueCol: String,
                                    distinctCutoff: Long = 10000,
-                                   minBuckets: Long = 64): String = {
-    val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
-    val prof = vals.agg(
-      approx_count_distinct(col("v")).as("nd"),
-      approx_count_distinct(
-        shiftright(call_function("double_order_bits", col("v")), 41)).as("nb"))
-      .head()
-    chooseRegime(prof.getLong(0), prof.getLong(1), distinctCutoff, minBuckets)
-  }
+                                   minBuckets: Long = 64): String =
+    profileRegimes(src, Seq(valueCol), distinctCutoff, minBuckets)(valueCol)
 
-  def exactAuto(src: DataFrame, valueCol: String, ps: Seq[Double],
-                prefix: String = "p", distinctCutoff: Long = 10000,
-                minBuckets: Long = 64): DataFrame =
-    profileRegime(src, valueCol, distinctCutoff, minBuckets) match {
+  /** Dispatch to a named regime — for callers that already hold a
+    * [[profileRegimes]] result. */
+  def exactByRegime(regime: String, src: DataFrame, valueCol: String,
+                    ps: Seq[Double], prefix: String = "p"): DataFrame =
+    regime match {
       case "value-map" => exactByValueMap(src, valueCol, ps, prefix)
       case "bits"      => exactByBitsHistogram(src, valueCol, ps, prefix)
       case _           => exactBySort(src, valueCol, ps, prefix)
     }
+
+  def exactAuto(src: DataFrame, valueCol: String, ps: Seq[Double],
+                prefix: String = "p", distinctCutoff: Long = 10000,
+                minBuckets: Long = 64): DataFrame =
+    exactByRegime(profileRegime(src, valueCol, distinctCutoff, minBuckets),
+                  src, valueCol, ps, prefix)
 
   def exactByCentsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
                             prefix: String = "p"): DataFrame = {
