@@ -582,26 +582,31 @@ object SparkEntry {
     // (q31), this scores them exactly. Joins are equi-joins on doc_id;
     // candidate count (not corpus size) bounds the work.
     "q35_ngram_jaccard" -> ((s, dir) => {
-      val pairs = bandedPairs(minhashSigsFrame(s, dir)).select("doc1", "doc2")
+      // localCheckpoint: the candidate-pair table is tiny (~10
+      // pairs/doc) but its minhash+banding subtree is the most
+      // expensive in the query, and `pairs` has TWO consumers (the
+      // needed-doc semi and the final join) which would each
+      // re-execute it — materializing once is the candidate-table
+      // analog of the driver-resident codebook discipline.
+      val pairs = bandedPairs(minhashSigsFrame(s, dir))
+        .select("doc1", "doc2").localCheckpoint()
       // Expensive per-doc features (grams, simhash) are computed ONLY
       // for docs that appear in a candidate pair — at scale the
-      // candidate set, not the corpus, bounds this cost. One explode,
-      // not a union of two selects: each consumer of `pairs`
-      // re-executes the whole minhash+banding subtree (no exchange
-      // reuse), so halving the consumers saves a full banding pass.
+      // candidate set, not the corpus, bounds this cost.
       val needed = pairs
         .select(explode(array(col("doc1"), col("doc2"))).as("doc_id"))
         .distinct()
       val docs = Tables.documents(s, dir)
         .join(needed, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
-          // dedupe ONCE per doc: array_intersect/union are set ops
-          // anyway, but deduping inside the pair join would redo it
-          // per candidate pair (~10 pairs/doc at sf0.1)
-          array_distinct(Text.ngrams(col("toks"), 3)).as("g3"),
-          Text.simhash(col("toks")).as("sh"))
+          // grams as 64-bit fingerprints (word_text_gram_hashes):
+          // jaccard only needs equality, so the feature arrays that
+          // ride the two pair joins are 8 B/gram, not gram strings;
+          // dedupe ONCE per doc (inside the join it would redo per
+          // candidate pair)
+          array_distinct(Text.gramHashesOfText(col("text"), 3)).as("g3"),
+          Text.simhash(Text.tokens(col("text"))).as("sh"))
       pairs
         .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
         .join(docs.select(col("doc_id").as("doc2"), col("g3").as("g3_2"), col("sh").as("sh_2")), "doc2")
