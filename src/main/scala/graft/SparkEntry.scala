@@ -1427,6 +1427,32 @@ object SparkEntry {
         .select(col("probe_id"), col("vec_id"), col("centroid"),
                 round(col("adc"), 6).as("adc"), col("rk"))
         .orderBy("probe_id", "rk")
+    }),
+
+    // ---- REAL audio decode (multimodal, javax.sound) ----
+    // WAV containers are built from each doc's bytes (16-bit PCM,
+    // 8 kHz mono — the producer shape a real ingest lands), then
+    // decoded through the JDK's actual RIFF parser inside
+    // mapPartitions; features = frame count, duration, and a signed
+    // 16-bit LE sample-sum checksum over the DECODED payload. The
+    // oracle recomputes all three independently from the source text
+    // bytes, so a green hash proves the container round-trip is
+    // byte-exact — the audio analog of q38's pixel-exact image check.
+    "q80_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val pcm = java.util.Arrays.copyOf(bytes, bytes.length / 2 * 2)
+        ops.Multimodal.Media(id, "audio", ops.Multimodal.AudioCodec.wavBytes(pcm, 8000))
+      }
+      ops.Multimodal.audioFeatures(media).toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+                col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"),
+                col("sum_samples"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2788,7 +2814,32 @@ object SparkEntry {
         |  WHERE a.vec_id <> a.probe_id)
         |SELECT probe_id, vec_id, centroid, round(adc, 6) AS adc, rk
         |FROM ranked WHERE rk <= 10
-        |ORDER BY probe_id, rk""".stripMargin
+        |ORDER BY probe_id, rk""".stripMargin,
+
+    // recomputes the audio features straight from the source text
+    // bytes (ASCII corpus: ascii() == byte) — frames/duration from
+    // arithmetic, the checksum by assembling each signed 16-bit LE
+    // sample; matching the Spark side proves the WAV round-trip
+    "q80_audio_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS nf
+        |  FROM documents WHERE length(text) >= 2),
+        |g AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, nf)) AS BIGINT) AS i FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |    ascii(substr(text, CAST(2*i+1 AS INT), 1))
+        |      + 256 * ascii(substr(text, CAST(2*i+2 AS INT), 1)) AS v
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END), 0)
+        |         AS BIGINT) AS sum_samples
+        |  FROM v GROUP BY doc_id)
+        |SELECT t.doc_id, 8000 AS sample_rate, 1 AS channels, t.nf AS n_frames,
+        |  round(t.nf * 1000.0 / 8000, 6) AS duration_ms, s.sum_samples
+        |FROM t JOIN s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

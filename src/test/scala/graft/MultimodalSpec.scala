@@ -119,6 +119,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(Multimodal.ImageCodec.decodePixels(null) == None)
   }
 
+  test("AudioCodec: WAV round-trip through the real javax.sound parser") {
+    import Multimodal.AudioCodec
+    // 100-sample 16-bit ramp at 8 kHz mono: every byte value exercised
+    // on both the low and high byte of a sample
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 7 + 3) % 256 - 128).toByte)
+    val wav = AudioCodec.wavBytes(pcm, sampleRate = 8000)
+    assert(AudioCodec.looksLikeAudio(wav))
+    val Some((meta, decoded)) = AudioCodec.decodeSamples(wav)
+    assert(meta == Multimodal.AudioMeta(8000, 1, 16, 100))
+    assert(decoded.toSeq == pcm.toSeq, "decoded PCM must be byte-exact")
+    // stereo: frame count halves, channels doubles
+    val Some((meta2, _)) = AudioCodec.decodeSamples(AudioCodec.wavBytes(pcm, 8000, channels = 2))
+    assert(meta2 == Multimodal.AudioMeta(8000, 2, 16, 50))
+  }
+
+  test("AudioCodec: malformed containers are contained, never thrown") {
+    import Multimodal.AudioCodec
+    assert(AudioCodec.decodeSamples(null) == None)
+    assert(AudioCodec.decodeSamples(Array.emptyByteArray) == None)
+    assert(AudioCodec.decodeSamples("RIFFxxxxWAVEgarbage".getBytes) == None)
+    assert(!AudioCodec.looksLikeAudio("not audio at all".getBytes))
+  }
+
+  test("audioFeatures: frame count, duration, and signed sample-sum checksum") {
+    import spark.implicits._
+    import Multimodal.AudioCodec
+    // samples: +1, -1, 256, -32768 → sum = -32512
+    val pcm = Array[Byte](1, 0, -1, -1, 0, 1, 0, -128)
+    val media = Seq(
+      Media(1L, "audio", AudioCodec.wavBytes(pcm, 8000)),
+      Media(2L, "audio", "garbage".getBytes)).toDS()
+    val out = Multimodal.audioFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.AudioFeatures(1L, 8000, 1, 4L, 0.5, 1L - 1L + 256L - 32768L))
+    assert(out(1).sample_rate == -1 && out(1).n_frames == 0L, "corrupt row must survive")
+  }
+
   test("decode dataset dispatches per row: real PNG, GIMG container, corrupt") {
     import spark.implicits._
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PngFixture))
