@@ -831,23 +831,32 @@ object SparkEntry {
       // intermediate token array (and no HOF-inlining hazard — the
       // round-2 bug where inlined tokens() re-evaluated per
       // element_at cost 52 s vs 1 s at sf0.1)
-      // grams travel as 64-bit fingerprints (word_text_gram_hashes):
-      // the semi-join and both distincts only need gram equality, so
-      // every exchange carries 8-byte longs, not gram strings
+      // grams travel as 64-bit fingerprints, per-doc DISTINCT at
+      // emission (word_text_gram_hashes_distinct — the dedup runs in
+      // the same byte scan): the semi-join and the bit of counting
+      // below have per-doc SET semantics, so within-doc duplicates
+      // never leave the expression, the explode emits fewer rows, and
+      // the post-semi (doc_id, gram) rows are unique BY CONSTRUCTION
+      // — the former `.distinct()` exchange is gone from the plan
       val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.gramHashesOfText(col("text"), 3).as("g3"))
+        .select(col("doc_id"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(explode(col("g3")).as("gram")).distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
-      // semi-join BEFORE distinct (equivalent: distinct∘semijoin ≡
-      // semijoin∘distinct): the broadcast semi prunes map-side, so
-      // the (doc_id, gram) distinct exchange carries only the SHARED
-      // grams — contamination is rare by construction, so that
-      // exchange is a small fraction of the corpus gram stream
+      // The bench gram set grows with the corpus (5% slice × grams/doc
+      // × 8 B), so the broadcast hint — which bypasses
+      // autoBroadcastJoinThreshold — is gated on the doc count (one
+      // parquet metadata-only job): ≳20k bench docs ≈ tens of MB of
+      // fingerprints, past which the shuffle semi-join must take over.
+      val benchDocs = Tables.documents(s, dir).count() / 20
+      val benchSide = if (benchDocs <= 20000) broadcast(bench) else bench
+      // semi-join directly feeds the per-doc count (no distinct
+      // needed: grams are per-doc distinct at emission): the broadcast
+      // semi prunes map-side, so the count's exchange carries only the
+      // SHARED grams — contamination is rare by construction
       val hits = corpus
         .select(col("doc_id"), explode(col("g3")).as("gram"))
-        .join(broadcast(bench), Seq("gram"), "left_semi")
-        .distinct()
+        .join(benchSide, Seq("gram"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       corpus.select("doc_id")
         .join(hits, Seq("doc_id"), "left")
@@ -1132,11 +1141,13 @@ object SparkEntry {
       // only takes a literal shift amount)
       def onebit(name: String): Column =
         expr(s"shiftleft(1L, cast(substring($name, 4, 2) as int))")
-      // gram identity = 64-bit fingerprint (word_text_gram_hashes):
-      // the bit_or fold only needs gram equality, so the per-gram
-      // exchange keys on a long instead of the gram string
+      // gram identity = 64-bit fingerprint, per-doc distinct at
+      // emission (word_text_gram_hashes_distinct): bit_or is
+      // duplicate-insensitive, so the in-scan dedup is free
+      // semantics-wise and the explode feeds the partial bit_or fewer
+      // rows; the per-gram exchange keys on a long, not a gram string
       val masks = Tables.documents(s, dir)
-        .select(col("source"), Text.gramHashesOfText(col("text"), 3).as("g3"))
+        .select(col("source"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
         .select(onebit("source").as("m"), explode(col("g3")).as("gram"))
         .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
         .groupBy("mask").agg(count(lit(1)).as("c"))
@@ -1503,7 +1514,14 @@ object SparkEntry {
   // DuckDB oracles — same semantics, same output column names, same
   // ORDER BY, same numeric parity tricks.
   // =====================================================================
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract (no-arg): q78's landing dir comes from the last
+    * roundTrip in this JVM. `Verify` instead calls [[oracleSqlFor]]
+    * with the dir DERIVED from its own data dir, so a concurrent run
+    * against a different dataset in the same JVM cannot repoint the
+    * dumped oracle. */
+  def oracleSql: Map[String, String] = oracleSqlFor(sources.CorpusJsonl.lastDir)
+
+  def oracleSqlFor(q78Dir: String): Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2759,7 +2777,7 @@ object SparkEntry {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_text,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        |FROM read_json('${sources.CorpusJsonl.lastDir}/*.json.gz',
+        |FROM read_json('$q78Dir/*.json.gz',
         |  format = 'newline_delimited',
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
         |             source: 'VARCHAR', n_chars: 'BIGINT'})

@@ -16,8 +16,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q78's oracle dir is derived from THIS run's data dir (not the
+    // JVM-global last-write-wins var) so concurrent runs can't cross
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-                      oracleJson(SparkEntry.oracleSql))
+                      oracleJson(SparkEntry.oracleSqlFor(
+                        graft.sources.CorpusJsonl.dirFor(sfDir))))
     spark.stop()
   }
 

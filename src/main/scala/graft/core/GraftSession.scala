@@ -46,6 +46,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.VecDecimalSum.description)
         ext.injectFunction(graft.functions.WordTextNgrams.description)
         ext.injectFunction(graft.functions.WordTextGramHashes.description)
+        ext.injectFunction(graft.functions.WordTextGramHashes.distinctDescription)
         ext.injectFunction(graft.functions.BoundedTopK.description)
         ext.injectFunction(graft.functions.BloomFilterAgg.description)
         ext.injectFunction(graft.functions.BloomMightContain.description)

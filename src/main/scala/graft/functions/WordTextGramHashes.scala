@@ -39,7 +39,66 @@ case class WordTextGramHashes(left: Expression, right: Expression)
       s"word_text_gram_hashes needs (STRING, INT), got (${l.catalogString}, ${r.catalogString})")
   }
 
-  override protected def nullSafeEval(textAny: Any, nAny: Any): Any = {
+  override protected def nullSafeEval(textAny: Any, nAny: Any): Any =
+    WordTextGramHashes.eval(textAny, nAny, distinct = false)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordTextGramHashes =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_text_gram_hashes"
+}
+
+/** `word_text_gram_hashes_distinct(text, n)` ≡
+  * `array_distinct(word_text_gram_hashes(text, n))` fused into the
+  * SAME byte scan: each gram hash passes through an open-addressing
+  * probe set before emission, so within-doc duplicate grams never
+  * leave the expression. First-occurrence order is preserved (the
+  * `array_distinct` contract — TextSpec pins the equivalence).
+  *
+  * This is the explode-row-count attack for q49/q66: both plans take
+  * per-doc gram SETS (q49's (doc, gram) membership, q66's per-gram
+  * source-bit OR are duplicate-insensitive), so emitting distinct
+  * hashes shrinks the explode output — and q49's post-semi-join
+  * `(doc_id, gram)` rows become unique BY CONSTRUCTION, deleting its
+  * whole distinct exchange from the plan. */
+case class WordTextGramHashesDistinct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_text_gram_hashes_distinct needs (STRING, INT), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override protected def nullSafeEval(textAny: Any, nAny: Any): Any =
+    WordTextGramHashes.eval(textAny, nAny, distinct = true)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordTextGramHashesDistinct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_text_gram_hashes_distinct"
+}
+
+object WordTextGramHashes {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_text_gram_hashes"),
+    new ExpressionInfo(classOf[WordTextGramHashes].getName, "word_text_gram_hashes"),
+    (children: Seq[Expression]) => WordTextGramHashes(children(0), children(1)))
+
+  val distinctDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_text_gram_hashes_distinct"),
+    new ExpressionInfo(classOf[WordTextGramHashesDistinct].getName,
+      "word_text_gram_hashes_distinct"),
+    (children: Seq[Expression]) => WordTextGramHashesDistinct(children(0), children(1)))
+
+  /** The shared scan: token spans → gram bytes in a reusable buffer →
+    * XXH64 per gram; `distinct` threads each hash through an
+    * open-addressing (linear-probe) long set and keeps only first
+    * occurrences. */
+  private[functions] def eval(textAny: Any, nAny: Any, distinct: Boolean): Any = {
     val bytes = textAny.asInstanceOf[UTF8String].getBytes
     val n = nAny.asInstanceOf[Int]
     // token spans as (start, end) offset pairs — same pass as WordTextNgrams
@@ -58,7 +117,20 @@ case class WordTextGramHashes(left: Expression, right: Expression)
     }
     val tokens = starts.size()
     if (tokens < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](tokens - n + 1)
+    val total = tokens - n + 1
+    // open-addressing set: power-of-two capacity, load ≤ 0.5; slot 0L
+    // means empty, so a genuine 0L hash is tracked by a flag
+    var table: Array[Long] = null
+    var mask = 0
+    var seenZero = false
+    if (distinct) {
+      var cap = Integer.highestOneBit(math.max(total, 4)) << 2
+      if (cap <= 0) cap = 1 << 30
+      table = new Array[Long](cap)
+      mask = cap - 1
+    }
+    val out = new Array[Any](total)
+    var m = 0 // emitted count
     var buf = new Array[Byte](64) // grown on demand, reused across grams
     var g = 0
     while (g <= tokens - n) {
@@ -80,21 +152,20 @@ case class WordTextGramHashes(left: Expression, right: Expression)
         }
         j += 1
       }
-      out(g) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      val fresh = !distinct || {
+        if (h == 0L) { val f = !seenZero; seenZero = true; f }
+        else {
+          var idx = (h ^ (h >>> 32)).toInt & mask
+          while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+          if (table(idx) == h) false else { table(idx) = h; true }
+        }
+      }
+      if (fresh) { out(m) = h; m += 1 }
       g += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(
+      if (m == total) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m).asInstanceOf[Array[Any]])
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): WordTextGramHashes =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "word_text_gram_hashes"
-}
-
-object WordTextGramHashes {
-  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("word_text_gram_hashes"),
-    new ExpressionInfo(classOf[WordTextGramHashes].getName, "word_text_gram_hashes"),
-    (children: Seq[Expression]) => WordTextGramHashes(children(0), children(1)))
 }

@@ -27,11 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Rows above which the confirmed-dup side stops being broadcast:
-    * ~1M ids is already a larger broadcast than Spark's 10 MB default
-    * autoBroadcast threshold would admit for a (long, long) relation. */
-  private val BroadcastDupLimit = 1000000L
-
   /** `bits` for a corpus of `n` rows: ~16 bits/row (k=3 → ~0.5% FP)
     * rounded up to a power of two, clamped to [2^13, 2^30] — the cap
     * is a 128 MB blob, the floor avoids degenerate tiny filters. */
@@ -60,18 +55,22 @@ object IncrementalDedup {
       .collect()(0).getAs[Array[Byte]](0)
     val probed = batch.withColumn("maybe_dup",
       call_function("bloom_might_contain", lit(blob), xxhash64(col(textCol))))
-    // exact confirmation for the bloom-positive minority only
+    // exact confirmation for the bloom-positive minority only. The
+    // dup side is consumed ONCE and stays fully lazy: nothing is
+    // persisted (`ingestDedup` calls this every micro-batch — a
+    // cached-but-never-unpersisted frame would pin CacheManager
+    // blocks for the stream's lifetime) and no broadcast hint is
+    // forced (the dup side is bounded by the DUP RATE, not the batch,
+    // but a pathological ~all-dup multi-million-row batch would
+    // overwhelm the driver). AQE's runtime size check converts the
+    // join to broadcast whenever the confirmed set is actually small
+    // — the common case — which is exactly the adaptive form of the
+    // size guard a hand-picked row-count constant approximated.
     val confirmed = probed.filter(col("maybe_dup"))
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
       .select(col(idCol).as("dup_id"))
-      .persist()
-    // Broadcast is bounded by the dup rate — a pathological ~100%-dup
-    // batch would broadcast ~the whole batch, so guard on actual size
-    // and fall back to a shuffle join when the dup side is large.
-    val dupSide =
-      if (confirmed.count() <= BroadcastDupLimit) broadcast(confirmed) else confirmed
     probed
-      .join(dupSide, col(idCol) === col("dup_id"), "left")
+      .join(confirmed, col(idCol) === col("dup_id"), "left")
       .select(col(idCol), col("dup_id").isNull.as("is_new"))
   }
 }

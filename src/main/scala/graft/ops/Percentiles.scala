@@ -36,17 +36,34 @@ object Percentiles {
     * `<prefix><100·p>` (e.g. `pp25`, `pp50`, `pp75`). Nulls are
     * dropped first; an empty input yields one all-null row.
     *
-    * Exactly TWO consumers of the range-partitioned values — the
-    * per-chunk counts (tiny) and the ranked rows — so the source is
-    * scanned at most twice and the range exchange is reusable; offset
-    * AND total row count come out of the same P-row window, and rank
-    * selection is a filter over the broadcast-joined rows, not another
-    * join branch. */
+    * The ranged data is materialized ONCE — range-exchange + local
+    * sort into a `localCheckpoint` (block-stored, lineage truncated,
+    * blocks freed when the RDD is GC'd — no CacheManager entry to
+    * leak) — and both consumers (the P-row chunk counts and the
+    * ranked rows) branch from that single point, so their shared view
+    * of the sampled range bounds is STRUCTURAL. Round 6 instead
+    * planned the range pipeline twice and leaned on runtime
+    * ReusedExchange to dedup it — correctness then hinged on reuse,
+    * because each exchange re-SAMPLES its bounds. The checkpoint
+    * means construction now runs the range/sort stages (under AQE
+    * even `eager = false` materializes them); that is the price of
+    * the structural guarantee, and it is the same work the first
+    * action would have paid.
+    *
+    * Within-chunk rank comes from `monotonically_increasing_id` over
+    * the locally-sorted chunks (pid = id >> 33, ordinal = low 33
+    * bits — the documented layout) rather than a `row_number` window:
+    * same numbers, but no hash(pid) re-shuffle of the whole corpus —
+    * the ONLY corpus-wide exchange in the plan is the range one. */
   def exactBySort(src: DataFrame, valueCol: String, ps: Seq[Double],
                   prefix: String = "p"): DataFrame = {
     def tag(p: Double): String = math.round(p * 100).toString
     val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
-    val parts = vals.repartitionByRange(col("v")).withColumn("pid", spark_partition_id())
+    val ranged = vals.repartitionByRange(col("v")).sortWithinPartitions("v")
+      .withColumn("mid", monotonically_increasing_id())
+      .select(col("v"), shiftright(col("mid"), 33).as("pid"),
+        (col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1L).as("rn"))
+      .localCheckpoint(eager = false)
 
     // per-chunk counts → offset (rows strictly before the chunk) and
     // n (grand total), in ONE P-row window (P = shuffle partitions,
@@ -59,20 +76,18 @@ object Percentiles {
     // to flag windows that are unpartitioned by ACCIDENT (PlanSpec
     // pins the absence).
     val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
-    val meta = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val meta = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .select(col("pid"),
         coalesce(sum("cnt").over(
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offset"),
         sum("cnt").over(
           wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
 
-    // global rank = within-chunk row_number + broadcast chunk offset;
+    // global rank = within-chunk ordinal + broadcast chunk offset;
     // the target rank r = p·(n−1) is computable on every row because
     // the broadcast meta row carries n
     def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
-    val ranked = parts
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("pid").orderBy("v")).cast("long"))
+    val ranked = ranged
       .join(broadcast(meta), "pid")
       .withColumn("rank", col("rn") + col("offset") - 1L)
 
@@ -201,7 +216,9 @@ object Percentiles {
                       prefix: String = "p"): DataFrame = {
     def tag(p: Double): String = math.round(p * 100).toString
     val vals = src.select(col(valueCol).cast("double").as("v")).na.drop()
-    val arr = ps.map(p => s"${p}D").mkString(", ")
+    // toPlainString, not Double.toString: a fraction like 1e-4 would
+    // render in scientific notation and break the expr() parse
+    val arr = ps.map(p => BigDecimal(p).underlying.toPlainString + "D").mkString(", ")
     vals.agg(expr(s"percentile(v, array($arr))").as("pcts"))
       .select(ps.zipWithIndex.map { case (p, i) =>
         col("pcts").getItem(i).as(s"$prefix${tag(p)}") }: _*)

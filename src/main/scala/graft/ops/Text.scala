@@ -46,6 +46,15 @@ object Text {
   def gramHashesOfText(text: Column, n: Int): Column =
     call_function("word_text_gram_hashes", text, lit(n))
 
+  /** `array_distinct(gramHashesOfText(text, n))` fused into the same
+    * byte scan (native [[graft.functions.WordTextGramHashesDistinct]]
+    * — open-addressing set at emission). For consumers with per-doc
+    * SET semantics (q49 membership, q66 bit_or): the explode emits no
+    * within-doc duplicates, so q49's post-semi (doc, gram) rows are
+    * unique by construction and its distinct exchange disappears. */
+  def distinctGramHashesOfText(text: Column, n: Int): Column =
+    call_function("word_text_gram_hashes_distinct", text, lit(n))
+
   /** English stopword list used by the quality scorer — a fixed,
     * documented set so the oracle can embed the same literal. */
   val Stopwords: Seq[String] = Seq(

@@ -94,11 +94,14 @@ object ZOrderLanding {
 
   /** Driver-side Morton interleave — must match the native
     * `interleave_bits` bit-for-bit (GridSpec/ZOrderLandingSpec pin
-    * the native side; 8 index bits cover the reference grid). */
+    * the native side) across the full 32 index bits per coordinate,
+    * not just the 8 the reference grid happens to use: a 2-D domain
+    * wider than 256 cells would otherwise silently diverge from the
+    * landed `z_bucket` values and boxScan would drop matching rows. */
   def morton(lat: Long, lon: Long): Long = {
     var z = 0L
     var b = 0
-    while (b < 8) {
+    while (b < 32) {
       z |= ((lat >> b) & 1L) << (2 * b)
       z |= ((lon >> b) & 1L) << (2 * b + 1)
       b += 1

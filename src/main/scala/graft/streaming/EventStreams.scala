@@ -196,12 +196,27 @@ object EventStreams {
     * renames them in, and readers ignore `_`-prefixed paths).
     * At 100 TB the corpus side is exactly q74's shape: one bloom scan
     * + a confirm join bounded by the batch's dup rate. */
+  /** Landed-corpus row counts carried across micro-batches, keyed by
+    * landing dir — exposed so StreamingSpec can pin that the count
+    * tracks the corpus without per-batch recounting. */
+  private[graft] val landedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Landed row count carried across batches: seeded ONCE (first
+    // batch that finds an existing dir — one metadata count), then
+    // advanced by each batch's observed append size. Bloom sizing
+    // (sizedBits) therefore never re-counts the landing dir, whose
+    // file listing grows forever under a long-running stream. The
+    // count only SIZES the filter — drift after a partial retry can't
+    // break dedup exactness (the confirm join stays exact).
+    val landed = landedCounts.computeIfAbsent(landingDir,
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // in-batch keeper: lowest id per text (the q21 discipline);
         // the id leads the struct so min() orders by it
@@ -218,13 +233,26 @@ object EventStreams {
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (!fs.exists(landingPath)) firsts // first batch: nothing landed yet
-          else
+          if (!fs.exists(landingPath)) { // first batch: nothing landed yet
+            landed.compareAndSet(-1L, 0L)
+            firsts
+          } else {
+            val corpus = spark.read.parquet(landingDir)
+            if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
             firsts.join(
-              graft.ops.IncrementalDedup.newDocs(spark.read.parquet(landingDir), firsts, textCol, idCol)
+              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
+                  bits = graft.ops.IncrementalDedup.sizedBits(landed.get()))
                 .filter(col("is_new")).select(col(idCol)),
               Seq(idCol), "left_semi")
-        fresh.write.mode("append").parquet(landingDir)
+          }
+        // observe the append size inside the write action (no second
+        // computation of `fresh`) and advance the carried count
+        val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
+        fresh.observe(obs, count(lit(1)).as("n"))
+          .write.mode("append").parquet(landingDir)
+        landed.addAndGet(obs.get("n").asInstanceOf[Long])
+        ()
       }
       .start()
+  }
 }

@@ -287,6 +287,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       val landed = spark.read.parquet(landing)
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(landed == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+      // the carried landed count tracks the corpus EXACTLY across all
+      // batches (seeded at 0 on the first batch, advanced by each
+      // append's observed size) — this is what lets sizedBits run
+      // without a per-batch metadata count over the growing file
+      // listing of the landing dir
+      assert(EventStreams.landedCounts.get(landing).get() == 3L)
     } finally q.stop()
+  }
+
+  test("ingestDedup: landing dir is never re-counted after the seed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing2").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt2").toString
+    // record every `count`-action execution that touches the landing
+    // dir — with the carried counter, a fresh stream over an EXISTING
+    // corpus seeds with exactly one, and later batches add none
+    val countsOnLanding = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // the landing path never appears in analyzed.toString (relations
+      // print columns, not locations) — walk to the file index roots
+      private def touchesLanding(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(landing))
+              case _ => false
+            }
+        }.exists(identity)
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (funcName == "count" && touchesLanding(qe))
+          countsOnLanding.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    // pre-exist the corpus so the stream's first batch takes the
+    // seed path (a restart over landed state — the expensive case)
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.parquet(landing)
+    EventStreams.landedCounts.remove(landing) // simulate a fresh JVM
+    spark.listenerManager.register(listener)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((2L, "beta"))
+      q.processAllAvailable()
+      input.addData((3L, "gamma"))
+      q.processAllAvailable()
+      input.addData((4L, "delta"), (5L, "beta"))
+      q.processAllAvailable()
+      // listener delivery is async — wait for it to drain
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (countsOnLanding.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // settle: catch any late extra count events
+      assert(countsOnLanding.get() == 1,
+        s"expected exactly the one seed count over the landing dir, got ${countsOnLanding.get()}")
+      assert(EventStreams.landedCounts.get(landing).get() == 4L) // 1 seeded + 3 landed
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(listener)
+    }
   }
 }

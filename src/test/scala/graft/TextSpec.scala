@@ -134,6 +134,23 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("word_text_gram_hashes_distinct equals array_distinct of word_text_gram_hashes") {
+    val cases = Seq(
+      "The quick brown-fox; jumps! over_the lazy dog 42",
+      "", "   ", "one", "one two", "a b c d e",
+      "the the the the the",                     // all-duplicate grams
+      "a b a b a b a b c",                       // interleaved repeats
+      "MiXeD CaSe--punct,,sep\ttab\nnewline", "a-b_c.d,e;f:g!h?i",
+      ("w1 w2 w3 " * 40) + "tail",               // heavy dup, forces probing
+      "a gram long enough to exercise the growable hash buffer " * 4)
+    for (s <- cases; n <- Seq(1, 2, 3, 5)) {
+      val fused = one(s, Text.distinctGramHashesOfText(col("text"), n))
+      val composed = one(s,
+        array_distinct(Text.gramHashesOfText(col("text"), n)))
+      assert(fused == composed, s"mismatch on '$s' n=$n")
+    }
+  }
+
   test("json_field: strings unquoted, nested containers skipped, null contract") {
     import spark.implicits._
     def f(doc: String): Any = Seq(doc).toDF("d")
