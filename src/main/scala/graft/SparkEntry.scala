@@ -605,7 +605,7 @@ object SparkEntry {
           // ride the two pair joins are 8 B/gram, not gram strings;
           // dedupe ONCE per doc (inside the join it would redo per
           // candidate pair)
-          array_distinct(Text.gramHashesOfText(col("text"), 3)).as("g3"),
+          Text.distinctGramHashesOfText(col("text"), 3).as("g3"),
           Text.simhash(Text.tokens(col("text"))).as("sh"))
       pairs
         .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
@@ -838,30 +838,50 @@ object SparkEntry {
       // never leave the expression, the explode emits fewer rows, and
       // the post-semi (doc_id, gram) rows are unique BY CONSTRUCTION
       // — the former `.distinct()` exchange is gone from the plan
+      // explode_outer, not explode: InferFiltersFromGenerate turns a
+      // plain explode into a `size(g3) > 0` pre-filter that RE-computes
+      // the whole gram expression per doc (2-3 evaluations of the byte
+      // scan); the outer variant is exempt, so the expression runs
+      // once and the null row an empty doc produces is dropped by a
+      // cheap isNotNull on the already-exploded column (and a null
+      // gram could never match the semi-join anyway).
       val grams = Tables.documents(s, dir)
         .select(col("doc_id"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
-        .select(explode(col("g3")).as("gram")).distinct()
+        .select(explode_outer(col("g3")).as("gram"))
+        .filter(col("gram").isNotNull).distinct()
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
       // The bench gram set grows with the corpus (5% slice × grams/doc
-      // × 8 B), so the broadcast hint — which bypasses
-      // autoBroadcastJoinThreshold — is gated on the doc count (one
-      // parquet metadata-only job): ≳20k bench docs ≈ tens of MB of
-      // fingerprints, past which the shuffle semi-join must take over.
-      val benchDocs = Tables.documents(s, dir).count() / 20
-      val benchSide = if (benchDocs <= 20000) broadcast(bench) else bench
-      // semi-join directly feeds the per-doc count (no distinct
-      // needed: grams are per-doc distinct at emission): the broadcast
-      // semi prunes map-side, so the count's exchange carries only the
-      // SHARED grams — contamination is rare by construction
-      val hits = corpus
-        .select(col("doc_id"), explode(col("g3")).as("gram"))
-        .join(benchSide, Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      corpus.select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-        .orderBy("doc_id")
+      // × 8 B), so the regime is gated on the doc count (a memoized
+      // parquet-metadata job): ≳20k bench docs ≈ tens of MB of
+      // fingerprints, past which a forced broadcast — which bypasses
+      // autoBroadcastJoinThreshold — would be driver-hostile.
+      val benchDocs = Tables.documentsCount(s, dir) / 20
+      if (benchDocs <= 20000) {
+        // Broadcast regime (the common one): ONE corpus pipeline.
+        // Each per-doc-distinct gram left-joins the broadcast bench
+        // set with a marker, so n_shared = count(hit) per doc — and
+        // because explode_outer keeps empty docs as a null-gram row,
+        // EVERY corpus doc reaches the aggregate. No second documents
+        // scan, no join-back for the zero rows.
+        corpus.select(col("doc_id"), explode_outer(col("g3")).as("gram"))
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+          .groupBy("doc_id").agg(count(col("hit")).as("n_shared"))
+          .orderBy("doc_id")
+      } else {
+        // Shuffle regime: the semi prunes to the SHARED grams before
+        // any exchange (contamination is rare by construction), and
+        // the zero rows re-attach through a doc_id-only scan.
+        val hits = corpus
+          .select(col("doc_id"), explode_outer(col("g3")).as("gram"))
+          .filter(col("gram").isNotNull)
+          .join(bench, Seq("gram"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        corpus.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      }
     }),
 
     // ---- stratified deterministic sampling ----
@@ -1026,9 +1046,12 @@ object SparkEntry {
     // broadcasts as one row; the rank window is per-doc
     // (high-cardinality → parallel).
     "q61_tfidf_terms" -> ((s, dir) => {
+      // explode_outer + isNotNull: the plain explode's inferred
+      // size-filter re-evaluates the tokenizer per doc (see q49)
       val terms = Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+        .filter(col("term").isNotNull)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df = docs containing the term = rows per term in tf ((doc,
       // term) is distinct there). A count window OVER (PARTITION BY
@@ -1146,20 +1169,37 @@ object SparkEntry {
       // duplicate-insensitive, so the in-scan dedup is free
       // semantics-wise and the explode feeds the partial bit_or fewer
       // rows; the per-gram exchange keys on a long, not a gram string
+      // The explicit repartition after the histogram matters: the
+      // histogram exchange is tiny (≤2^|sources| rows), so AQE
+      // coalesces it to ONE partition — but the 190× pair expansion
+      // happens DOWNSTREAM of that read, so without the pin a single
+      // task pays the whole crossJoin+aggregate (~0.9 s at sf1).
+      // A fixed-N repartition is exempt from AQE coalescing, and the
+      // extra exchange it adds carries only histogram rows.
+      // explode_outer + isNotNull (not plain explode): see q49 — the
+      // inferred `size(g3) > 0` filter would re-run the gram byte scan
+      // per doc; the outer null row is dropped before the fold
       val masks = Tables.documents(s, dir)
         .select(col("source"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
-        .select(onebit("source").as("m"), explode(col("g3")).as("gram"))
+        .select(onebit("source").as("m"), explode_outer(col("g3")).as("gram"))
+        .filter(col("gram").isNotNull)
         .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
         .groupBy("mask").agg(count(lit(1)).as("c"))
-      // bit columns materialized in the 190-row pair table so the
-      // crossJoin's per-row work is two AND+compare ops, not
-      // substring/cast string arithmetic
-      val srcs = Tables.documents(s, dir).select(col("source")).distinct()
-      val pairs = srcs.select(col("source").as("src_a"))
-        .crossJoin(srcs.select(col("source").as("src_b")))
-        .filter(col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"),
-                onebit("src_a").as("ba"), onebit("src_b").as("bb"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      // the 190-row pair table is built DRIVER-SIDE from the memoized
+      // source domain (bounded metadata, the codebook discipline) — a
+      // LocalTableScan instead of a second corpus scan + distinct
+      // exchange + crossJoin stages per execution; bit columns are
+      // precomputed (same substring(4,2) convention as onebit) so the
+      // crossJoin's per-row work is two AND+compare ops
+      val srcNames = Tables.sourceNames(s, dir)
+      def bitOf(name: String): Long = 1L << name.drop(3).take(2).toInt
+      val pairRows = for { a <- srcNames; b <- srcNames if a < b }
+        yield (a, b, bitOf(a), bitOf(b))
+      val pairs = {
+        import s.implicits._
+        pairRows.toDF("src_a", "src_b", "ba", "bb")
+      }
       def bit(b: String): Column = col("mask").bitwiseAND(col(b)) =!= 0
       masks.crossJoin(broadcast(pairs))
         .groupBy("src_a", "src_b")

@@ -37,4 +37,25 @@ object Tables {
       "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Memoized row count of the documents table — for size GATES (e.g.
+    * q49's broadcast-vs-shuffle decision), not results. The fixture
+    * dirs are immutable for the life of a session, and the count is a
+    * parquet-metadata job that still costs ~0.2 s per call on a
+    * multi-file layout — a pure tax when repeated per execution. */
+  private val docCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def documentsCount(s: SparkSession, d: String): Long =
+    docCounts.computeIfAbsent(d, _ => documents(s, d).count())
+
+  /** Memoized distinct `source` values of the documents table, sorted.
+    * The source domain is bounded metadata (tens of values — the same
+    * driver-resident class as codebooks/centroids), so queries that
+    * need the domain itself (q66's pair table) read it once per
+    * session instead of re-scanning and re-distincting the corpus per
+    * execution. */
+  private val srcNames = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  def sourceNames(s: SparkSession, d: String): Seq[String] =
+    srcNames.computeIfAbsent(d, _ =>
+      documents(s, d).select("source").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted)
 }

@@ -33,9 +33,15 @@ object ChunkDedup {
     * yields at least one chunk (an empty text is one empty chunk), so
     * a fully-deduplicated document still appears in totals. */
   def chunks(docs: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    // posexplode_outer + isNotNull, not posexplode: the plain form's
+    // inferred `size(...) > 0` pre-filter re-evaluates the word_chunks
+    // byte scan per doc; the outer variant runs it once (word_chunks
+    // never returns an empty array, so the filter only re-drops the
+    // null-text rows the plain explode dropped)
     docs.select(col(idCol),
-      posexplode(call_function("word_chunks", col(textCol), lit(w)))
+      posexplode_outer(call_function("word_chunks", col(textCol), lit(w)))
         .as(Seq("pos", "chunk")))
+      .filter(col("pos").isNotNull)
 
   /** Per-document dedup report: total chunk count, surviving chunk
     * count, and the reassembled text of the survivors (empty when

@@ -45,10 +45,15 @@ object Similarity {
   def bandedBuckets(emb: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     bits: Int = 8, bands: Int = 2): DataFrame =
+    // posexplode_outer + isNotNull, not posexplode: the plain form's
+    // inferred `size(...) > 0` pre-filter re-evaluates hyperplane_codes
+    // (bands× dot products) per row; the outer variant computes the
+    // codes once and the filter re-drops only null-vector rows
     emb.select(
       col(idCol),
-      posexplode(call_function("hyperplane_codes",
+      posexplode_outer(call_function("hyperplane_codes",
         col(vecCol).cast("array<double>"), lit(bits), lit(bands))))
+      .filter(col("col").isNotNull)
       .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
 
   /** Distinct candidate id pairs (id1 < id2) colliding in ANY band.
