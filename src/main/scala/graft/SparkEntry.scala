@@ -1504,6 +1504,24 @@ object SparkEntry {
                 col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"),
                 col("sum_samples"))
         .orderBy("doc_id")
+    }),
+
+    // ---- PERSISTED IVF-PQ index: train → land → search from codes ----
+    // The production flow q75/q79 point at: the index lands as parquet
+    // partitioned by coarse centroid, and the search scan reads ONLY
+    // the probed centroids' partitions (partition pruning) and ONLY
+    // the m int codes — never a raw vector (PlanSpec pins both). The
+    // oracle reads the SAME landed parquet (q59/q78 landed-artifact
+    // discipline) and recomputes the LUT scores independently.
+    "q81_ivfpq_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = ops.IvfPqIndex.dirFor(dir)
+      ops.IvfPqIndex.land(emb, idxDir, coarseK = 16, m = 4, ksub = 16)
+      ops.IvfPqIndex.search(s, idxDir, emb, probeIds = Seq(123L, 77L, 401L),
+          coarseK = 16, m = 4, ksub = 16, nprobe = 4, k = 10)
+        .select(col("probe_id"), col("vec_id"), col("centroid"),
+                round(col("adc"), 6).as("adc"), col("rk"))
+        .orderBy("probe_id", "rk")
     })
   )
 
@@ -1554,14 +1572,15 @@ object SparkEntry {
   // DuckDB oracles — same semantics, same output column names, same
   // ORDER BY, same numeric parity tricks.
   // =====================================================================
-  /** Driver contract (no-arg): q78's landing dir comes from the last
-    * roundTrip in this JVM. `Verify` instead calls [[oracleSqlFor]]
-    * with the dir DERIVED from its own data dir, so a concurrent run
-    * against a different dataset in the same JVM cannot repoint the
-    * dumped oracle. */
-  def oracleSql: Map[String, String] = oracleSqlFor(sources.CorpusJsonl.lastDir)
+  /** Driver contract (no-arg): the q78/q81 landed dirs come from the
+    * last roundTrip/land in this JVM. `Verify` instead calls
+    * [[oracleSqlFor]] with dirs DERIVED from its own data dir, so a
+    * concurrent run against a different dataset in the same JVM
+    * cannot repoint the dumped oracle. */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sources.CorpusJsonl.lastDir, ops.IvfPqIndex.lastDir)
 
-  def oracleSqlFor(q78Dir: String): Map[String, String] = Map(
+  def oracleSqlFor(q78Dir: String, q81Dir: String): Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2897,7 +2916,56 @@ object SparkEntry {
         |SELECT t.doc_id, 8000 AS sample_rate, 1 AS channels, t.nf AS n_frames,
         |  round(t.nf * 1000.0 / 8000, 6) AS duration_ms, s.sum_samples
         |FROM t JOIN s USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // reads the LANDED index parquet (codes, centroid partitions) the
+    // Spark side just wrote — the stored-code twin of q79: probes and
+    // LUTs recompute from embeddings, but the corpus-side scores come
+    // from the persisted codes, so a green hash proves the landed
+    // layout round-trips
+    "q81_ivfpq_index" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM v
+        |           WHERE vec_id IN (123, 77, 401)),
+        |pc AS (
+        |  SELECT probe_id, cid FROM (
+        |    SELECT p.probe_id, cb.cid,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |                         ORDER BY list_dot_product(pv, cv) DESC, cid) AS rn
+        |    FROM probes p CROSS JOIN cb) WHERE rn <= 4),
+        |idx AS (
+        |  SELECT vec_id, CAST(centroid AS BIGINT) AS centroid,
+        |         code_0, code_1, code_2, code_3
+        |  FROM read_parquet('$q81Dir/centroid=*/*.parquet',
+        |                    hive_partitioning = true)),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |scb AS (SELECT cid, j, cv[j*16+1 : (j+1)*16] AS scv FROM cb CROSS JOIN js),
+        |lut AS (
+        |  SELECT probe_id, j, cid,
+        |         list_dot_product(pv[j*16+1 : (j+1)*16], scv) AS term
+        |  FROM probes CROSS JOIN scb),
+        |adc AS (
+        |  SELECT pc.probe_id, i.vec_id, i.centroid,
+        |    ((MAX(CASE WHEN l.j = 0 THEN l.term END)
+        |      + MAX(CASE WHEN l.j = 1 THEN l.term END))
+        |      + MAX(CASE WHEN l.j = 2 THEN l.term END))
+        |      + MAX(CASE WHEN l.j = 3 THEN l.term END) AS adc
+        |  FROM idx i
+        |  JOIN pc ON pc.cid = i.centroid
+        |  JOIN lut l ON l.probe_id = pc.probe_id AND l.cid =
+        |    CASE l.j WHEN 0 THEN i.code_0 WHEN 1 THEN i.code_1
+        |             WHEN 2 THEN i.code_2 ELSE i.code_3 END
+        |  WHERE i.vec_id <> pc.probe_id
+        |  GROUP BY pc.probe_id, i.vec_id, i.centroid),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, centroid, adc,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY adc DESC, vec_id) AS INT) AS rk
+        |  FROM adc)
+        |SELECT probe_id, vec_id, centroid, round(adc, 6) AS adc, rk
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY probe_id, rk""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -16,11 +16,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // q78's oracle dir is derived from THIS run's data dir (not the
-    // JVM-global last-write-wins var) so concurrent runs can't cross
+    // the q78/q81 oracle dirs are derived from THIS run's data dir
+    // (not JVM-global last-write-wins vars) so concurrent runs can't
+    // cross
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
                       oracleJson(SparkEntry.oracleSqlFor(
-                        graft.sources.CorpusJsonl.dirFor(sfDir))))
+                        graft.sources.CorpusJsonl.dirFor(sfDir),
+                        graft.ops.IvfPqIndex.dirFor(sfDir))))
     spark.stop()
   }
 

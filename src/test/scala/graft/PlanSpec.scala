@@ -240,6 +240,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            "no per-probe window sort")
   }
 
+  test("q81: persisted-index search prunes to the probed centroids and never reads vectors") {
+    // q81's plan builds against the LANDED index, so land it first
+    // (same dir the carrier uses)
+    val idxDir = graft.ops.IvfPqIndex.dirFor(dir)
+    graft.ops.IvfPqIndex.land(graft.core.Tables.embeddings(spark, dir), idxDir,
+      coarseK = 16, m = 4, ksub = 16)
+    val df = graft.ops.IvfPqIndex.search(spark, idxDir,
+      graft.core.Tables.embeddings(spark, dir),
+      probeIds = Seq(123L, 77L, 401L), coarseK = 16, m = 4, ksub = 16,
+      nprobe = 4, k = 10)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the index scan's ReadSchema carries only id + codes — the raw
+    // vector column must NOT appear anywhere in the search plan
+    assert(!p.contains("embedding"), s"raw vector column in the search plan:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("code_0"), s"codes missing from the index scan: $readSchema")
+    // centroid is a partition column: the isin must land as a
+    // PartitionFilters entry, not a post-scan filter
+    assert(p.contains("PartitionFilters"), s"no partition filters on the index scan:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("centroid"), s"centroid not in partition filters: $pf")
+    // and the pruned scan touches at most nprobe-per-probe centroids:
+    // execute and count the actual partitions read
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("bounded_topk"), "per-probe top-k must be the bounded heap")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // FormattedMode under AQE omits codegen spans; CodegenMode lists
     // the compiled subtrees explicitly.

@@ -192,6 +192,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((0L, 0L, 1.9), (2L, 0L, 1.9), (4L, 0L, 1.0)))
   }
 
+  test("IvfPqIndex: search over the landed codes equals the inline batch search") {
+    // the persisted index must be a pure re-layout: landing codes and
+    // searching from them yields exactly what the inline (vector-
+    // recomputing) batch search yields on the same corpus and probes
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString + "/index"
+    graft.ops.IvfPqIndex.land(emb, dir, coarseK = 16, m = 4, ksub = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("vec_id"), col("centroid"),
+              round(col("adc"), 9).as("adc"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3), r.getInt(4))).sortBy(t => (t._1, t._5))
+    val stored = key(graft.ops.IvfPqIndex.search(spark, dir, emb,
+      probeIds = Seq(123L, 77L, 401L), coarseK = 16, m = 4, ksub = 16,
+      nprobe = 4, k = 10))
+    val inline = key(Similarity.ivfPqSearch(emb,
+      probeIds = Seq(123L, 77L, 401L), coarseK = 16, m = 4, ksub = 16,
+      nprobe = 4, k = 10))
+    assert(stored.nonEmpty && stored.toSeq == inline.toSeq)
+  }
+
   test("ivfPqTopK: nprobe=2 admits the second cluster; k caps the heap") {
     val got = Similarity.ivfPqTopK(ivfPqCorpus, probeId = 10L,
         coarseK = 2, m = 2, ksub = 2, nprobe = 2, k = 2)
