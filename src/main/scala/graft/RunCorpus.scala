@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 import graft.core.GraftSession
 import graft.pipeline.CorpusPipeline
@@ -10,6 +10,7 @@ import graft.pipeline.CorpusPipeline
   * [[RunPipeline]]:
   *
   *   graft.RunCorpus --in PATH --out DIR
+  *                   [--dry-run]
   *                   [--no-cleanup] [--no-pii] [--no-exact-dedup]
   *                   [--no-chunk-dedup] [--no-quality] [--no-split]
   *                   [--chunk-w N] [--min-tokens N] [--train-pct N]
@@ -17,13 +18,43 @@ import graft.pipeline.CorpusPipeline
   * `--in` is a parquet path: either a documents table file/dir
   * directly, or a testdata sf directory (its `documents.parquet` is
   * used). Output is written as parquet to `--out` and a per-stage
-  * summary is printed.
-  */
+  * summary is printed. `--dry-run` prints each stage's physical plan
+  * (the `RunPipeline --validate-only` discipline) and writes nothing.
+  *
+  * Exit codes: 0 ok, 1 run failure (including EMPTY INPUT — a corpus
+  * job that read zero rows almost certainly pointed at the wrong
+  * path, and a green exit would let a scheduler march on), 2 usage. */
 object RunCorpus {
+  private val usage =
+    """usage: graft.RunCorpus --in PATH --out DIR
+      |  [--dry-run]                   print per-stage plans, write nothing
+      |  [--no-cleanup] [--no-pii] [--no-exact-dedup]
+      |  [--no-chunk-dedup] [--no-quality] [--no-split]
+      |  [--chunk-w N] [--min-tokens N] [--train-pct N]""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    val opts = parse(args.toList, Map.empty)
-    val in = opts.getOrElse("in", sys.error("--in PATH is required"))
-    val out = opts.getOrElse("out", sys.error("--out DIR is required"))
+    val spark = GraftSession.build("graft-corpus")
+    val code = execute(spark, args)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** The whole CLI minus session lifecycle and process exit — returns
+    * the exit code so CorpusPipelineSpec can drive it in-JVM. */
+  private[graft] def execute(spark: SparkSession, args: Array[String]): Int = {
+    val opts =
+      try parse(args.toList, Map.empty)
+      catch {
+        case e: RuntimeException =>
+          System.err.println(s"[corpus] ${e.getMessage}\n$usage")
+          return 2
+      }
+    if (!opts.contains("in") || !opts.contains("out")) {
+      System.err.println(s"[corpus] --in PATH and --out DIR are required\n$usage")
+      return 2
+    }
+    val in = opts("in")
+    val out = opts("out")
     val inPath =
       if (new java.io.File(s"$in/documents.parquet").exists()) s"$in/documents.parquet"
       else in
@@ -38,12 +69,27 @@ object RunCorpus {
       split = !opts.contains("no-split"),
       trainPct = opts.getOrElse("train-pct", "80").toInt)
 
-    val spark = GraftSession.build("graft-corpus")
     try {
       val docs = spark.read.parquet(inPath)
       require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
         s"input needs doc_id and text columns, got: ${docs.columns.mkString(", ")}")
+
+      if (opts.contains("dry-run")) {
+        val stages = CorpusPipeline.stages(docs, cfg)
+        stages.foreach { case (name, df) =>
+          println(s"== stage: $name ==")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+        println(s"[corpus] DRY RUN: ${stages.length} stages planned, nothing written")
+        return 0
+      }
+
       val nIn = docs.count()
+      if (nIn == 0) {
+        System.err.println(s"[corpus] FAILED: input $inPath has zero rows")
+        return 1
+      }
       val result = CorpusPipeline.run(docs, cfg)
       result.write.mode("overwrite").parquet(out)
       // summarize from the LANDED parquet (one extra cheap read) so
@@ -56,16 +102,15 @@ object RunCorpus {
             .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         else "(split off)"
       println(s"[corpus] OK: in=$nIn out=$nOut kept=${"%.1f".format(100.0 * nOut / math.max(nIn, 1))}% $bySplit -> $out")
-      spark.stop()
+      0
     } catch {
       case e: Exception =>
         System.err.println(s"[corpus] FAILED: ${e.getMessage}")
-        spark.stop()
-        sys.exit(1)
+        1
     }
   }
 
-  private val flags = Set("no-cleanup", "no-pii", "no-exact-dedup",
+  private val flags = Set("dry-run", "no-cleanup", "no-pii", "no-exact-dedup",
     "no-chunk-dedup", "no-quality", "no-split")
   private val valued = Set("in", "out", "chunk-w", "min-tokens", "train-pct")
 

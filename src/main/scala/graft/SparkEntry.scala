@@ -2427,7 +2427,7 @@ object SparkEntry {
     "q59_ingest_landing" ->
       s"""SELECT time, latitude, longitude, temperature, salinity
         |FROM read_parquet(
-        |  '${pipeline.LandedIngest.Q59LandingDir}/month=*/*.parquet',
+        |  '${pipeline.LandedIngest.Q59LandingDir}/month=*/z_bucket=*/*.parquet',
         |  hive_partitioning = true)
         |WHERE month = '1960-07' AND latitude = 32.5 AND longitude = -70.0
         |ORDER BY time""".stripMargin,

@@ -37,7 +37,14 @@ object CorpusPipeline {
       split: Boolean = true,
       trainPct: Int = 80)
 
-  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    stages(docs, cfg).last._2
+
+  /** The chain as named intermediates — the frame AFTER each stage
+    * (disabled stages pass through, so the list shape is stable and
+    * `run` is simply the last frame). `RunCorpus --dry-run` explains
+    * each of these without executing anything. */
+  def stages(docs: DataFrame, cfg: Config = Config()): Seq[(String, DataFrame)] = {
     val passthrough = docs.columns.toSeq.filterNot(Set("doc_id", "text"))
 
     // 1. normalize + scrub (projections; n_pii = 0 when the scrub is off)
@@ -78,10 +85,13 @@ object CorpusPipeline {
     val gated =
       if (cfg.quality) chunked.filter(size(Text.tokens(col("text"))) >= cfg.minTokens)
       else chunked
-    if (cfg.split)
-      gated.withColumn("split",
-        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-               .cast("long") % 100 < cfg.trainPct, "train").otherwise("eval"))
-    else gated
+    val split =
+      if (cfg.split)
+        gated.withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+                 .cast("long") % 100 < cfg.trainPct, "train").otherwise("eval"))
+      else gated
+    Seq("cleanup" -> cleaned, "pii-scrub" -> scrubbed, "exact-dedup" -> exact,
+        "chunk-dedup" -> chunked, "quality-gate" -> gated, "split" -> split)
   }
 }

@@ -61,8 +61,12 @@ object LandedIngest {
 
   /** Fetch + clean + land: fetchMany distributes the point list, the
     * extract-stage clean types and filters the raw union, and the
-    * result lands partitioned by observation month. Returns the
-    * landing directory's frame. */
+    * result lands through [[graft.sources.ZOrderLanding]] as
+    * `month=…/z_bucket=…` — ONE landing layout serving both access
+    * patterns: per-period queries prune on the month directory,
+    * spatial box queries prune on the Morton bucket inside it (the
+    * zland story unified with the ingest story). Returns the landing
+    * directory's frame. */
   def ingest(spark: SparkSession, landingDir: String,
              points: Seq[(Double, Double)] = Points): DataFrame = {
     val fx = fixtures(points)
@@ -72,22 +76,30 @@ object LandedIngest {
       minIntervalMs = 0L, sleeper = _ => ())
     val cleaned = Clean.cleanApiResponse(
       fetched.rows.drop("req_lat", "req_lon"))
-    cleaned
-      .withColumn("month", date_format(col("time"), "yyyy-MM"))
-      .write.partitionBy("month").mode("overwrite").parquet(landingDir)
+    graft.sources.ZOrderLanding.land(
+      cleaned
+        .withColumn("month", date_format(col("time"), "yyyy-MM"))
+        .withColumn("lat_idx", Grid.latIdxCol(col("latitude")).cast("long"))
+        .withColumn("lon_idx", Grid.lonIdxCol(col("longitude")).cast("long")),
+      landingDir, bucketShift = 6, overwrite = true,
+      extraPartitionCols = Seq("month"))
     spark.read.parquet(landingDir)
   }
 
   /** The pruned point query over the landed table: one month, one grid
-    * cell. The month predicate is a PARTITION filter — only that
-    * month's files are opened. */
+    * cell. The month predicate AND the point's Morton bucket are both
+    * PARTITION filters — only that month's, that bucket's files are
+    * opened. */
   def pointQuery(spark: SparkSession, landingDir: String,
-                 month: String, lat: Double, lon: Double): DataFrame =
+                 month: String, lat: Double, lon: Double): DataFrame = {
+    val bucket = graft.sources.ZOrderLanding.morton(
+      Grid.latToIndex(lat).toLong, Grid.lonToIndex(lon).toLong) >> 6
     spark.read.parquet(landingDir)
-      .filter(col("month") === month &&
+      .filter(col("month") === month && col("z_bucket") === bucket &&
               col("latitude") === lat && col("longitude") === lon)
       .select("time", "latitude", "longitude", "temperature", "salinity")
       .orderBy("time")
+  }
 
   /** The q59 carrier: run the full ingest, then answer the pruned
     * query. Every invocation re-lands (deterministic overwrite), so

@@ -70,7 +70,10 @@ final class ZLandingTable(tableSchema: StructType, options: CaseInsensitiveStrin
                 latCol = options.getOrDefault("lat_col", "lat_idx"),
                 lonCol = options.getOrDefault("lon_col", "lon_idx"),
                 bucketShift = options.getOrDefault("bucket_shift", "6").toInt,
-                overwrite = overwrite)
+                overwrite = overwrite,
+                extraPartitionCols = Option(options.get("partition_extra"))
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  .getOrElse(Nil))
           }
       }
     }
@@ -81,14 +84,18 @@ final class ZLandingTable(tableSchema: StructType, options: CaseInsensitiveStrin
 object ZOrderLanding {
 
   /** Land `df` at `dir` partitioned by the coarse Morton bucket of
-    * (`latCol`, `lonCol`). Deterministic layout: same inputs → same
-    * directories, so re-lands are idempotent under overwrite. */
+    * (`latCol`, `lonCol`) — optionally UNDER other partition columns
+    * (e.g. an ingest's observation month: `month=…/z_bucket=…`), so
+    * one landing layout serves both temporal and spatial pruning.
+    * Deterministic layout: same inputs → same directories, so
+    * re-lands are idempotent under overwrite. */
   def land(df: DataFrame, dir: String, latCol: String = "lat_idx",
            lonCol: String = "lon_idx", bucketShift: Int = 6,
-           overwrite: Boolean = false): Unit =
+           overwrite: Boolean = false,
+           extraPartitionCols: Seq[String] = Nil): Unit =
     df.withColumn("z", call_function("interleave_bits", col(latCol), col(lonCol)))
       .withColumn("z_bucket", shiftright(col("z"), bucketShift))
-      .write.partitionBy("z_bucket")
+      .write.partitionBy(extraPartitionCols :+ "z_bucket": _*)
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
 

@@ -84,4 +84,31 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
       assert(a == b, "pipeline is not reproducible")
     } finally out.unpersist()
   }
+
+  test("RunCorpus CLI: dry-run plans, empty input fails, misuse exits 2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-runcorpus").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/docs")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$tmp/docs").schema)
+      .write.parquet(s"$tmp/empty")
+
+    // dry-run: exit 0, prints one plan per stage, writes NOTHING
+    val outDir = s"$tmp/out"
+    assert(RunCorpus.execute(spark,
+      Array("--in", s"$tmp/docs", "--out", outDir, "--dry-run")) == 0)
+    assert(!new java.io.File(outDir).exists(), "dry-run must not write output")
+    // empty input: a real run exits 1 and writes nothing
+    assert(RunCorpus.execute(spark,
+      Array("--in", s"$tmp/empty", "--out", outDir)) == 1)
+    assert(!new java.io.File(outDir).exists(), "failed run must not write output")
+    // misuse: unknown flag and missing required args both exit 2
+    assert(RunCorpus.execute(spark, Array("--bogus")) == 2)
+    assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs")) == 2)
+    // and the happy path still lands parquet with exit 0
+    assert(RunCorpus.execute(spark,
+      Array("--in", s"$tmp/docs", "--out", outDir)) == 0)
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
 }

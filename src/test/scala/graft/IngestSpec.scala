@@ -29,6 +29,10 @@ class IngestSpec extends AnyFunSuite with SparkTestSession {
     val plan = q.queryExecution.explainString(FormattedMode)
     assert(plan.contains("PartitionFilters: [isnotnull(month"),
            s"month predicate is not a partition filter:\n$plan")
+    // the zland layout underneath the month: the point's Morton
+    // bucket prunes too (one landing serving both access patterns)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("z_bucket"), s"z_bucket not a partition filter: $pf")
     // physically: only the July files are opened (input_file_name must
     // be read off the scan-side frame — after the ORDER BY exchange it
     // evaluates to empty)

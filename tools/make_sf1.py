@@ -25,6 +25,10 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# split counts grow with the copy factor so per-file size stays
+# roughly constant (sf1 keeps its 16/8 layout; sf10 gets 160/80)
+DOC_SPLITS = max(16, 16 * COPIES // 10)
+EMB_SPLITS = max(8, 8 * COPIES // 10)
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -114,15 +118,21 @@ doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone
 copy_out(f"""
   SELECT doc_id + i * {doc_max} AS doc_id,
          * EXCLUDE (doc_id)
-  FROM {src('documents')}, range({COPIES}) t(i)""", "documents", splits=16)
+  FROM {src('documents')}, range({COPIES}) t(i)""", "documents", splits=DOC_SPLITS)
 
 vec_max, dim = con.execute(
     f"SELECT max(vec_id)+1, max(len(embedding)) FROM {src('embeddings')}").fetchone()
+# Past one full rotation cycle (copies >= dim) the rotations repeat;
+# negate those wrapped copies so copy i and copy i+dim never collide
+# in an LSH bucket (negation flips every hyperplane sign — complement
+# bucket — while preserving norms). COPIES <= dim is unaffected.
 copy_out(f"""
   SELECT vec_id + i * {vec_max} AS vec_id,
-         CAST(embedding[(i % {dim}) + 1 :] || embedding[: (i % {dim})] AS FLOAT[])
-           AS embedding,
+         CAST(list_transform(
+           embedding[(i % {dim}) + 1 :] || embedding[: (i % {dim})],
+           x -> x * (CASE WHEN (i // {dim}) % 2 = 1 THEN -1 ELSE 1 END))
+           AS FLOAT[]) AS embedding,
          * EXCLUDE (vec_id, embedding)
-  FROM {src('embeddings')}, range({COPIES}) t(i)""", "embeddings", splits=8)
+  FROM {src('embeddings')}, range({COPIES}) t(i)""", "embeddings", splits=EMB_SPLITS)
 
 print("done:", DST)
