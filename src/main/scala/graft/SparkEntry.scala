@@ -1029,10 +1029,18 @@ object SparkEntry {
     // propagation gives a deterministic component id (min reachable
     // doc_id), which a DuckDB recursive CTE reproduces exactly.
     "q60_neardup_clusters" -> ((s, dir) => {
-      val pairs = bandedPairs(minhashSigsFrame(s, dir))
-        .filter(col("jaccard_est") >= 0.5)
+      // Star edges, not pairs: the candidate threshold here (0.5) is
+      // implied by any band collision, so the component structure only
+      // depends on bucket CONNECTIVITY — see [[bandedStarEdges]]. The
+      // oracle keeps the pairwise formulation; components are provably
+      // identical (clique and star connect the same bucket).
+      // maxIter 50, not the default 25: a star has diameter 2 where
+      // the clique had 1, so label propagation can need up to ~2× the
+      // rounds on the same bucket-chain — the cap moves with it.
+      val edges = bandedStarEdges(minhashSigsFrame(s, dir))
       ops.ConnectedComponents.minLabel(
-          Tables.documents(s, dir), "doc_id", pairs, "doc1", "doc2")
+          Tables.documents(s, dir), "doc_id", edges, "doc1", "doc2",
+          maxIter = 50)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
@@ -1564,6 +1572,38 @@ object SparkEntry {
           (col("a.mh2") === col("b.mh2")).cast("int") +
           (col("a.mh3") === col("b.mh3")).cast("int") +
           (col("a.mh4") === col("b.mh4")).cast("int")) / lit(4.0)).as("jaccard_est"))
+      .distinct()
+  }
+
+  /** Per-bucket STAR edges over the same banding collision graph:
+    * `(bucket_min, member)` instead of every in-bucket pair. For any
+    * consumer that only needs CONNECTIVITY (connected-components
+    * dedup, q60) this is exactly equivalent — a bucket's members form
+    * a clique under [[bandedPairs]] and a star under this generator,
+    * and both connect the same set — but the edge count per bucket is
+    * O(members), not O(members²). That is the difference between a
+    * near-dup clustering that survives a pathological mega-dup-group
+    * (boilerplate duplicated millions of times at 100 TB would emit
+    * ~10^12 clique pairs from ONE bucket) and one that OOMs on it.
+    * Note every banded pair carries `jaccard_est >= 0.5` by
+    * construction (a band collision fixes 2 of the 4 signature
+    * components), so q60's `>= 0.5` candidate threshold is already
+    * implied and no per-pair estimate is lost. Consumers that filter
+    * on a HIGHER estimate (q39's 0.75) still need the pairwise form.
+    * Shape: one bucket-keyed aggregate for the hubs, a join back on
+    * the same key (the exchange is shared), and an edge distinct —
+    * every shuffled row is slim (ids + bucket key). */
+  private[graft] def bandedStarEdges(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(1).as("band"), col("mh1").as("x"), col("mh2").as("y")),
+        struct(lit(2).as("band"), col("mh3").as("x"), col("mh4").as("y")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+              col("b.x").as("x"), col("b.y").as("y"))
+    val hubs = bands.groupBy("band", "x", "y").agg(min("doc_id").as("hub"))
+    bands.join(hubs, Seq("band", "x", "y"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc1"), col("doc_id").as("doc2"))
       .distinct()
   }
 
