@@ -66,6 +66,17 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The INITIAL shuffle partition count is the ceiling AQE can
+      // coalesce DOWN from — with it equal to shuffle.partitions(32),
+      // 32 was both floor and ceiling, so a fat-row exchange at 10×
+      // the bench scale (q35's pair join carrying ~2 KB gram-fingerprint
+      // arrays) sorted ~3 GB per task and died on heap. 8× the core
+      // count gives AQE room to KEEP partitions small where rows are
+      // fat while the coalescer still folds tiny-query exchanges to a
+      // handful of tasks — the two scales share one config, which is
+      // the point of adaptive execution.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        scala.util.Try(cpus.trim.toInt * 8).toOption.getOrElse(256).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -115,10 +115,30 @@ pq.write_table(pa.concat_tables(chunks), f"{DST}/events.parquet")
 print(f"events: {sum(c.num_rows for c in chunks)} rows")
 
 doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()
+# Copies within a GROUP of 10 keep the source text verbatim — that is
+# the near-dup clique a real corpus has. Every further group of 10 is
+# CAESAR-SHIFTED (letters rotated by the group number), so different
+# groups share no character windows and LSH clique size stays ~10 at
+# EVERY scale factor. Without this, COPIES=100 makes all 100 copies
+# of a doc collide in one bucket and every pair-bounded query
+# (q31/q35/q55/q60) goes QUADRATIC in the scale factor — a fixture
+# artifact, not a workload property (observed as task OOMs at sf10).
+# A letter bijection, not a word-suffix salt, because it preserves
+# text length and the window-sharing structure BETWEEN docs exactly
+# (which docs share which shingles is isomorphic across groups);
+# suffixing digits measurably inflated cross-doc minhash collisions
+# ~5× inside salted groups. COPIES <= 10 (the sf1 layout) takes the
+# verbatim branch for every copy, so sf1 is unchanged.
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+shift_case = "CASE i // 10 WHEN 0 THEN text " + " ".join(
+    f"WHEN {g} THEN translate(text, '{ALPHA}', '{ALPHA[g:] + ALPHA[:g]}')"
+    for g in range(1, (COPIES + 9) // 10)) + " END"
 copy_out(f"""
   SELECT doc_id + i * {doc_max} AS doc_id,
-         * EXCLUDE (doc_id)
-  FROM {src('documents')}, range({COPIES}) t(i)""", "documents", splits=DOC_SPLITS)
+         {shift_case} AS text,
+         * EXCLUDE (doc_id, text)
+  FROM {src('documents')}, range({COPIES}) t(i)""",
+  "documents", splits=DOC_SPLITS)
 
 vec_max, dim = con.execute(
     f"SELECT max(vec_id)+1, max(len(embedding)) FROM {src('embeddings')}").fetchone()
