@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Order-preserving IEEE-754 bit transform:
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * group — Spark normalizes -0.0 = 0.0 in grouping keys).
   */
 case class DoubleOrderBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -34,10 +34,15 @@ case class DoubleOrderBits(child: Expression)
       s"double_order_bits needs DOUBLE input, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bits = java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
-    if (bits >= 0L) bits else bits ^ 0x7FFFFFFFFFFFFFFFL
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleOrderBits.orderBits(input.asInstanceOf[Double])
+
+  // Codegen'd, not CodegenFallback: the bits-histogram percentile
+  // regime evaluates this per row over full-column scans, and a
+  // fallback would break that scan's whole-stage-codegen span.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.DoubleOrderBits.orderBits($v)")
 
   override protected def withNewChildInternal(newChild: Expression): DoubleOrderBits =
     copy(child = newChild)
@@ -45,6 +50,13 @@ case class DoubleOrderBits(child: Expression)
 }
 
 object DoubleOrderBits {
+
+  /** Shared by the interpreted and generated paths. */
+  def orderBits(d: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    if (bits >= 0L) bits else bits ^ 0x7FFFFFFFFFFFFFFFL
+  }
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("double_order_bits"),
     new ExpressionInfo(classOf[DoubleOrderBits].getName, "double_order_bits"),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton/Z-order interleave: `interleave_bits(x, y)` → LONG with the
@@ -15,9 +15,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * queries, `cache_manager.py`'s nearby lookup, P7/O4). Inputs must
   * be non-negative grid indices (the engine's lat/lon index domain is
   * 0..90 × 0..60); values above 2³²−1 lose their high bits by design.
+  *
+  * Codegen'd (a static-call `doGenCode`, not `CodegenFallback`): the
+  * expression sits in per-row projections over full fact scans (q71
+  * buckets 10M+ events; the zland write path evaluates it per landed
+  * row), and a fallback expression would split the whole-stage-codegen
+  * span every scan pays for.
   */
 case class InterleaveBits(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -27,20 +33,12 @@ case class InterleaveBits(left: Expression, right: Expression)
       s"interleave_bits needs (BIGINT, BIGINT), got (${l.catalogString}, ${r.catalogString})")
   }
 
-  override protected def nullSafeEval(xAny: Any, yAny: Any): Any = {
-    // classic bit-spreading: x -> 64-bit word with x's low 32 bits on
-    // even positions (magic-mask shuffle, 5 steps)
-    def spread(v0: Long): Long = {
-      var v = v0 & 0xFFFFFFFFL
-      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
-      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
-      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
-      v = (v | (v << 2)) & 0x3333333333333333L
-      v = (v | (v << 1)) & 0x5555555555555555L
-      v
-    }
-    spread(xAny.asInstanceOf[Long]) | (spread(yAny.asInstanceOf[Long]) << 1)
-  }
+  override protected def nullSafeEval(xAny: Any, yAny: Any): Any =
+    InterleaveBits.interleave(xAny.asInstanceOf[Long], yAny.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.InterleaveBits.interleave($x, $y)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InterleaveBits =
@@ -49,6 +47,22 @@ case class InterleaveBits(left: Expression, right: Expression)
 }
 
 object InterleaveBits {
+
+  /** Classic magic-mask bit spread: `v`'s low 32 bits moved to the
+    * even positions of a 64-bit word (5 shuffle steps). */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** The interpreted and generated paths share this one body. */
+  def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("interleave_bits"),
     new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
