@@ -61,6 +61,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
   }
 
+  test("q60: the dedup graph's bucket join has an AGGREGATED hub side, not bands×bands") {
+    // bandedStarEdges joins the band rows against the per-bucket min
+    // aggregate — O(members) edges per bucket. A regression back to
+    // the pairwise self-join (bands joined with bands on the bucket
+    // key plus a doc inequality) would be quadratic in bucket size
+    // and is exactly what a mega-dup-group at corpus scale cannot
+    // survive.
+    val edges = SparkEntry.bandedStarEdges(
+      SparkEntry.minhashSigsFrame(spark, dir))
+    val p = edges.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    // the join's build/right side must come through the hub aggregate:
+    // partial+final HashAggregate pair for min(doc_id) per bucket
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+           s"hub-side min aggregate missing — pairwise self-join regression?\n$p")
+    // star edges never compare doc ids in the JOIN condition (the
+    // pairwise form's `a.doc_id < b.doc_id` inequality)
+    val joinLines = p.linesIterator.filter(_.contains("SortMergeJoin")).mkString("\n")
+    assert(!joinLines.contains("<"), s"doc-inequality join condition:\n$joinLines")
+  }
+
   test("q42: IVF assignment is a pure projection — no join, no window, no row expansion") {
     val p = plan("q42_ivf_assign")
     assert(!p.contains("Join"), s"row-expansion join in IVF assignment:\n$p")
