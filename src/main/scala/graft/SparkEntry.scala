@@ -1530,6 +1530,25 @@ object SparkEntry {
         .select(col("probe_id"), col("vec_id"), col("centroid"),
                 round(col("adc"), 6).as("adc"), col("rk"))
         .orderBy("probe_id", "rk")
+    }),
+
+    // ---- cross-batch NEAR-dup filter (incremental ingest shape) ----
+    // q74's MinHash/LSH twin (ops/NearDupIncremental): the 5% slice
+    // doc_id % 20 == 0 plays the already-accepted corpus, the rest is
+    // the incoming batch; a batch doc is a near-dup when any of its
+    // LSH band buckets holds a corpus doc (collision ⇒ est ≥ 0.5 by
+    // banding). Scale shape: the corpus side reduces to a DISTINCT
+    // (band, x, y) bucket table — slim triples, one semi-join, doc
+    // pairs never materialize (one hit per colliding batch doc, not
+    // one per corpus bucket-mate). The streaming face is
+    // EventStreams.ingestNearDup, which lands signature columns with
+    // the corpus so this check never re-tokenizes landed text.
+    "q82_neardup_incremental" -> ((s, dir) => {
+      val sigs = minhashSigsFrame(s, dir)
+      ops.NearDupIncremental.newDocs(
+          corpusSigs = sigs.filter(col("doc_id") % 20 === 0),
+          batchSigs = sigs.filter(col("doc_id") % 20 =!= 0))
+        .orderBy("doc_id")
     })
   )
 
@@ -3005,7 +3024,20 @@ object SparkEntry {
         |  FROM adc)
         |SELECT probe_id, vec_id, centroid, round(adc, 6) AS adc, rk
         |FROM ranked WHERE rk <= 10
-        |ORDER BY probe_id, rk""".stripMargin
+        |ORDER BY probe_id, rk""".stripMargin,
+
+    "q82_neardup_incremental" ->
+      s"""WITH $SqlMinhashPairCtes,
+        |landed AS (
+        |  SELECT DISTINCT band, x, y FROM bands WHERE doc_id % 20 = 0),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bands b JOIN landed USING (band, x, y)
+        |  WHERE b.doc_id % 20 <> 0)
+        |SELECT d.doc_id, (dup.doc_id IS NULL) AS is_new
+        |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+        |WHERE d.doc_id % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

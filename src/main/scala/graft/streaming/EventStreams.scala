@@ -255,4 +255,52 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Cross-batch NEAR-dup ingest — [[ingestDedup]]'s MinHash/LSH twin
+    * ([[graft.ops.NearDupIncremental]]): a batch doc is dropped when
+    * any of its LSH band buckets already contains an accepted doc, so
+    * a lightly-edited repost never re-enters the corpus.
+    *
+    * The landed corpus again IS the state, with one refinement: each
+    * accepted row lands WITH its `mh1..mh4` signature columns, in the
+    * SAME atomic append. Per-batch dedup therefore reads only those
+    * four long columns off the landing (column-pruned scan — the text
+    * is never re-tokenized), and state cannot diverge from the corpus
+    * on a retry: a partially-failed append publishes nothing, a
+    * replayed batch collides with its own landed buckets and drops.
+    * Within a batch the greedy bucket-min keeper applies first
+    * (smallest id per bucket survives — deterministic, one pass;
+    * see [[graft.ops.NearDupIncremental.keepBucketMins]] for the
+    * over-drop trade vs full connected components, which remains the
+    * batch q60 operator's job). The read-failure discipline matches
+    * [[ingestDedup]]: only a genuinely-absent dir means "first
+    * batch"; anything else fails the batch so the retry re-runs WITH
+    * dedup. */
+  def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.NearDupIncremental
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val kept = NearDupIncremental.keepBucketMins(
+          NearDupIncremental.withSigs(batch, textCol), idCol)
+        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(landingPath)) kept // first batch: nothing landed yet
+          else {
+            val corpusSigs = spark.read.parquet(landingDir)
+              .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+            kept.join(
+              NearDupIncremental.newDocs(corpusSigs, kept, idCol)
+                .filter(col("is_new")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+          }
+        fresh.write.mode("append").parquet(landingDir)
+        ()
+      }
+      .start()
+  }
 }

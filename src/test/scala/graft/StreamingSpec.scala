@@ -296,6 +296,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("ingestNearDup: lightly-edited reposts never re-enter the corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-nd-landing").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    // Long texts with disjoint vocabularies: edits perturb a handful
+    // of 8-char shingles out of hundreds, so the minhash minima (and
+    // hence the band buckets) are stable under the edit, while texts
+    // from different vocabularies share no shingles at all.
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestNearDup(
+      input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      // batch 1: 2 is a lightly-edited repost of 1 — the in-batch
+      // bucket-min keeper drops it; 3 is genuinely different
+      input.addData((1L, textA), (2L, textA + " tiny tail edit"), (3L, textB))
+      q.processAllAvailable()
+      // batch 2: 4 reposts textA with a different edit — dropped
+      // against the LANDED corpus (cross-batch); 5 is new
+      input.addData((4L, "prefix tweak " + textA), (5L, textC))
+      q.processAllAvailable()
+      // batch 3: an exact re-send and another edit — both drop
+      input.addData((6L, textC), (7L, textB + " postscript"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+               == Seq(1L, 3L, 5L))
+      // the landed corpus carries its signature columns — the state
+      // that lets later batches dedup from a 4-long column-pruned
+      // scan instead of re-tokenizing landed text
+      assert(Seq("mh1", "mh2", "mh3", "mh4").forall(landed.columns.contains))
+    } finally q.stop()
+  }
+
   test("ingestDedup: landing dir is never re-counted after the seed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
