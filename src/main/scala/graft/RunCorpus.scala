@@ -10,7 +10,7 @@ import graft.pipeline.CorpusPipeline
   * [[RunPipeline]]:
   *
   *   graft.RunCorpus --in PATH --out DIR
-  *                   [--dry-run]
+  *                   [--dry-run] [--near-dup]
   *                   [--no-cleanup] [--no-pii] [--no-exact-dedup]
   *                   [--no-chunk-dedup] [--no-quality] [--no-split]
   *                   [--chunk-w N] [--min-tokens N] [--train-pct N]
@@ -28,6 +28,7 @@ object RunCorpus {
   private val usage =
     """usage: graft.RunCorpus --in PATH --out DIR
       |  [--dry-run]                   print per-stage plans, write nothing
+      |  [--near-dup]                  enable the MinHash near-dup stage
       |  [--no-cleanup] [--no-pii] [--no-exact-dedup]
       |  [--no-chunk-dedup] [--no-quality] [--no-split]
       |  [--chunk-w N] [--min-tokens N] [--train-pct N]""".stripMargin
@@ -66,6 +67,7 @@ object RunCorpus {
       chunkW = opts.getOrElse("chunk-w", "8").toInt,
       quality = !opts.contains("no-quality"),
       minTokens = opts.getOrElse("min-tokens", "5").toInt,
+      nearDup = opts.contains("near-dup"),
       split = !opts.contains("no-split"),
       trainPct = opts.getOrElse("train-pct", "80").toInt)
 
@@ -110,7 +112,7 @@ object RunCorpus {
     }
   }
 
-  private val flags = Set("dry-run", "no-cleanup", "no-pii", "no-exact-dedup",
+  private val flags = Set("dry-run", "near-dup", "no-cleanup", "no-pii", "no-exact-dedup",
     "no-chunk-dedup", "no-quality", "no-split")
   private val valued = Set("in", "out", "chunk-w", "min-tokens", "train-pct")
 

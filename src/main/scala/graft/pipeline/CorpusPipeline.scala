@@ -3,12 +3,13 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ChunkDedup, Pii, Text}
+import graft.ops.{ChunkDedup, NearDupIncremental, Pii, Text}
 
 /** The end-to-end LLM-corpus preparation flow, as one composable
-  * operator: cleanup → PII scrub → exact dedup → chunk-level
-  * boilerplate dedup → quality gate → deterministic split. Each stage
-  * is an operator oracled on its own (q77, q72, q21, q73, q23, q45);
+  * operator: cleanup → PII scrub → exact dedup → optional MinHash
+  * near-dup dedup → chunk-level boilerplate dedup → quality gate →
+  * deterministic split. Each stage
+  * is an operator oracled on its own (q77, q72, q21, q82, q73, q23, q45);
   * this object pins how they CHAIN, and [[graft.RunCorpus]] makes the
   * chain drivable from the command line.
   *
@@ -30,6 +31,7 @@ object CorpusPipeline {
       cleanup: Boolean = true,
       pii: Boolean = true,
       exactDedup: Boolean = true,
+      nearDup: Boolean = false,
       chunkDedup: Boolean = true,
       chunkW: Int = 8,
       quality: Boolean = true,
@@ -71,16 +73,31 @@ object CorpusPipeline {
           .select(Seq(col("r.*"), col("text")): _*)
       } else scrubbed
 
-    // 3. chunk-level boilerplate dedup; drop fully-deduplicated docs
+    // 3. OPT-IN MinHash near-dup dedup (the Dolma/FineWeb stage):
+    // greedy bucket-min keeper — smallest doc_id of each LSH band
+    // bucket survives, so a lightly-edited repost of a kept doc
+    // drops. Deterministic one-pass rule (the q60 star-hub
+    // discipline; exact connected-components clustering remains the
+    // standalone q60 operator). Off by default: the near-dup rate of
+    // a corpus is a curation decision, not a hygiene invariant like
+    // exact dedup.
+    val near =
+      if (cfg.nearDup)
+        NearDupIncremental.keepBucketMins(
+            NearDupIncremental.withSigs(exact, "text"), "doc_id")
+          .drop("mh1", "mh2", "mh3", "mh4")
+      else exact
+
+    // 4. chunk-level boilerplate dedup; drop fully-deduplicated docs
     val chunked =
       if (cfg.chunkDedup) {
-        ChunkDedup.dedup(exact, "text", "doc_id", w = cfg.chunkW)
+        ChunkDedup.dedup(near, "text", "doc_id", w = cfg.chunkW)
           .filter(col("n_kept") > 0)
-          .join(exact.drop("text"), Seq("doc_id"))
+          .join(near.drop("text"), Seq("doc_id"))
           .drop("text").withColumnRenamed("text_dedup", "text")
-      } else exact.withColumn("n_chunks", lit(0L)).withColumn("n_kept", lit(0L))
+      } else near.withColumn("n_chunks", lit(0L)).withColumn("n_kept", lit(0L))
 
-    // 4. quality gate + deterministic split (the q45 discipline:
+    // 5. quality gate + deterministic split (the q45 discipline:
     // md5-bucket arithmetic, engine-stable, no RNG)
     val gated =
       if (cfg.quality) chunked.filter(size(Text.tokens(col("text"))) >= cfg.minTokens)
@@ -92,6 +109,7 @@ object CorpusPipeline {
                  .cast("long") % 100 < cfg.trainPct, "train").otherwise("eval"))
       else gated
     Seq("cleanup" -> cleaned, "pii-scrub" -> scrubbed, "exact-dedup" -> exact,
-        "chunk-dedup" -> chunked, "quality-gate" -> gated, "split" -> split)
+        "neardup-dedup" -> near, "chunk-dedup" -> chunked,
+        "quality-gate" -> gated, "split" -> split)
   }
 }

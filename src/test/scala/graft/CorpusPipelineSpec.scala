@@ -85,6 +85,30 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     } finally out.unpersist()
   }
 
+  test("near-dup stage: off by default, greedy bucket-min keeper when enabled") {
+    import spark.implicits._
+    // 2 is a lightly-edited repost of 1 (same minhash buckets — the
+    // edit perturbs a handful of the hundreds of 8-char shingles);
+    // 3 is from a disjoint vocabulary
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val docs = Seq(
+      (1L, textA), (2L, textA + " tiny tail edit"), (3L, textB)
+    ).toDF("doc_id", "text")
+    // minimal chain so the stage under test is isolated (no chunk
+    // dedup rewriting text, no quality gate)
+    val base = CorpusPipeline.Config(pii = false, chunkDedup = false,
+      quality = false, split = false)
+    val off = CorpusPipeline.run(docs, base)
+    assert(off.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+             == Seq(1L, 2L, 3L), "near-dup must be OFF by default")
+    val on = CorpusPipeline.run(docs, base.copy(nearDup = true))
+    assert(on.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+             == Seq(1L, 3L), "edited repost must drop; keeper is the bucket min")
+    // the stage must not leak its working signature columns
+    assert(!on.columns.exists(_.startsWith("mh")), on.columns.mkString(","))
+  }
+
   test("RunCorpus CLI: dry-run plans, empty input fails, misuse exits 2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-runcorpus").toString
