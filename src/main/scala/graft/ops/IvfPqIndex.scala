@@ -70,11 +70,20 @@ object IvfPqIndex {
     * centroid table) and its `m` per-subspace PQ codes, then writes
     * `(vec_id, code_0…code_{m−1})` parquet partitioned by `centroid`.
     * No join, no window — the only data movement is the partitioned
-    * write itself. */
+    * write itself.
+    *
+    * `codebookSource` (default: `emb` itself) is where the codebook
+    * rows come from — an APPEND batch passes the original training
+    * frame here so its vectors encode in the SAME space as the
+    * already-landed codes (the incremental-indexing contract: the
+    * batch itself need not, and usually does not, contain the
+    * codebook ids). */
   def land(emb: DataFrame, dir: String, coarseK: Int, m: Int, ksub: Int,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           overwrite: Boolean = true): Unit = {
-    val (coarseIds, coarse, pq) = codebooks(emb, coarseK, ksub, idCol, vecCol)
+           overwrite: Boolean = true,
+           codebookSource: Option[DataFrame] = None): Unit = {
+    val (coarseIds, coarse, pq) =
+      codebooks(codebookSource.getOrElse(emb), coarseK, ksub, idCol, vecCol)
     val dim = coarse.headOption.map(_.length).getOrElse(0)
     require(coarse.isEmpty || dim % m == 0,
       s"IvfPqIndex.land: dim $dim not divisible into $m subspaces")

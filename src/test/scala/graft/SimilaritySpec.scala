@@ -213,6 +213,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(stored.nonEmpty && stored.toSeq == inline.toSeq)
   }
 
+  test("IvfPqIndex: appended batches are searchable — the index grows in place") {
+    // the production flow: index the first vector drop, append the
+    // second (which carries NO codebook rows — codebooks come from
+    // the training frame via codebookSource), search sees the union:
+    // landing in two drops must equal landing once over everything
+    val all = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val first = all.filter(col("vec_id") < 300)   // includes codebook ids
+    val second = all.filter(col("vec_id") >= 300)
+    val dirApp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString + "/index"
+    val dirOne = java.nio.file.Files.createTempDirectory("graft-ivfpq-one").toString + "/index"
+    graft.ops.IvfPqIndex.land(first, dirApp, coarseK = 16, m = 4, ksub = 16)
+    graft.ops.IvfPqIndex.land(second, dirApp, coarseK = 16, m = 4, ksub = 16,
+      overwrite = false, codebookSource = Some(first))
+    graft.ops.IvfPqIndex.land(all, dirOne, coarseK = 16, m = 4, ksub = 16)
+    def key(dir: String) = graft.ops.IvfPqIndex.search(spark, dir, all,
+        probeIds = Seq(123L, 401L), coarseK = 16, m = 4, ksub = 16,
+        nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(key(dirApp) == key(dirOne) && key(dirApp).nonEmpty)
+  }
+
   test("ivfPqTopK: nprobe=2 admits the second cluster; k caps the heap") {
     val got = Similarity.ivfPqTopK(ivfPqCorpus, probeId = 10L,
         coarseK = 2, m = 2, ksub = 2, nprobe = 2, k = 2)
