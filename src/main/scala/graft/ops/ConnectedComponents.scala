@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   * node the rows stream through on their way into the checkpoint) —
   * one action per round, not a checkpoint plus a separate aggregate
   * scan, halving the per-round driver-floor cost.
+  *
+  * Path halving (compressing labels through the previous round's
+  * checkpointed table, the pointer-jumping trick) was implemented and
+  * MEASURED OUT in round 7: it cut q60's rounds 15 → 9 but added one
+  * slim join+exchange per round, and at the near-dup graph's actual
+  * diameter (~10–15) the per-round cost increase outweighed the saved
+  * rounds at every tested scale (sf1 wall 5.3 → 6.4 s). The O(log d)
+  * variant only pays off on chain-deep graphs; `tools/CcRounds`
+  * measures rounds for both edge formulations if that trade ever
+  * needs re-checking.
   */
 object ConnectedComponents {
 

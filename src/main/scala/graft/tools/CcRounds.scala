@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
 object CcRounds {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.build("cc-rounds")
-    for (dir <- args) {
+    for (dir <- args; form <- Seq("stars", "pairs")) {
       val t0 = System.nanoTime()
-      val pairs = graft.SparkEntry.bandedPairs(graft.SparkEntry.minhashSigsFrame(spark, dir))
-        .filter(col("jaccard_est") >= 0.5)
+      val edges =
+        if (form == "pairs")
+          graft.SparkEntry.bandedPairs(graft.SparkEntry.minhashSigsFrame(spark, dir))
+            .filter(col("jaccard_est") >= 0.5)
+        else
+          graft.SparkEntry.bandedStarEdges(graft.SparkEntry.minhashSigsFrame(spark, dir))
       val (labels, rounds) = graft.ops.ConnectedComponents.minLabelWithRounds(
-        graft.core.Tables.documents(spark, dir), "doc_id", pairs, "doc1", "doc2")
+        graft.core.Tables.documents(spark, dir), "doc_id", edges, "doc1", "doc2",
+        maxIter = 50)
       val nComponents = labels.agg(countDistinct(col("component"))).head.getLong(0)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"$dir%s: rounds=$rounds%d components=$nComponents%d wall=$wall%.2fs")
+      println(f"$dir%s [$form%s]: rounds=$rounds%d components=$nComponents%d wall=$wall%.2fs")
     }
     spark.stop()
   }
