@@ -32,6 +32,26 @@ object Similarity {
   def bucket(vec: Column, bits: Int = 8): Column =
     call_function("hyperplane_lsh", vec, lit(bits))
 
+  /** The scale rule the docstrings above cite, as a function: the
+    * code width that keeps EXPECTED bucket occupancy ≈
+    * `targetOccupancy` for an `n`-vector corpus —
+    * `ceil(log2(n / target))`, clamped. Pair-generating work per
+    * bucket is O(occupancy²), so holding occupancy constant is what
+    * keeps candidate counts LINEAR in corpus size as it grows (the
+    * sf10 spot bench measures exactly what a fixed `bits` does
+    * instead: candidates, and both engines' wall clocks, go
+    * quadratic). Callers at a fixed benchmark scale keep the fixed
+    * default; a production ingest sizes `bits =
+    * occupancyBits(corpusCount)` as the corpus grows. */
+  def occupancyBits(n: Long, targetOccupancy: Long = 8L,
+                    minBits: Int = 4, maxBits: Int = 24): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetOccupancy))
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.min(maxBits, math.max(minBits, ceilLog2))
+  }
+
   /** Attach the band-0 bucket code to an embeddings frame. */
   def bucketed(emb: DataFrame, vecCol: String = "embedding", bits: Int = 8): DataFrame =
     emb.withColumn("bucket", bucket(col(vecCol).cast("array<double>"), bits))

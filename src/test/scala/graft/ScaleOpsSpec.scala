@@ -240,6 +240,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(twoBands >= oneBand, s"bands=2 produced fewer candidates ($twoBands < $oneBand)")
   }
 
+  test("occupancyBits holds expected bucket occupancy flat as the corpus grows") {
+    import graft.ops.Similarity
+    // the pure rule: ceil(log2(n / target)), clamped — doubling the
+    // corpus adds one bit, so n/2^bits (and with it the O(occ²)
+    // per-bucket pair work) stays ~constant at ANY corpus size
+    assert(Similarity.occupancyBits(0) == 4)           // floor clamp
+    assert(Similarity.occupancyBits(1024, 8) == 7)     // 128 buckets
+    assert(Similarity.occupancyBits(2048, 8) == 8)     // doubling n → +1 bit
+    assert(Similarity.occupancyBits(1L << 40, 8) == 24) // ceiling clamp
+    // empirically: size bits to the real table and the MEAN occupancy
+    // of non-empty buckets lands near the target (generous band —
+    // near-orthogonal vectors fill buckets ~binomially)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val bits = Similarity.occupancyBits(n, targetOccupancy = 8)
+    val occ = Similarity.bandedBuckets(emb, bits = bits, bands = 2)
+      .groupBy("band", "bucket").count()
+      .agg(avg("count")).head.getDouble(0)
+    assert(occ >= 1.0 && occ <= 32.0,
+      s"mean occupancy $occ at bits=$bits for n=$n is far off the target")
+  }
+
   test("bounded_topk at k=500: buffers stay bounded, result matches the window") {
     import spark.implicits._
     // 200k rows, 4 groups, shuffled input across 16 partitions: the
