@@ -77,6 +77,22 @@ object GraftSession {
       // the point of adaptive execution.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         scala.util.Try(cpus.trim.toInt * 8).toOption.getOrElse(256).toString)
+      // Dynamic-partition landings (zland, the ingest) produce tens of
+      // leaf directories; the default parallelPartitionDiscovery
+      // threshold (32) tips those reads into a distributed LISTING JOB
+      // whose scheduling costs more than the listing. 256 keeps
+      // listing driver-side through any bench-scale layout; a real
+      // cluster reading an object-store table with thousands of
+      // partitions crosses the raised threshold and distributes again.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
+      // Commit task output directly to the final location at TASK
+      // commit (v2) instead of a sequential driver-side rename of
+      // every task directory at JOB commit (v1): a 48-directory
+      // dynamic-partition landing pays 48 driver renames under v1.
+      // The v2 trade-off (a failed job can leave partial files) is the
+      // standard one accepted for FileOutputCommitter on filesystems;
+      // object-store deployments swap the committer wholesale anyway.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -69,6 +69,16 @@ object LandedIngest {
     * directory's frame. */
   def ingest(spark: SparkSession, landingDir: String,
              points: Seq[(Double, Double)] = Points): DataFrame = {
+    land(spark, landingDir, points)
+    spark.read.parquet(landingDir)
+  }
+
+  /** The landing side of [[ingest]] without the read-back: callers that
+    * immediately run their own pruned query over the landed dir (the
+    * q59 carrier) should not pay a second directory listing for a
+    * DataFrame they discard. */
+  def land(spark: SparkSession, landingDir: String,
+           points: Seq[(Double, Double)] = Points): Unit = {
     val fx = fixtures(points)
     val fetched = ErddapSource.fetchMany(
       spark, points, StartDate, EndDate,
@@ -83,7 +93,6 @@ object LandedIngest {
         .withColumn("lon_idx", Grid.lonIdxCol(col("longitude")).cast("long")),
       landingDir, bucketShift = 6, overwrite = true,
       extraPartitionCols = Seq("month"))
-    spark.read.parquet(landingDir)
   }
 
   /** The pruned point query over the landed table: one month, one grid
@@ -105,7 +114,7 @@ object LandedIngest {
     * query. Every invocation re-lands (deterministic overwrite), so
     * the oracle always reads the bytes this run produced. */
   def runAndQuery(spark: SparkSession): DataFrame = {
-    ingest(spark, Q59LandingDir)
+    land(spark, Q59LandingDir)
     pointQuery(spark, Q59LandingDir, "1960-07", 32.5, -70.0)
   }
 }

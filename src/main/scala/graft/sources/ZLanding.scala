@@ -88,16 +88,34 @@ object ZOrderLanding {
     * (e.g. an ingest's observation month: `month=…/z_bucket=…`), so
     * one landing layout serves both temporal and spatial pruning.
     * Deterministic layout: same inputs → same directories, so
-    * re-lands are idempotent under overwrite. */
+    * re-lands are idempotent under overwrite.
+    *
+    * The write hash-REPARTITIONS on the partition columns first, so
+    * (a) every partition directory gets exactly ONE file regardless of
+    * how many input tasks carried its rows (without this, file count =
+    * input tasks × directories — the small-files problem at scale, and
+    * at bench scale 4 fetch tasks each wrote 12 month-files
+    * sequentially), (b) writes parallelize across the combos instead
+    * of serializing inside each input task, and (c) the landed layout
+    * is a function of the DATA, not of session parallelism or AQE
+    * config (`repartition(n, cols…)` is REPARTITION_BY_NUM — AQE never
+    * coalesces it). Trade-off, documented: one task per combo means a
+    * pathologically hot bucket serializes into one writer — size
+    * `bucketShift` so buckets stay balanced (the same discipline any
+    * dynamic-partition landing needs). */
   def land(df: DataFrame, dir: String, latCol: String = "lat_idx",
            lonCol: String = "lon_idx", bucketShift: Int = 6,
            overwrite: Boolean = false,
-           extraPartitionCols: Seq[String] = Nil): Unit =
+           extraPartitionCols: Seq[String] = Nil): Unit = {
+    val partCols = extraPartitionCols :+ "z_bucket"
+    val width = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     df.withColumn("z", call_function("interleave_bits", col(latCol), col(lonCol)))
       .withColumn("z_bucket", shiftright(col("z"), bucketShift))
-      .write.partitionBy(extraPartitionCols :+ "z_bucket": _*)
+      .repartition(width, partCols.map(col): _*)
+      .write.partitionBy(partCols: _*)
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
+  }
 
   /** Driver-side Morton interleave — must match the native
     * `interleave_bits` bit-for-bit (GridSpec/ZOrderLandingSpec pin
