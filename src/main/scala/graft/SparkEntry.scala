@@ -1169,9 +1169,12 @@ object SparkEntry {
     // (gram, mask) rows only.
     "q66_source_overlap" -> ((s, dir) => {
       // 'srcN' → bit N (SQL-form shiftleft: the Column API variant
-      // only takes a literal shift amount)
+      // only takes a literal shift amount). try_cast, not cast: a
+      // source outside the srcNN convention yields a NULL bit (the
+      // row contributes nothing to any mask — bit_or skips NULLs)
+      // instead of an ANSI cast failure killing the whole query.
       def onebit(name: String): Column =
-        expr(s"shiftleft(1L, cast(substring($name, 4, 2) as int))")
+        expr(s"shiftleft(1L, try_cast(substring($name, 4, 2) as int))")
       // gram identity = 64-bit fingerprint, per-doc distinct at
       // emission (word_text_gram_hashes_distinct): bit_or is
       // duplicate-insensitive, so the in-scan dedup is free
@@ -1201,9 +1204,18 @@ object SparkEntry {
       // precomputed (same substring(4,2) convention as onebit) so the
       // crossJoin's per-row work is two AND+compare ops
       val srcNames = Tables.sourceNames(s, dir)
-      def bitOf(name: String): Long = 1L << name.drop(3).take(2).toInt
-      val pairRows = for { a <- srcNames; b <- srcNames if a < b }
-        yield (a, b, bitOf(a), bitOf(b))
+      // total (never-throwing) mirror of onebit's try_cast: a name
+      // that doesn't parse as srcNN gets no bit SQL-side, so it also
+      // appears in no pair here — the two sides stay consistent and a
+      // stray source value can't throw NumberFormatException on the
+      // driver.
+      def bitOf(name: String): Option[Long] =
+        scala.util.Try(name.drop(3).take(2).toInt).toOption
+          .filter(n => n >= 0 && n < 63).map(1L << _)
+      val pairRows = for {
+        a <- srcNames; b <- srcNames if a < b
+        ba <- bitOf(a); bb <- bitOf(b)
+      } yield (a, b, ba, bb)
       val pairs = {
         import s.implicits._
         pairRows.toDF("src_a", "src_b", "ba", "bb")

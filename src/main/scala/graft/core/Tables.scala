@@ -58,4 +58,15 @@ object Tables {
     srcNames.computeIfAbsent(d, _ =>
       documents(s, d).select("source").distinct().collect()
         .map(_.getString(0)).toSeq.sorted)
+
+  /** Drops the memoized metadata for `d`. The memos above assume a
+    * fixture dir is immutable for the life of the JVM; anything that
+    * rewrites a directory in place (tests, fixture regeneration)
+    * must call this before re-reading through [[documentsCount]] /
+    * [[sourceNames]] or it will be served stale values. */
+  def invalidate(d: String): Unit = { docCounts.remove(d); srcNames.remove(d) }
+
+  /** Clears every memoized entry — the coarse hammer for test suites
+    * that recycle many temp dirs. */
+  def invalidateAll(): Unit = { docCounts.clear(); srcNames.clear() }
 }

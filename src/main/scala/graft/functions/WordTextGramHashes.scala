@@ -124,8 +124,13 @@ object WordTextGramHashes {
     var mask = 0
     var seenZero = false
     if (distinct) {
-      var cap = Integer.highestOneBit(math.max(total, 4)) << 2
-      if (cap <= 0) cap = 1 << 30
+      // capacity computed in Long then clamped to 2^30: the Int form
+      // `highestOneBit(total) << 2` wraps negative once total ≥ 2^29,
+      // and a wrong (small) capacity silently degrades the set to
+      // O(n²) probing rather than failing loudly
+      val cap = math.min(
+        java.lang.Long.highestOneBit(math.max(total, 4).toLong) << 2,
+        1L << 30).toInt
       table = new Array[Long](cap)
       mask = cap - 1
     }

@@ -378,11 +378,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       q.processAllAvailable()
       input.addData((4L, "delta"), (5L, "beta"))
       q.processAllAvailable()
-      // listener delivery is async — wait for it to drain
-      val deadline = System.nanoTime() + 10e9.toLong
-      while (countsOnLanding.get() < 1 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(500) // settle: catch any late extra count events
+      // listener delivery is async — poll to QUIESCENCE (the counter
+      // stable for a full settle window) rather than one fixed sleep:
+      // a slow bus can deliver a late extra event after any fixed
+      // sleep, flaking the exact-count assert below
+      val deadline = System.nanoTime() + 30e9.toLong
+      var last = -1L
+      var stableSince = System.nanoTime()
+      var quiescent = false
+      while (!quiescent && System.nanoTime() < deadline) {
+        val v = countsOnLanding.get().toLong
+        if (v != last) { last = v; stableSince = System.nanoTime() }
+        quiescent = last >= 1 && System.nanoTime() - stableSince > 1e9.toLong
+        if (!quiescent) Thread.sleep(50)
+      }
       assert(countsOnLanding.get() == 1,
         s"expected exactly the one seed count over the landing dir, got ${countsOnLanding.get()}")
       assert(EventStreams.landedCounts.get(landing).get() == 4L) // 1 seeded + 3 landed

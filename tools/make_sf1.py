@@ -130,6 +130,13 @@ doc_max, = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone
 # ~5× inside salted groups. COPIES <= 10 (the sf1 layout) takes the
 # verbatim branch for every copy, so sf1 is unchanged.
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+# Only 25 distinct non-identity rotations exist: group 26 would wrap
+# to the identity shift and recreate verbatim mega-dup cliques that
+# span groups (the exact artifact this scheme exists to prevent).
+# Fail loudly instead of silently degrading past COPIES=260.
+assert (COPIES + 9) // 10 <= 26, (
+    f"COPIES={COPIES}: more than 26 copy groups exhausts the 25 "
+    "distinct caesar shifts; pick a different salt scheme past sf26")
 shift_case = "CASE i // 10 WHEN 0 THEN text " + " ".join(
     f"WHEN {g} THEN translate(text, '{ALPHA}', '{ALPHA[g:] + ALPHA[:g]}')"
     for g in range(1, (COPIES + 9) // 10)) + " END"
