@@ -85,14 +85,13 @@ object GraftSession {
       // cluster reading an object-store table with thousands of
       // partitions crosses the raised threshold and distributes again.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
-      // Commit task output directly to the final location at TASK
-      // commit (v2) instead of a sequential driver-side rename of
-      // every task directory at JOB commit (v1): a 48-directory
-      // dynamic-partition landing pays 48 driver renames under v1.
-      // The v2 trade-off (a failed job can leave partial files) is the
-      // standard one accepted for FileOutputCommitter on filesystems;
-      // object-store deployments swap the committer wholesale anyway.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Committer choice is NOT made here: the session default stays
+      // FileOutputCommitter v1 (job-side atomic commit), and the
+      // landing writes that want v2's task-side commit opt in
+      // per-write via [[Committers.TaskCommitV2]] — v2's
+      // non-repeatable task commit is only safe where the consumer
+      // absorbs partial/duplicate publishes, which is a property of
+      // the WRITE, not of the session.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -107,6 +107,9 @@ object IvfPqIndex {
     assigned.select(col(idCol) +: col("centroid") +: ams: _*)
       .select(col(idCol) +: col("centroid") +: codes: _*)
       .write.partitionBy("centroid")
+      // task-side commit: the index is rebuilt (overwrite) or
+      // re-appended on failure, so v2 partial output never survives
+      .options(graft.core.Committers.TaskCommitV2)
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
     lastDirVar = dir

@@ -78,21 +78,30 @@ object LandedIngest {
     * q59 carrier) should not pay a second directory listing for a
     * DataFrame they discard. */
   def land(spark: SparkSession, landingDir: String,
-           points: Seq[(Double, Double)] = Points): Unit = {
+           points: Seq[(Double, Double)] = Points): Unit =
+    graft.sources.ZOrderLanding.land(
+      cleanedFrame(spark, points),
+      landingDir, bucketShift = 6, overwrite = true,
+      extraPartitionCols = Seq("month"))
+
+  /** The landing's INPUT frame — fetch + clean + the month / grid-index
+    * partition-key derivations — as one shared builder, so the q59
+    * carrier ([[land]]) and the phase-timing probe
+    * ([[graft.tools.Q59Probe]]) are guaranteed to measure the SAME
+    * pipeline: the probe times this builder as its "build" phase and
+    * [[graft.sources.ZOrderLanding.land]] as its "write" phase, and any
+    * future change here flows to both automatically. */
+  def cleanedFrame(spark: SparkSession,
+                   points: Seq[(Double, Double)] = Points): DataFrame = {
     val fx = fixtures(points)
     val fetched = ErddapSource.fetchMany(
       spark, points, StartDate, EndDate,
       backendFactory = () => new FixtureBackend(fx),
       minIntervalMs = 0L, sleeper = _ => ())
-    val cleaned = Clean.cleanApiResponse(
-      fetched.rows.drop("req_lat", "req_lon"))
-    graft.sources.ZOrderLanding.land(
-      cleaned
-        .withColumn("month", date_format(col("time"), "yyyy-MM"))
-        .withColumn("lat_idx", Grid.latIdxCol(col("latitude")).cast("long"))
-        .withColumn("lon_idx", Grid.lonIdxCol(col("longitude")).cast("long")),
-      landingDir, bucketShift = 6, overwrite = true,
-      extraPartitionCols = Seq("month"))
+    Clean.cleanApiResponse(fetched.rows.drop("req_lat", "req_lon"))
+      .withColumn("month", date_format(col("time"), "yyyy-MM"))
+      .withColumn("lat_idx", Grid.latIdxCol(col("latitude")).cast("long"))
+      .withColumn("lon_idx", Grid.lonIdxCol(col("longitude")).cast("long"))
   }
 
   /** The pruned point query over the landed table: one month, one grid

@@ -96,13 +96,26 @@ object ZOrderLanding {
     * input tasks × directories — the small-files problem at scale, and
     * at bench scale 4 fetch tasks each wrote 12 month-files
     * sequentially), (b) writes parallelize across the combos instead
-    * of serializing inside each input task, and (c) the landed layout
-    * is a function of the DATA, not of session parallelism or AQE
-    * config (`repartition(n, cols…)` is REPARTITION_BY_NUM — AQE never
-    * coalesces it). Trade-off, documented: one task per combo means a
-    * pathologically hot bucket serializes into one writer — size
-    * `bucketShift` so buckets stay balanced (the same discipline any
-    * dynamic-partition landing needs). */
+    * of serializing inside each input task, and (c) the DIRECTORY SET
+    * and the one-file-per-dir property are functions of the DATA
+    * alone (`repartition(n, cols…)` is REPARTITION_BY_NUM — AQE never
+    * coalesces it); the shuffle width and part-file NAMES still
+    * follow session parallelism, so "layout" here means the directory
+    * tree and file count, not byte identity. Trade-off, documented:
+    * one task per combo means a pathologically hot bucket serializes
+    * into one writer — size `bucketShift` so buckets stay balanced
+    * (the same discipline any dynamic-partition landing needs).
+    *
+    * Rows SORT by `z` within each file (a narrow sortWithinPartitions
+    * — partition cols lead so the dynamic-partition writer needs no
+    * extra sort of its own): parquet row-group min/max stats on
+    * z/lat_idx/lon_idx then support intra-bucket skipping, which is
+    * the point of Morton clustering once a bucket holds many row
+    * groups at the 100 TB design point.
+    *
+    * Commits task-side ([[graft.core.Committers.TaskCommitV2]]):
+    * safe here because a failed landing job is re-run under
+    * mode=overwrite, which clears partial output wholesale. */
   def land(df: DataFrame, dir: String, latCol: String = "lat_idx",
            lonCol: String = "lon_idx", bucketShift: Int = 6,
            overwrite: Boolean = false,
@@ -112,7 +125,9 @@ object ZOrderLanding {
     df.withColumn("z", call_function("interleave_bits", col(latCol), col(lonCol)))
       .withColumn("z_bucket", shiftright(col("z"), bucketShift))
       .repartition(width, partCols.map(col): _*)
+      .sortWithinPartitions((partCols :+ "z").map(col): _*)
       .write.partitionBy(partCols: _*)
+      .options(graft.core.Committers.TaskCommitV2)
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
   }

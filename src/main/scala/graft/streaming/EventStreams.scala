@@ -249,7 +249,13 @@ object EventStreams {
         // computation of `fresh`) and advance the carried count
         val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
         fresh.observe(obs, count(lit(1)).as("n"))
-          .write.mode("append").parquet(landingDir)
+          // task-side commit (v2): a failed batch may leave SOME task
+          // files behind, but the dedup confirm above re-reads the
+          // landing on retry and treats them as corpus — the retried
+          // batch appends only what is genuinely missing (self-heal
+          // pinned by StreamingSpec's crash-retry case)
+          .write.options(graft.core.Committers.TaskCommitV2)
+          .mode("append").parquet(landingDir)
         landed.addAndGet(obs.get("n").asInstanceOf[Long])
         ()
       }
@@ -266,8 +272,10 @@ object EventStreams {
     * SAME atomic append. Per-batch dedup therefore reads only those
     * four long columns off the landing (column-pruned scan — the text
     * is never re-tokenized), and state cannot diverge from the corpus
-    * on a retry: a partially-failed append publishes nothing, a
-    * replayed batch collides with its own landed buckets and drops.
+    * on a retry: a partially-failed append publishes each surviving
+    * row WITH its signatures (the v2 task commit is atomic per file,
+    * and signatures ride the same rows), so a replayed batch collides
+    * with its own landed buckets and drops exactly those docs.
     * Within a batch the greedy bucket-min keeper applies first
     * (smallest id per bucket survives — deterministic, one pass;
     * see [[graft.ops.NearDupIncremental.keepBucketMins]] for the
@@ -298,7 +306,10 @@ object EventStreams {
                 .filter(col("is_new")).select(col(idCol)),
               Seq(idCol), "left_semi")
           }
-        fresh.write.mode("append").parquet(landingDir)
+        // v2 task commit: see ingestDedup's append — partial publishes
+        // are absorbed because signatures land with their rows
+        fresh.write.options(graft.core.Committers.TaskCommitV2)
+          .mode("append").parquet(landingDir)
         ()
       }
       .start()

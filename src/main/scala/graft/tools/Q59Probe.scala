@@ -21,20 +21,10 @@ object Q59Probe {
     // warm the write path once so committer/codec init is off the clock
     LandedIngest.runAndQuery(spark).collect()
     (1 to reps).foreach { i =>
-      import org.apache.spark.sql.functions._
-      val fx = LandedIngest.fixtures()
+      // the SAME builder the q59 carrier lands (LandedIngest.land calls
+      // it) — the probe cannot silently drift from the measured pipeline
       var cleaned: org.apache.spark.sql.DataFrame = null
-      val build = t {
-        val fetched = graft.sources.ErddapSource.fetchMany(
-          spark, LandedIngest.Points, LandedIngest.StartDate, LandedIngest.EndDate,
-          backendFactory = () => new graft.sources.FixtureBackend(fx),
-          minIntervalMs = 0L, sleeper = _ => ())
-        cleaned = graft.ops.Clean.cleanApiResponse(
-          fetched.rows.drop("req_lat", "req_lon"))
-          .withColumn("month", date_format(col("time"), "yyyy-MM"))
-          .withColumn("lat_idx", graft.core.Grid.latIdxCol(col("latitude")).cast("long"))
-          .withColumn("lon_idx", graft.core.Grid.lonIdxCol(col("longitude")).cast("long"))
-      }
+      val build = t { cleaned = LandedIngest.cleanedFrame(spark) }
       val write = t(graft.sources.ZOrderLanding.land(
         cleaned, LandedIngest.Q59LandingDir, bucketShift = 6,
         overwrite = true, extraPartitionCols = Seq("month")))
