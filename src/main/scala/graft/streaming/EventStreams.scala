@@ -191,9 +191,11 @@ object EventStreams {
     * self-healing: if a batch reruns after a partial failure, every
     * row it already landed probes as a duplicate of itself and is
     * skipped, so at-least-once batch delivery still converges to an
-    * exactly-once corpus (and a FAILED append publishes nothing —
-    * task outputs stay under `_temporary` until the job-level commit
-    * renames them in, and readers ignore `_`-prefixed paths).
+    * exactly-once corpus. That includes a PARTIALLY-failed append
+    * under the v2 task-side committer ([[graft.core.Committers]]):
+    * leftover committed-task files are valid parquet the next batch
+    * reads as corpus, so the retry appends only what is genuinely
+    * missing (pinned by StreamingSpec's crash-retry case).
     * At 100 TB the corpus side is exactly q74's shape: one bloom scan
     * + a confirm join bounded by the batch's dup rate. */
   /** Landed-corpus row counts carried across micro-batches, keyed by

@@ -333,6 +333,74 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("crash-retry self-heal: leftover v2 task files absorb into an exactly-once corpus") {
+    // The landing writes commit task-side (Committers.TaskCommitV2),
+    // so a batch that dies between task commit and job completion
+    // leaves SOME of its part files in the landing dir — and the
+    // retry re-delivers the whole batch. The self-heal contract both
+    // ingests claim: the leftover files are valid parquet the next
+    // batch reads as corpus, so the retried rows probe as duplicates
+    // of themselves and only the genuinely-missing rows append. We
+    // simulate the crash by appending the leftover file directly
+    // (on-disk state identical to a committed task of a failed job:
+    // a bare part-*.parquet among the landed files, no job-level
+    // marker distinguishes them), then delivering the full batch.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // --- exact-dedup ingest (q74's streaming face) ---
+    val landing = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crash-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      // crashed attempt of batch 2: one of its two tasks committed
+      // (3,"gamma") before the job died
+      Seq((3L, "gamma")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+      // the retry delivers the FULL batch — (3) again plus (4)
+      input.addData((3L, "gamma"), (4L, "delta"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      // exactly-once corpus: gamma exactly once despite landing via
+      // the crashed attempt AND the retry's delivery
+      assert(landed == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+    } finally q.stop()
+
+    // --- near-dup ingest (q82's streaming face): the leftover row
+    // carries its mh1..mh4 in the same file, so the retry collides
+    // with its own landed buckets ---
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val ndLanding = java.nio.file.Files.createTempDirectory("graft-crash-nd").toString + "/corpus"
+    val ndCkpt = java.nio.file.Files.createTempDirectory("graft-crash-nd-ckpt").toString
+    val ndInput = MemoryStream[(Long, String)]
+    val ndQ = EventStreams.ingestNearDup(
+      ndInput.toDF().toDF("doc_id", "text"), ndLanding, ndCkpt)
+    try {
+      ndInput.addData((1L, textA))
+      ndQ.processAllAvailable()
+      // crashed attempt of batch 2 committed doc 3 WITH its signature
+      // columns (signatures ride the same rows — the invariant that
+      // makes partial publishes absorbable)
+      graft.ops.NearDupIncremental.withSigs(Seq((3L, textC)).toDF("doc_id", "text"))
+        .coalesce(1).write.mode("append").parquet(ndLanding)
+      // retry: 3 again, a lightly-edited repost of 3, and nothing else
+      ndInput.addData((3L, textC), (4L, "prefix tweak " + textC))
+      ndQ.processAllAvailable()
+      val ndLanded = spark.read.parquet(ndLanding)
+      val ids = ndLanded.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // 3 exactly once (collides with its own leftover buckets); the
+      // repost 4 never enters; signature state stayed consistent
+      assert(ids == Seq(1L, 3L))
+      assert(Seq("mh1", "mh2", "mh3", "mh4").forall(ndLanded.columns.contains))
+    } finally ndQ.stop()
+  }
+
   test("ingestDedup: landing dir is never re-counted after the seed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
