@@ -506,21 +506,6 @@ object SparkEntry {
     "q32_describe" -> ((s, dir) => {
       val D38 = DecimalType(38, 0)
       val li = Tables.lineitem(s, dir)
-      // Exact quartiles through the REGIME CHOOSER (Percentiles
-      // .exactAuto): the caller no longer hand-picks the taxonomy.
-      // The profile pass routes l_quantity (~50 distinct) to the
-      // value-map regime and l_extendedprice (~all-distinct, ~8
-      // binades of spread) to the bits-histogram regime — the plan a
-      // regime-aware caller would have picked, now chosen from the
-      // data. Each lands as a 1-row crossJoin side input.
-      val regimes = ops.Percentiles.profileRegimes(
-        li, Seq("l_quantity", "l_extendedprice")) // ONE profile job for both columns
-      val qtyPcts = ops.Percentiles.exactByRegime(regimes("l_quantity"),
-        li.select(col("l_quantity")), "l_quantity",
-        Seq(0.25, 0.5, 0.75), prefix = "qq")
-      val pricePcts = ops.Percentiles.exactByRegime(regimes("l_extendedprice"),
-        li.select(col("l_extendedprice")), "l_extendedprice",
-        Seq(0.25, 0.5, 0.75), prefix = "pp")
       def stats(c: String, suffix: String): Seq[Column] = {
         val x100 = round(col(c) * 100, 0).cast("long")
         Seq(
@@ -529,6 +514,26 @@ object SparkEntry {
           sum((x100 * x100).cast(D38)).as(s"ss100_$suffix"),
           min(col(c)).as(s"min_$suffix"), max(col(c)).as(s"max_$suffix"))
       }
+      // Exact quartiles through the REGIME CHOOSER: the profile pass
+      // routes l_quantity (~50 distinct) to the value-map regime and
+      // l_extendedprice (~all-distinct, wide binade spread) to a
+      // histogram regime — the plan a regime-aware caller would have
+      // picked, now chosen from the data. The profile SKETCHES A 5%
+      // SAMPLE: its dominant cost is the interpreted per-row HLL
+      // update (approx_count_distinct is an ImperativeAggregate), and
+      // the regime decision tolerates sample-deflated estimates
+      // because every regime is exact (see profileRegimes). Fusing
+      // the profile into the stats agg below was measured OUT in r9 —
+      // the ImperativeAggregate de-codegens the whole fused pass
+      // (solo sf1 1.78 s fused vs 1.49 s split, pre-sampling).
+      val regimes = ops.Percentiles.profileRegimes(
+        li, Seq("l_quantity", "l_extendedprice"), sampleFraction = 0.05)
+      val qtyPcts = ops.Percentiles.exactByRegime(regimes("l_quantity"),
+        li.select(col("l_quantity")), "l_quantity",
+        Seq(0.25, 0.5, 0.75), prefix = "qq")
+      val pricePcts = ops.Percentiles.exactByRegime(regimes("l_extendedprice"),
+        li.select(col("l_extendedprice")), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), prefix = "pp")
       val agg = li.agg(
         count(lit(1)).as("n"),
         (stats("l_quantity", "q") ++ stats("l_extendedprice", "p")): _*)
