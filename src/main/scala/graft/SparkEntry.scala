@@ -1191,8 +1191,15 @@ object SparkEntry {
       // source outside the srcNN convention yields a NULL bit (the
       // row contributes nothing to any mask — bit_or skips NULLs)
       // instead of an ANSI cast failure killing the whole query.
+      // Range-guarded to 0..63 — the driver-side bitOf below uses
+      // the SAME range, so a source numbered ≥64 is absent from both
+      // the masks and the pair table (shiftleft would otherwise wrap
+      // mod 64 and alias another source's bit, corrupting its rows).
       def onebit(name: String): Column =
-        expr(s"shiftleft(1L, try_cast(substring($name, 4, 2) as int))")
+        expr(s"""CASE WHEN try_cast(substring($name, 4, 2) as int)
+                 BETWEEN 0 AND 63
+                 THEN shiftleft(1L, try_cast(substring($name, 4, 2) as int))
+                 END""")
       // gram identity = 64-bit fingerprint, per-doc distinct at
       // emission (word_text_gram_hashes_distinct): bit_or is
       // duplicate-insensitive, so the in-scan dedup is free
@@ -1222,14 +1229,14 @@ object SparkEntry {
       // precomputed (same substring(4,2) convention as onebit) so the
       // crossJoin's per-row work is two AND+compare ops
       val srcNames = Tables.sourceNames(s, dir)
-      // total (never-throwing) mirror of onebit's try_cast: a name
-      // that doesn't parse as srcNN gets no bit SQL-side, so it also
-      // appears in no pair here — the two sides stay consistent and a
-      // stray source value can't throw NumberFormatException on the
-      // driver.
+      // total (never-throwing) mirror of onebit's try_cast AND its
+      // 0..63 range guard: a name that doesn't parse as srcNN — or
+      // parses outside the representable bit range — gets no bit on
+      // EITHER side, so the two stay consistent and a stray source
+      // value can't throw NumberFormatException on the driver.
       def bitOf(name: String): Option[Long] =
         scala.util.Try(name.drop(3).take(2).toInt).toOption
-          .filter(n => n >= 0 && n < 63).map(1L << _)
+          .filter(n => n >= 0 && n <= 63).map(1L << _)
       val pairRows = for {
         a <- srcNames; b <- srcNames if a < b
         ba <- bitOf(a); bb <- bitOf(b)

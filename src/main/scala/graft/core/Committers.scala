@@ -38,4 +38,16 @@ object Committers {
     * dedup-on-read consumer — see the object doc. */
   val TaskCommitV2: Map[String, String] =
     Map("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
+  /** Committer options for a write whose failure recovery is
+    * "re-run the same call": v2 only when the re-run OVERWRITES.
+    * An overwrite re-run clears a failed job's partially-committed
+    * task files wholesale, so v2 is safe; an APPEND re-run does not
+    * — v2's committed-task leftovers would survive and the retry
+    * would land them a second time — so append stays on the job-side
+    * atomic default (v1) unless the consumer deduplicates on read
+    * (the [[graft.streaming.EventStreams]] confirm path, which opts
+    * into [[TaskCommitV2]] explicitly). */
+  def forRerun(overwrite: Boolean): Map[String, String] =
+    if (overwrite) TaskCommitV2 else Map.empty
 }

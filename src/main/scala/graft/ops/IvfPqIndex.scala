@@ -107,9 +107,11 @@ object IvfPqIndex {
     assigned.select(col(idCol) +: col("centroid") +: ams: _*)
       .select(col(idCol) +: col("centroid") +: codes: _*)
       .write.partitionBy("centroid")
-      // task-side commit: the index is rebuilt (overwrite) or
-      // re-appended on failure, so v2 partial output never survives
-      .options(graft.core.Committers.TaskCommitV2)
+      // task-side commit only under overwrite: the re-run clears a
+      // failed job's partial v2 output wholesale. A failed APPEND
+      // re-run would NOT — search has no dedup-on-read, so append
+      // keeps the job-side atomic committer (v1).
+      .options(graft.core.Committers.forRerun(overwrite))
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
     lastDirVar = dir

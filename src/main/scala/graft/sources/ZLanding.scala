@@ -113,9 +113,10 @@ object ZOrderLanding {
     * the point of Morton clustering once a bucket holds many row
     * groups at the 100 TB design point.
     *
-    * Commits task-side ([[graft.core.Committers.TaskCommitV2]]):
-    * safe here because a failed landing job is re-run under
-    * mode=overwrite, which clears partial output wholesale. */
+    * Commits task-side ([[graft.core.Committers.TaskCommitV2]])
+    * only under mode=overwrite, where the re-run clears a failed
+    * job's partial output wholesale; append landings have no
+    * dedup-on-read consumer, so they keep the atomic v1 committer. */
   def land(df: DataFrame, dir: String, latCol: String = "lat_idx",
            lonCol: String = "lon_idx", bucketShift: Int = 6,
            overwrite: Boolean = false,
@@ -127,7 +128,7 @@ object ZOrderLanding {
       .repartition(width, partCols.map(col): _*)
       .sortWithinPartitions((partCols :+ "z").map(col): _*)
       .write.partitionBy(partCols: _*)
-      .options(graft.core.Committers.TaskCommitV2)
+      .options(graft.core.Committers.forRerun(overwrite))
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(dir)
   }
