@@ -24,17 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table is written with nanosecond parquet timestamps,
-    * which Spark's parquet reader rejects. The session must be built
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[GraftSession]]) so `ts` arrives as a long of nanos; here it is
-    * truncated to microsecond TIMESTAMP — the same truncation DuckDB
-    * applies (its TIMESTAMP is micros). No session config is mutated
-    * here: loaders stay side-effect free.
+  /** The events table's `ts` column has shipped in two physical forms
+    * across fixture generations: nanosecond parquet timestamps (which
+    * Spark reads as a long of nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[GraftSession]])
+    * and plain microsecond timestamps (which Spark reads as
+    * TIMESTAMP_NTZ). Both normalize here to a session-zoned TIMESTAMP
+    * in micros — the same value DuckDB sees (its TIMESTAMP is micros,
+    * and the session timezone is pinned to UTC so the NTZ cast is
+    * wall-clock-identity). All downstream queries assume only the
+    * normalized form; no session config is mutated here: loaders stay
+    * side-effect free.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
