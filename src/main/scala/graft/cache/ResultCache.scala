@@ -44,6 +44,24 @@ final class ResultCache(
   private val metaRoot = Paths.get(dir, "meta")
   private val dataRoot = Paths.get(dir, "data")
 
+  /** The reference DECLARES a 6 h cleanup cadence (`config.py:63`,
+    * `cleanup_interval_hours`) but never schedules it — cleanup only
+    * runs when something calls it. The closest faithful reading that
+    * still honors the declared interval: sweep expired entries
+    * opportunistically, from the write path, at most once per
+    * interval. `Instant.MIN` makes the first `put` of a cache's life
+    * sweep whatever a previous process left behind. */
+  private val lastCleanup =
+    new java.util.concurrent.atomic.AtomicReference[Instant](Instant.MIN)
+
+  private def maybeCleanup(now: Instant): Unit = {
+    val prev = lastCleanup.get()
+    if (java.time.Duration.between(prev, now).toHours >= ResultCache.CleanupIntervalHours &&
+        lastCleanup.compareAndSet(prev, now)) {
+      cleanupExpired()
+    }
+  }
+
   private def metaDir(h: String): Path = metaRoot.resolve(h)
   private def dataDir(h: String): Path = dataRoot.resolve(h)
 
@@ -63,6 +81,7 @@ final class ResultCache(
   def put(lat: Double, lon: Double, startDate: String, endDate: String,
           variables: Seq[String], data: DataFrame): Boolean = {
     val h = queryHash(lat, lon, startDate, endDate, variables)
+    maybeCleanup(clock())
     val (rowCount, jsonBytes) = {
       val r = data.toJSON.agg(
         count(lit(1)).as("n"),
@@ -209,6 +228,7 @@ final class ResultCache(
 object ResultCache {
   val TtlHours = 24            // config.py:61
   val MaxEntryBytes: Long = 100L * 1024 * 1024 // config.py:62 (100 MB)
+  val CleanupIntervalHours = 6 // config.py:63 (declared cadence)
 
   /** F10: the query key, byte-for-byte with the reference
     * (`cache_manager.py:63-74`): Python's `f"{x:.6f}"` ==

@@ -28,21 +28,38 @@ object Tables {
     * across fixture generations: nanosecond parquet timestamps (which
     * Spark reads as a long of nanos under
     * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[GraftSession]])
-    * and plain microsecond timestamps (which Spark reads as
+    * and plain microsecond timestamps (which Spark infers as
     * TIMESTAMP_NTZ). Both normalize here to a session-zoned TIMESTAMP
     * in micros — the same value DuckDB sees (its TIMESTAMP is micros,
-    * and the session timezone is pinned to UTC so the NTZ cast is
-    * wall-clock-identity). All downstream queries assume only the
-    * normalized form; no session config is mutated here: loaders stay
-    * side-effect free.
+    * and the session timezone is pinned to UTC so the NTZ reading is
+    * wall-clock-identity; a non-UTC session would shift instants, which
+    * is why [[GraftSession]] pins the zone). All downstream queries
+    * assume only the normalized form; no session config is mutated
+    * here: loaders stay side-effect free.
+    *
+    * The micros form is normalized by RE-READING with a user schema
+    * that declares `ts` session-zoned, not by a `cast` above the scan:
+    * the same INT64 micros are decoded either way (identical values
+    * under UTC), but a cast wraps the column in an expression that
+    * parquet filter pushdown cannot see through, so every downstream
+    * ts-range predicate would re-scan all row groups — invisible at
+    * 2 MB, an unpruned full scan at 100 TB. With the schema override
+    * the predicate lands on a bare attribute and reaches
+    * `PushedFilters` (pinned in PlanSpec). The legacy nanos form keeps
+    * its arithmetic normalization (a long column can't be re-declared
+    * as a timestamp), accepting lost ts-pushdown on that generation
+    * only.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val tsAsSessionTz = StructType(df.schema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(tsAsSessionTz).parquet(s"$d/events.parquet")
       case _                => df
     }
   }

@@ -71,6 +71,27 @@ class CacheSpec extends AnyFunSuite with SparkTestSession {
     assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isEmpty)
   }
 
+  test("put sweeps expired entries opportunistically, at most once per 6 h interval") {
+    var now = Instant.parse("2026-01-01T00:00:00Z")
+    val c = freshCache(() => now)
+    assert(c.put(32.5, -70.0, "1960-01-01", "1960-02-01", vars, sample))
+    // within the declared interval (config.py:63): a put 1 h later must
+    // NOT sweep — entry A is unexpired anyway, but the gate itself is
+    // what's under test (total count stays 2)
+    now = now.plusSeconds(3600)
+    assert(c.put(33.5, -71.0, "1960-01-01", "1960-02-01", vars, sample))
+    assert(c.metadata.count() == 2)
+    // 24.5 h after A was stored: A is expired (24 h TTL), B is not
+    // (stored at +1 h), and the interval has elapsed since the last
+    // sweep — so this put cleans A out without anyone calling
+    // cleanupExpired explicitly
+    now = now.plusSeconds(23 * 3600 + 1800)
+    assert(c.put(34.5, -72.0, "1960-01-01", "1960-02-01", vars, sample))
+    assert(c.metadata.count() == 2, "expired entry should have been swept by put")
+    assert(c.get(32.5, -70.0, "1960-01-01", "1960-02-01", vars).isEmpty)
+    assert(c.get(34.5, -72.0, "1960-01-01", "1960-02-01", vars).isDefined)
+  }
+
   test("size cap: oversize entries are rejected, not stored") {
     val c = new ResultCache(spark,
       Files.createTempDirectory("graft-cache").toString, maxEntryBytes = 10L)
@@ -140,8 +161,12 @@ class CacheSpec extends AnyFunSuite with SparkTestSession {
     var now = Instant.parse("2026-01-01T00:00:00Z")
     val c = freshCache(() => now)
     c.put(32.0, -70.0, "1960-01-01", "1960-02-01", vars, sample)
-    now = now.plusSeconds(25 * 3600)
+    now = now.plusSeconds(3600)
     c.put(32.25, -70.0, "1960-01-01", "1960-02-01", vars, sample)
+    // advance past A's TTL only AFTER both puts — a later put would
+    // sweep A itself (the opportunistic-cleanup test above); here the
+    // explicit cleanupExpired path is what's under test
+    now = now.plusSeconds(23 * 3600 + 1800)
     val s = c.stats
     assert(s("total_entries") == 2L)
     assert(s("active_entries") == 1L)

@@ -28,6 +28,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"scan reads more columns than projected: $readSchema")
   }
 
+  test("events: a ts-range predicate reaches PushedFilters through the normalization") {
+    // Tables.events re-declares the micros-NTZ `ts` as session-zoned
+    // TIMESTAMP at the scan (schema override, not a cast) precisely so
+    // range predicates stay bare-attribute and prune row groups. A
+    // regression back to `cast(ts)` leaves PushedFilters empty and the
+    // events scan unpruned — invisible at sf0.001, a full 100 TB scan
+    // at cluster scale.
+    import org.apache.spark.sql.functions.col
+    val bound = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val df = graft.core.Tables.events(spark, dir).filter(col("ts") >= bound)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"ts bound not pushed to the parquet scan:\n${p.take(1500)}")
+  }
+
   test("q03/q04: dimension joins broadcast, never shuffle the fact side for dims") {
     assert(plan("q03_join_segment").contains("BroadcastHashJoin"))
     val p4 = plan("q04_star_join")

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** Pins [[Tables.events]] against BOTH physical `ts` encodings the
+  * driver's fixture generator has shipped (TESTDATA.md history):
+  *
+  *  - int64 TIMESTAMP(NANOS) — read as a long of nanos under
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`;
+  *  - int64 TIMESTAMP(MICROS, isAdjustedToUTC=false) — inferred as
+  *    TIMESTAMP_NTZ.
+  *
+  * The round-10 bench broke (15 queries, `DATATYPE_MISMATCH`) exactly
+  * because only one of these forms was covered when the fixtures were
+  * regenerated; this spec makes that class of breakage a test failure
+  * instead of a round-long bench outage. The micros fixture here is
+  * written through parquet-java directly (not Spark) so the annotation
+  * under test is the file's, not the writer session's.
+  */
+class TablesSpec extends AnyFunSuite with SparkTestSession {
+
+  /** (event_id, micros-since-epoch-UTC) rows both fixtures encode. */
+  private val rows: Seq[(Long, Long)] = Seq(
+    0L -> 1714566896789012L, // 2024-05-01T12:34:56.789012Z
+    1L -> 0L,                // the epoch itself
+    2L -> 1700000000123456L)
+
+  private def eventsSchema(unit: LogicalTypeAnnotation.TimeUnit) =
+    Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, unit)).named("ts")
+      .named("events")
+
+  /** Writes `dir/events.parquet` with `ts` in the given unit; nanos
+    * rows carry +999 ns of sub-micro precision so the normalization's
+    * truncation to micros is exercised, not just the aligned case. */
+  private def writeFixture(dir: Path, unit: LogicalTypeAnnotation.TimeUnit): Unit = {
+    val schema = eventsSchema(unit)
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(new HPath(dir.resolve("events.parquet").toString))
+      .withConf(conf).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, us) =>
+      val g = f.newGroup()
+      g.add("event_id", id)
+      g.add("ts", if (unit == LogicalTypeAnnotation.TimeUnit.NANOS) us * 1000 + 999 else us)
+      w.write(g)
+    } finally w.close()
+  }
+
+  test("events: nanos-long and micros-NTZ fixtures normalize to identical timestamps") {
+    val nanosDir = Files.createTempDirectory("graft-events-nanos")
+    val ntzDir = Files.createTempDirectory("graft-events-ntz")
+    writeFixture(nanosDir, LogicalTypeAnnotation.TimeUnit.NANOS)
+    writeFixture(ntzDir, LogicalTypeAnnotation.TimeUnit.MICROS)
+
+    // sanity: the two fixtures really exercise the two raw schemas the
+    // dispatch branches on — otherwise this spec silently tests one path
+    assert(Tables.load(spark, nanosDir.toString, "events").schema("ts").dataType == LongType)
+    assert(Tables.load(spark, ntzDir.toString, "events").schema("ts").dataType == TimestampNTZType)
+
+    val a = Tables.events(spark, nanosDir.toString)
+    val b = Tables.events(spark, ntzDir.toString)
+    assert(a.schema("ts").dataType == TimestampType, "nanos branch must yield TIMESTAMP")
+    assert(b.schema("ts").dataType == TimestampType, "NTZ branch must yield TIMESTAMP")
+
+    def values(df: org.apache.spark.sql.DataFrame): Seq[(Long, java.time.Instant)] =
+      df.orderBy("event_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getTimestamp(1).toInstant))
+    assert(values(a) == values(b),
+      "the two physical encodings must agree after normalization")
+    // and both agree with the literal micros the fixtures encode
+    val expected = rows.map { case (id, us) =>
+      (id, java.time.Instant.EPOCH.plusNanos(us * 1000))
+    }
+    assert(values(b) == expected)
+  }
+
+  test("events: the session timezone contract is UTC (value-preserving NTZ read)") {
+    // Tables.events documents that the NTZ reading is wall-clock
+    // identity ONLY under a UTC session zone; fail loudly here rather
+    // than let a config drift silently shift every event instant.
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+}
