@@ -167,13 +167,24 @@ object SparkEntry {
     }),
 
     // ---- window: running aggregate (exact decimal accumulation) ----
+    // The output contract is ORDER BY (l_orderkey, l_linenumber) over
+    // ALL rows, and the window partitions by l_orderkey — so ONE range
+    // exchange serves both: RangePartitioning(l_orderkey) satisfies the
+    // window's ClusteredDistribution, and its ordered partitions make
+    // the final global sort a no-exchange no-op (the within-partition
+    // sort below is exactly the window's required sort order). The
+    // naive form pays hash-exchange + sort for the window PLUS a
+    // range-exchange + sort for the output — two full-data shuffles of
+    // the fact table instead of one, at any scale.
     "q09_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_quantity")).as("qc"))
+        .repartitionByRange(col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
-                (sum(cents(col("l_quantity"))).over(w)
-                  .cast("double") / 100.0).as("running_qty"))
+                (sum(col("qc")).over(w).cast("double") / 100.0).as("running_qty"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 

@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
   }
 
+  test("q09: window and output sort share ONE range exchange") {
+    // RangePartitioning(l_orderkey) satisfies the window's clustering
+    // requirement AND prefix-satisfies the output's OrderedDistribution
+    // (l_orderkey, l_linenumber) — so the whole query is one shuffle.
+    // A regression to the naive hash-exchange window re-shuffles the
+    // entire fact table a second time for the final ORDER BY.
+    val p = plan("q09_window_running")
+    assert(p.contains("Window"), p.take(400))
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shared range exchange, got $exchanges:\n$p")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
