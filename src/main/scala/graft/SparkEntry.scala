@@ -805,32 +805,25 @@ object SparkEntry {
     // cheap repetition filters a pretraining pipeline applies before
     // any model-based scoring. Pure per-doc projections — zero shuffle.
     "q48_repetition" -> ((s, dir) => {
-      val withBg = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), Text.ngrams(col("toks"), 2).as("bg"))
-      // most-frequent-bigram count as the longest equal-run in the
-      // SORTED gram array — O(n) per doc; the distinct×filter form is
-      // O(distinct·n) interpreted lambdas (2.1 s of q48 at sf0.1).
-      // The oracle keeps the distinct-count form: identical maximum.
-      val topBigram = when(size(col("bg")) === 0, 0).otherwise(
-        aggregate(array_sort(col("bg")),
-          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-              .otherwise(lit(1))
-            struct(x.as("prev"), run.as("run"),
-                   greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best")))
-      withBg.select(
-        col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        round(when(size(col("toks")) === 0, 0.0).otherwise(
-          lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")).cast("double")), 6).as("dup_word_ratio"),
-        round(when(size(col("bg")) === 0, 0.0).otherwise(
-          topBigram.cast("double") / size(col("bg")).cast("double")), 6)
-          .as("top_bigram_frac"))
+      // One fused byte scan per doc (native `repetition_stats`): token
+      // count, exact distinct-token count, bigram count, and max
+      // bigram multiplicity — replacing the five-array-pass composed
+      // plan (tokens → bigram strings → array_sort → interpreted
+      // aggregate lambda → array_distinct; 1.2 s of q48 at sf1). The
+      // oracle keeps its independent sort-based formulation: identical
+      // counts, different algorithm — a real cross-check.
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                call_function("repetition_stats", col("text")).as("st"))
+        .select(
+          col("doc_id"),
+          col("st.n_tokens").cast("int").as("n_tokens"),
+          round(when(col("st.n_tokens") === 0, 0.0).otherwise(
+            lit(1.0) - col("st.n_distinct").cast("double") /
+              col("st.n_tokens").cast("double")), 6).as("dup_word_ratio"),
+          round(when(col("st.n_bigrams") === 0, 0.0).otherwise(
+            col("st.top_bigram").cast("double") /
+              col("st.n_bigrams").cast("double")), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 

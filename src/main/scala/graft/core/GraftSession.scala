@@ -40,6 +40,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.WordNgrams.description)
         ext.injectFunction(graft.functions.WordTokens.description)
         ext.injectFunction(graft.functions.WordMarkerCounts.description)
+        ext.injectFunction(graft.functions.RepetitionStats.description)
         ext.injectFunction(graft.functions.JsonField.description)
         ext.injectFunction(graft.functions.DoubleOrderBits.description)
         ext.injectFunction(graft.functions.InterleaveBits.description)

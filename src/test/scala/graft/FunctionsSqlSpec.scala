@@ -32,6 +32,8 @@ class FunctionsSqlSpec extends AnyFunSuite with SparkTestSession {
       .asInstanceOf[scala.collection.Seq[_]].size == 2)
     assert(one("SELECT word_marker_counts('the cat saw the dog', array('the', 'cat'))")
       .asInstanceOf[scala.collection.Seq[Long]] == Seq(2L, 1L))
+    // 'a b' repeats 3x in 5 bigrams
+    assert(one("SELECT repetition_stats('a b a b a b').top_bigram") == 3L)
     assert(one("SELECT clean_spaces('  a \t b  ')") == "a b")
     assert(one("SELECT nfc_normalize('café')") == "café")
     assert(one("SELECT pii_scrub('mail me at a@b.com').clean_text")

@@ -151,6 +151,37 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("repetition_stats equals the composed tokens/distinct/sorted-run form") {
+    val cases = Seq(
+      "The quick brown-fox; jumps! over_the lazy dog 42",
+      "", "   ", "one", "one two", "a b c d e",
+      "the the the the the",                     // one token repeated: top bigram = 4
+      "a b a b a b a b c",                       // interleaved repeats
+      "A a A a aa",                              // case-folded duplicates
+      "MiXeD CaSe--punct,,sep\ttab\nnewline", "a-b_c.d,e;f:g!h?i",
+      ("w1 w2 w3 " * 40) + "tail",               // heavy dup, forces probing
+      "a gram long enough to exercise the growable span buffer " * 4)
+    for (s <- cases) {
+      val fused = one(s, call_function("repetition_stats", col("text")))
+        .asInstanceOf[Row]
+      val toks = one(s, Text.tokens(col("text")))
+        .asInstanceOf[scala.collection.Seq[String]]
+      val bgs = one(s, Text.ngrams(Text.tokens(col("text")), 2))
+        .asInstanceOf[scala.collection.Seq[String]]
+      val top = if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.size).max.toLong
+      assert(fused.getLong(0) == toks.size.toLong, s"n_tokens on '$s'")
+      assert(fused.getLong(1) == toks.distinct.size.toLong, s"n_distinct on '$s'")
+      assert(fused.getLong(2) == bgs.size.toLong, s"n_bigrams on '$s'")
+      assert(fused.getLong(3) == top, s"top_bigram on '$s'")
+    }
+    // null text -> null struct
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("repetition_stats", col("text"))).head
+    assert(r.isNullAt(0))
+  }
+
   test("json_field: strings unquoted, nested containers skipped, null contract") {
     import spark.implicits._
     def f(doc: String): Any = Seq(doc).toDF("d")
