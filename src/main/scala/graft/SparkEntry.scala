@@ -156,10 +156,18 @@ object SparkEntry {
     }),
 
     // ---- window: ranking ----
+    // Same single-exchange shape as q09: RangePartitioning(o_custkey)
+    // serves the window's clustering AND prefix-satisfies the output's
+    // ORDER BY (o_custkey, rn), so only a cheap post-filter local sort
+    // remains — the naive plan re-shuffles the whole table for the
+    // final ordering.
     "q08_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartitionByRange(col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")

@@ -355,55 +355,102 @@ object Percentiles {
     exactByRegime(profileRegime(src, valueCol, distinctCutoff, minBuckets),
                   src, valueCol, ps, prefix)
 
+  /** Exact percentiles of a 2-decimal (money-like) column via the
+    * bounded cents histogram — the fixed-precision regime (q57).
+    *
+    * Two passes, every intermediate bounded by the VALUE DOMAIN:
+    *
+    *  1. coarse pass: count rows per 256-cent bucket (`c >> 8`) — a
+    *     small-key map-side-combined aggregate whose result
+    *     (domain/256 rows) is collected as driver metadata, the same
+    *     bounded class as codebooks/centroids. Prefix sums over it
+    *     locate the ≤ 2·|ps| buckets whose rank ranges bracket a
+    *     target.
+    *  2. fine pass: scan ONLY the target buckets, by filtering on the
+    *     RAW VALUE with bucket-range bounds (±1 cent of slack around
+    *     each bucket's cent range, then the exact bucket predicate on
+    *     the derived cents). The bounds are plain comparisons on the
+    *     source column, so they reach `PushedFilters` and prune row
+    *     groups at the scan — at cluster scale the second pass reads
+    *     the small fraction of the fact table whose min/max stats
+    *     overlap ~3 price ranges, not the table. Its output (≤ 256
+    *     distinct cents per target bucket) is driver-sized; the
+    *     interpolation happens on those counts.
+    *
+    * An earlier formulation kept everything in one lazy plan but
+    * aggregated the raw cents twice (two FULL corpus scans per call,
+    * the second behind an unpushable join); a one-scan variant paid a
+    * distinct-cents-wide hash aggregate instead (worse locally,
+    * spill-prone at scale). The driver hop costs the plan's laziness —
+    * the operator runs its two bounded jobs when called — which is the
+    * documented exactBySort trade (its localCheckpoint is eager too).
+    */
   def exactByCentsHistogram(src: DataFrame, valueCol: String, ps: Seq[Double],
                             prefix: String = "p"): DataFrame = {
+    val spark = src.sparkSession
     def tag(p: Double): String = math.round(p * 100).toString
-    def r(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
-    val cents = src.select(round(col(valueCol) * 100, 0).cast("long").as("c")).na.drop()
+    val schema = org.apache.spark.sql.types.StructType(ps.map(p =>
+      org.apache.spark.sql.types.StructField(s"$prefix${tag(p)}",
+        org.apache.spark.sql.types.DoubleType)))
+    def oneRow(vals: Seq[Any]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(vals: _*)), schema)
 
-    // single-partition by design, keyed by the fold-proof constant
-    // pmod(b, 1) = 0 so it is explicit (no "No Partition Defined"
-    // warning): this window sees at most domain/256 bucket-count
-    // rows, never values
-    val wB = Window.partitionBy(pmod(col("b"), lit(1))).orderBy("b")
-    val bmeta = cents.groupBy(shiftright(col("c"), 8).as("b")).agg(count(lit(1)).as("bcnt"))
-      .select(col("b"), col("bcnt"),
-        coalesce(sum("bcnt").over(
-          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("boff"),
-        sum("bcnt").over(
-          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    val centsCol = round(col(valueCol) * 100, 0).cast("long")
 
-    // buckets whose global-rank range [boff, boff+bcnt-1] brackets a target
-    def bucketCovers(k: Column) = k >= col("boff") && k <= col("boff") + col("bcnt") - 1
-    val targets = bmeta.filter(
-      ps.map(p => bucketCovers(floor(r(p)).cast("long")) ||
-                  bucketCovers(ceil(r(p)).cast("long"))).reduce(_ || _))
-      .select("b", "boff", "n")
+    // pass 1: bucket counts -> driver (domain/256 rows, value-ordered)
+    val bcounts: Array[(Long, Long)] = src
+      .select(centsCol.as("c")).na.drop()
+      .groupBy(shiftright(col("c"), 8).as("b")).agg(count(lit(1)).as("bcnt"))
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = bcounts.iterator.map(_._2).sum
+    if (n == 0L) return oneRow(ps.map(_ => null))
 
-    val wC = Window.partitionBy("b").orderBy("c")
-    val ranked = cents.join(broadcast(targets), shiftright(col("c"), 8) === col("b"))
-      .groupBy("c", "b", "boff", "n").agg(count(lit(1)).as("ccnt"))
-      .withColumn("cum", sum("ccnt").over(
-        wC.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("loRank", col("boff") + col("cum") - col("ccnt"))
-      .withColumn("hiRank", col("boff") + col("cum") - 1)
+    val ranks: Seq[Double] = ps.map(p => p * (n - 1).toDouble)
+    val wanted: Set[Long] =
+      ranks.flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).toSet
+    // buckets whose global-rank range [boff, boff+bcnt-1] covers a target
+    val boffs = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var off = 0L
+    for ((b, cnt) <- bcounts) {
+      if (wanted.exists(k => k >= off && k < off + cnt)) boffs(b) = off
+      off += cnt
+    }
+    val bs = boffs.keys.toSeq
 
-    def covers(k: Column) = k >= col("loRank") && k <= col("hiRank")
-    val picked = ranked.filter(
-      ps.map(p => covers(floor(r(p)).cast("long")) ||
-                  covers(ceil(r(p)).cast("long"))).reduce(_ || _))
-    val aggd = picked.agg(
-      max(col("n")).as("n"),
-      ps.flatMap(p => Seq(
-        max(when(covers(floor(r(p)).cast("long")), col("c").cast("double") / 100.0))
-          .as(s"lo_${tag(p)}"),
-        max(when(covers(ceil(r(p)).cast("long")), col("c").cast("double") / 100.0))
-          .as(s"hi_${tag(p)}"))): _*)
-    aggd.select(ps.map { p =>
-      val rr = r(p)
-      (col(s"lo_${tag(p)}") +
-        (col(s"hi_${tag(p)}") - col(s"lo_${tag(p)}")) * (rr - floor(rr)))
-        .as(s"$prefix${tag(p)}")
-    }: _*)
+    // pass 2: target buckets only, behind PUSHED value-range bounds.
+    // c = round(v*100) lands in bucket b only if v*100 is within
+    // [256b - 0.5, 256b + 255.5]; ±1 cent of slack keeps the bound
+    // safe for either rounding direction, and the exact shiftright
+    // predicate restores precision above the scan.
+    val rangePred = bs.map(b =>
+        col(valueCol) >= lit((256.0 * b - 1.0) / 100.0) &&
+        col(valueCol) <= lit((256.0 * b + 256.0) / 100.0))
+      .reduce(_ || _)
+    val fine: Array[(Long, Long)] = src
+      .filter(col(valueCol).isNotNull && rangePred)
+      .select(centsCol.as("c"))
+      .filter(shiftright(col("c"), 8).isInCollection(bs))
+      .groupBy("c").agg(count(lit(1)).as("ccnt"))
+      .orderBy("c").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // global rank range per distinct cents value, from the bucket offsets
+    val cum = scala.collection.mutable.HashMap.empty[Long, Long] // b -> consumed
+    val spans = fine.map { case (c, cnt) =>
+      val b = c >> 8
+      val lo = boffs(b) + cum.getOrElse(b, 0L)
+      cum(b) = cum.getOrElse(b, 0L) + cnt
+      (c, lo, lo + cnt - 1) // (cents, loRank, hiRank)
+    }
+    def valueAt(k: Long): Double = {
+      val hit = spans.find { case (_, lo, hi) => k >= lo && k <= hi }
+      require(hit.isDefined, s"rank $k not covered — bucket math broken")
+      hit.get._1.toDouble / 100.0
+    }
+    oneRow(ranks.map { r =>
+      val lo = valueAt(math.floor(r).toLong)
+      val hi = valueAt(math.ceil(r).toLong)
+      lo + (hi - lo) * (r - math.floor(r))
+    })
   }
 }

@@ -63,6 +63,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
   }
 
+  test("q08: rank window and output sort share ONE range exchange") {
+    val p = plan("q08_window_rank")
+    assert(p.contains("Window"), p.take(400))
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shared range exchange, got $exchanges:\n$p")
+  }
+
   test("q09: window and output sort share ONE range exchange") {
     // RangePartitioning(l_orderkey) satisfies the window's clustering
     // requirement AND prefix-satisfies the output's OrderedDistribution
