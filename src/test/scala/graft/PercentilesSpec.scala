@@ -48,6 +48,25 @@ class PercentilesSpec extends AnyFunSuite with SparkTestSession {
     assert((0 to 2).forall(i => bySort.getDouble(i) == got.getDouble(i)))
   }
 
+  test("cents fine-pass value-range predicate shape reaches PushedFilters") {
+    // exactByCentsHistogram's second pass filters the SOURCE column
+    // with an OR of closed ranges precisely so the scan prunes row
+    // groups at cluster scale; this pins that Spark's parquet pushdown
+    // accepts that shape (Or(And(>=,<=),And(>=,<=))) on a double
+    // column — if it ever stops pushing, the fine pass silently
+    // becomes a second full scan.
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val pred =
+      (col("l_extendedprice") >= lit(100.0) && col("l_extendedprice") <= lit(102.56)) ||
+      (col("l_extendedprice") >= lit(500.0) && col("l_extendedprice") <= lit(502.56))
+    val p = li.filter(pred).select("l_extendedprice")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("Or(And(GreaterThanOrEqual(l_extendedprice"),
+           s"fine-pass range predicate not pushed:\n${p.take(1200)}")
+  }
+
   test("ranged data materializes once; both consumers share the checkpointed RDD") {
     import spark.implicits._
     // Correctness of exactBySort depends on BOTH consumers of the
