@@ -57,6 +57,14 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
+        // The re-read below is value-preserving ONLY under a UTC session
+        // zone (the scaladoc contract). A caller that bypassed
+        // GraftSession.build with another zone would get every instant
+        // silently shifted — fail loudly here instead.
+        val zone = s.conf.get("spark.sql.session.timeZone")
+        require(zone == "UTC",
+          s"Tables.events: NTZ->TIMESTAMP normalization requires spark.sql.session.timeZone=UTC " +
+          s"(got '$zone'); build the session via GraftSession.build")
         val tsAsSessionTz = StructType(df.schema.fields.map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
         s.read.schema(tsAsSessionTz).parquet(s"$d/events.parquet")

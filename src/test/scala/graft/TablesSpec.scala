@@ -95,4 +95,17 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     // than let a config drift silently shift every event instant.
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
   }
+
+  test("events: a non-UTC session zone is rejected, not silently shifted") {
+    val ntzDir = Files.createTempDirectory("graft-events-ntz-tz")
+    writeFixture(ntzDir, LogicalTypeAnnotation.TimeUnit.MICROS)
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, ntzDir.toString)
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
 }
