@@ -77,7 +77,14 @@ object Bench {
     // default path is inside the repo so the end-of-round snapshot
     // commit preserves the full per-query map; a write failure must
     // never fail the bench itself (read-only checkout, missing dir).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Only the driver's bench scale (sf0.1) defaults to the committed
+    // artifact — a dev run at another scale must not clobber the
+    // round's sf0.1 record (it did once, via the verify recipe's
+    // sf0.01 smoke; caught in review).
+    val defaultOut =
+      if (sfDir.endsWith("/sf0.1")) "/root/repo/BENCH_FULL.json"
+      else s"/tmp/bench_full_${new java.io.File(sfDir).getName}.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
