@@ -54,10 +54,17 @@ object ChunkDedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           // collect_list skips nulls, so only SURVIVING chunks enter
+           // the aggregation buffer — a dropped chunk's text never
+           // crosses the doc-keyed exchange (the whole point of dedup:
+           // the more boilerplate the corpus carries, the less this
+           // reassembly shuffles). The dropped-but-collected form this
+           // replaces shuffled every chunk's text and filtered only in
+           // the final projection.
            array_join(
              transform(
-               filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("chunk")))),
-                 s => s.getField("keep")),
+               array_sort(collect_list(when(col("keep"),
+                 struct(col("pos"), col("chunk"))))),
                s => s.getField("chunk")), " ").as("text_dedup"))
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
 }
