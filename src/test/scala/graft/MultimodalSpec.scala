@@ -134,6 +134,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(meta2 == Multimodal.AudioMeta(8000, 2, 16, 50))
   }
 
+  test("AudioCodec: AIFF and AU containers decode through the sniffed dispatch") {
+    import Multimodal.AudioCodec
+    // The fast path orders readers by container magic (the MIDI-registry
+    // lock fix), so the non-WAV families must still decode — this pins
+    // the dispatch for all three magics the sniffer knows. Containers
+    // are produced by the JDK's own writers from a known PCM signal.
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 7 + 3) % 256 - 128).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    def containerBytes(t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in, t, bos)
+      bos.toByteArray
+    }
+    val aiff = containerBytes(javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val au = containerBytes(javax.sound.sampled.AudioFileFormat.Type.AU)
+    assert(AudioCodec.looksLikeAudio(aiff) && AudioCodec.looksLikeAudio(au))
+    val Some((aiffMeta, aiffPcm)) = AudioCodec.decodeSamples(aiff)
+    val Some((auMeta, auPcm)) = AudioCodec.decodeSamples(au)
+    // Same signal, same meta; payload byte order is the CONTAINER's
+    // (AIFF/AU are big-endian), so compare sample VALUES, not bytes.
+    assert(aiffMeta == Multimodal.AudioMeta(8000, 1, 16, 100))
+    assert(auMeta == Multimodal.AudioMeta(8000, 1, 16, 100))
+    def samplesLE(b: Array[Byte]) =
+      b.grouped(2).map(p => ((p(0) & 0xff) | (p(1) << 8)).toShort).toSeq
+    def samplesBE(b: Array[Byte]) =
+      b.grouped(2).map(p => ((p(1) & 0xff) | (p(0) << 8)).toShort).toSeq
+    assert(samplesBE(aiffPcm) == samplesLE(pcm))
+    assert(samplesBE(auPcm) == samplesLE(pcm))
+  }
+
   test("AudioCodec: malformed containers are contained, never thrown") {
     import Multimodal.AudioCodec
     assert(AudioCodec.decodeSamples(null) == None)
