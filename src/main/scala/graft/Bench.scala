@@ -77,12 +77,14 @@ object Bench {
     // default path is inside the repo so the end-of-round snapshot
     // commit preserves the full per-query map; a write failure must
     // never fail the bench itself (read-only checkout, missing dir).
-    // Only the driver's bench scale (sf0.1) defaults to the committed
-    // artifact — a dev run at another scale must not clobber the
-    // round's sf0.1 record (it did once, via the verify recipe's
-    // sf0.01 smoke; caught in review).
+    // Only a FULL-suite run at the driver's bench scale (sf0.1)
+    // defaults to the committed artifact — a dev run at another scale
+    // must not clobber the round's sf0.1 record (it did once, via the
+    // verify recipe's sf0.01 smoke; caught in review), and neither may
+    // a BENCH_ONLY-filtered probe (the floor probe runs 5 queries at
+    // sf0.1 and overwrote the 82-cell record; caught in round 12).
     val defaultOut =
-      if (sfDir.endsWith("/sf0.1")) "/root/repo/BENCH_FULL.json"
+      if (sfDir.endsWith("/sf0.1") && only.isEmpty) "/root/repo/BENCH_FULL.json"
       else s"/tmp/bench_full_${new java.io.File(sfDir).getName}.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
