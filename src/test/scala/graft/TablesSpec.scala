@@ -108,4 +108,29 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       assert(e.getMessage.contains("UTC"))
     } finally spark.conf.set("spark.sql.session.timeZone", orig)
   }
+
+  test("load: the schema memo serves the inferred schema and invalidate() clears it") {
+    // Pins the Tables.load catalog contract: schema is inferred ONCE
+    // per path (the catalog-style memo that removed the ~70 ms/query
+    // footer-inference tax, BASELINE round 12 third session) and a
+    // same-path rewrite with a DIFFERENT schema is only visible after
+    // invalidate() — the documented immutable-dir-per-JVM contract,
+    // made a test failure instead of a surprise.
+    val dir = Files.createTempDirectory("graft-schema-memo").toString
+    val path = s"$dir/region.parquet"
+    spark.range(3).selectExpr("id as r_regionkey").write.parquet(path)
+    assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq
+      == Seq("r_regionkey"))
+    // rewrite in place with an extra column; the memo still serves the
+    // original schema (same-schema rewrites are the supported case —
+    // listing is per-call, schema is not)
+    spark.range(3).selectExpr("id as r_regionkey", "'x' as r_name")
+      .write.mode("overwrite").parquet(path)
+    assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq
+      == Seq("r_regionkey"))
+    // invalidate() drops the memo; the new schema is re-inferred
+    Tables.invalidate(dir)
+    assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq.sorted
+      == Seq("r_name", "r_regionkey"))
+  }
 }
