@@ -41,6 +41,10 @@ object FloorDecompProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = GraftSession.build("graft-floor-decomp")
     if (args.contains("--tables")) { tableCost(spark, sfDir, reps); spark.stop(); return }
+    if (args.contains("--exec")) {
+      execAnatomy(spark, sfDir, args.filterNot(_.startsWith("--")).toSeq, reps)
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else DefaultSet
 
     // Bench's warm-up: touch the scan + codegen paths once.
@@ -70,6 +74,53 @@ object FloorDecompProbe {
     val (sb, sp, se) = sums
     println(f"${"TOTAL"}%-24s $sb%8.3f $sp%8.3f $se%8.3f ${sb + sp + se}%8.3f")
     spark.stop()
+  }
+
+  /** `--exec <query...>`: anatomy of the exec phase — per query, the
+    * best rep's Spark JOB timeline (start offset, duration, task count
+    * per job, and the un-jobbed remainder: driver work between jobs +
+    * noop commit). AQE materializes one job per exchange stage, so a
+    * two-exchange agg shows 3 jobs; the remainder column is what
+    * neither planning nor tasks account for. */
+  private def execAnatomy(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String, queries: Seq[String], reps: Int): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+    val names = if (queries.nonEmpty) queries else Seq("q53_top_per_lang", "q01_pricing_summary", "q10_distinct_agg")
+    // warm
+    graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      case class Run(total: Double, jobs: Seq[(Double, Double, Int)])
+      val runs = (1 to reps).map { _ =>
+        val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+        val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l = new SparkListener {
+          override def onJobStart(e: SparkListenerJobStart): Unit =
+            jobStart.put(e.jobId, System.nanoTime())
+          override def onJobEnd(e: SparkListenerJobEnd): Unit =
+            Option(jobStart.get(e.jobId)).foreach(s => jobs.add((s, System.nanoTime())))
+          override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+            tasks.addAndGet(e.stageInfo.numTasks)
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50) // let the async listener bus drain the job-end events
+        spark.sparkContext.removeSparkListener(l)
+        import scala.jdk.CollectionConverters._
+        Run(total, jobs.asScala.toSeq.sortBy(_._1).map { case (s, e) =>
+          ((s - t0) / 1e9, (e - s) / 1e9, tasks.get()) })
+      }
+      val best = runs.minBy(_.total)
+      val jobTime = best.jobs.map(_._2).sum
+      println(f"$name%-24s total ${best.total}%6.3f  jobs ${best.jobs.size}  in-job ${jobTime}%6.3f  outside ${best.total - jobTime}%6.3f")
+      best.jobs.zipWithIndex.foreach { case ((off, dur, _), i) =>
+        println(f"    job$i starts +$off%6.3f runs $dur%6.3f")
+      }
+    }
   }
 
   /** `--tables`: isolate the per-call cost of `Tables.load` — fresh
