@@ -99,6 +99,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Register every fixture table of `d` as a session temp view (the
+    * normalized [[events]] included), so `spark.sql("... FROM
+    * lineitem ...")` works against a fixture dir the way the engine's
+    * injected functions already do (GraftSession extensions). Temp
+    * views are metadata-only: each SQL query still plans a fresh scan
+    * through the memoized-schema read path. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** Memoized row count of the documents table — for size GATES (e.g.
     * q49's broadcast-vs-shuffle decision), not results. The fixture
     * dirs are immutable for the life of a session, and the count is a

@@ -109,6 +109,21 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.session.timeZone", orig)
   }
 
+  test("registerAll: every fixture table is SQL-addressable; events arrives normalized") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val counts = spark.sql(
+      "SELECT (SELECT count(*) FROM region) AS r, (SELECT count(*) FROM lineitem) AS l")
+      .head()
+    assert(counts.getLong(0) == 5 && counts.getLong(1) == 6000)
+    // the view serves the NORMALIZED events (session-zoned TIMESTAMP),
+    // not the raw physical encoding
+    assert(spark.sql("SELECT ts FROM events").schema("ts").dataType == TimestampType)
+    // SQL over a view composes with the injected engine functions
+    val toks = spark.sql(
+      "SELECT sum(size(word_tokens(text))) AS n FROM documents").head().getLong(0)
+    assert(toks > 0)
+  }
+
   test("load: the schema memo serves the inferred schema and invalidate() clears it") {
     // Pins the Tables.load catalog contract: schema is inferred ONCE
     // per path (the catalog-style memo that removed the ~70 ms/query
