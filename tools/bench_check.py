@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Bench regression alarm: compare a graft.Bench session JSON against
+BASELINE.md's recorded per-query minima and flag outliers.
+
+The r11 round spent its audit finding that six cells had jumped 3-9x
+in-suite (fixture regeneration + session load, no code change); this
+script makes that forensics a one-liner. In-suite cells normally sit
+1.0-1.7x their cross-session minima (the documented machine drift), so
+the default threshold flags only genuine outlier clusters.
+
+Usage:
+  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1] [--threshold 2.5]
+
+Defaults: BENCH_FULL.json, sf0.1 column, threshold 2.5x. Exit 1 if any
+cell exceeds the threshold (wire into a round's pre-commit ritual).
+A flagged cell means: run the floor-probe discipline (solo min-of-5,
+tools/floor_probe.sh) before reading it as a code regression — and run
+tools/fixture_fingerprint.py first to rule out a fixture change.
+"""
+import json
+import re
+import sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {a.split("=")[0].lstrip("-"): (a.split("=", 1)[1] if "=" in a else True)
+        for a in sys.argv[1:] if a.startswith("--")}
+session_path = args[0] if args else "BENCH_FULL.json"
+col = str(opts.get("col", "sf0.1"))
+threshold = float(opts.get("threshold", 2.5))
+
+session = json.load(open(session_path))["queries"]
+
+# Parse the recorded-minima table (| query | sf0.1 duck | sf0.1 spark |
+# ratio | sf1 duck | sf1 spark | ratio |); first matching table wins.
+base = {}
+in_table = False
+for line in open("BASELINE.md"):
+    if line.startswith("| query | sf0.1 duckdb ms |"):
+        in_table = True
+        continue
+    if in_table:
+        m = re.match(r"\| (q\d+_\w+) \| ([\d.]+) \| ([\d.]+) \| [^|]+\| ([\d.]+) \| ([\d.]+) \|", line)
+        if m:
+            spark_ms = float(m.group(3) if col == "sf0.1" else m.group(5))
+            base[m.group(1)] = spark_ms
+        elif base and not line.startswith("|"):
+            break
+
+flagged = []
+ratios = []
+for q, rec_ms in sorted(base.items()):
+    if q not in session:
+        continue
+    r = session[q] * 1000 / rec_ms
+    ratios.append(r)
+    if r > threshold:
+        flagged.append((q, rec_ms, session[q] * 1000, r))
+
+ratios.sort()
+med = ratios[len(ratios) // 2] if ratios else float("nan")
+print(f"{len(ratios)} cells vs recorded {col} minima: median in-suite/min = {med:.2f} "
+      f"(normal band 1.0-1.7)")
+if flagged:
+    print(f"\n{len(flagged)} cell(s) above {threshold}x — floor-probe before blaming code, "
+          f"fingerprint the fixtures first:")
+    for q, rec, now, r in flagged:
+        print(f"  {q:28s} recorded {rec:7.0f} ms  session {now:7.0f} ms  {r:4.1f}x")
+    sys.exit(1)
+print(f"no cell above {threshold}x — session consistent with recorded minima")
