@@ -30,6 +30,10 @@ object GraftSession {
       // injected as session extensions so they resolve in both the
       // Column API and SQL text.
       .withExtensions { ext =>
+        // Optimizer rule: exact bare-long rewrite of ts-range predicates
+        // over the legacy nanos-events normalization, so they reach
+        // PushedFilters (see NanosTsPushdown scaladoc).
+        ext.injectOptimizerRule(_ => graft.plans.NanosTsPushdown)
         ext.injectFunction(graft.functions.MinHashSigs.description)
         ext.injectFunction(graft.functions.SimHash32.description)
         ext.injectFunction(graft.functions.HyperplaneLSH.description)

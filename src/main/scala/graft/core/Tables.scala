@@ -72,8 +72,10 @@ object Tables {
     * the predicate lands on a bare attribute and reaches
     * `PushedFilters` (pinned in PlanSpec). The legacy nanos form keeps
     * its arithmetic normalization (a long column can't be re-declared
-    * as a timestamp), accepting lost ts-pushdown on that generation
-    * only.
+    * as a timestamp); its ts-range pushdown is restored by the
+    * [[graft.plans.NanosTsPushdown]] optimizer rule, which rewrites
+    * comparisons against this exact expression shape back onto the
+    * raw long column (pinned in NanosPushdownSpec).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
