@@ -57,20 +57,27 @@ object NanosTsPushdown extends Rule[LogicalPlan] {
   /** Largest |micros| whose nanos image (±999) still fits in a Long. */
   private val MaxSafeMicros = (Long.MaxValue - 999L) / 1000L
 
-  /** `timestamp_micros(n div 1000)` over a long-typed `n`. */
+  /** `timestamp_micros(n div 1000)` over a long-typed `n`. Deterministic
+    * only: the EqualTo rewrite duplicates `n` into two comparisons, which
+    * would double-evaluate a non-deterministic expression. (In practice
+    * only bare attributes reach `PushedFilters`, but the rule fires on the
+    * whole Filter condition, so guard here.) */
   private object NanosAsTs {
     def unapply(e: Expression): Option[Expression] = e match {
       case MicrosToTimestamp(IntegralDivide(n, Literal(1000L, LongType), _))
-          if n.dataType == LongType => Some(n)
+          if n.dataType == LongType && n.deterministic => Some(n)
       case _ => None
     }
   }
 
   /** A foldable timestamp bound, in micros, far enough from the Long
-    * edges that m±1 and the ×1000 rescale below cannot overflow. */
+    * edges that m±1 and the ×1000 rescale below cannot overflow. The
+    * explicit two-sided range (not `math.abs`) also excludes
+    * Long.MinValue, whose abs is itself — negative — and would slip an
+    * overflow past an abs-based guard. */
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(m: Long, TimestampType) if math.abs(m) < MaxSafeMicros => Some(m)
+      case Literal(m: Long, TimestampType) if m > -MaxSafeMicros && m < MaxSafeMicros => Some(m)
       case _ => None
     }
   }

@@ -112,6 +112,41 @@ class NanosPushdownSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("guards: Long.MinValue bound and non-deterministic operand are left alone") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{
+      EqualTo, IntegralDivide, Literal, MicrosToTimestamp, Rand}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import graft.plans.NanosTsPushdown
+
+    val ts = Symbol("ts").long
+    val rel = LocalRelation(ts)
+    def nanosAsTs(n: org.apache.spark.sql.catalyst.expressions.Expression) =
+      MicrosToTimestamp(IntegralDivide(n, Literal(1000L, LongType)))
+
+    // 1. A Long.MinValue micros bound: abs(MinValue) == MinValue (< MaxSafeMicros),
+    //    so an abs-based guard would admit it and ×1000 would wrap. The explicit
+    //    range guard must refuse the rewrite entirely.
+    val minPlan = rel.where(EqualTo(nanosAsTs(ts), Literal(Long.MinValue, TimestampType))).analyze
+    assert(NanosTsPushdown(minPlan).fastEquals(minPlan),
+      "Long.MinValue bound must not be rewritten (×1000 would overflow)")
+
+    // 2. A non-deterministic operand: the EqualTo rewrite would duplicate it
+    //    into two comparisons, evaluating it twice. Must be left untouched.
+    val nonDet = org.apache.spark.sql.catalyst.expressions.Cast(new Rand(Literal(42L)), LongType)
+    assert(!nonDet.deterministic)
+    val ndPlan = rel.where(EqualTo(nanosAsTs(nonDet), Literal(M, TimestampType))).analyze
+    assert(NanosTsPushdown(ndPlan).fastEquals(ndPlan),
+      "non-deterministic operand must not be duplicated by the EqualTo rewrite")
+
+    // 3. Control: the same shapes with a safe bound and a deterministic
+    //    operand DO rewrite (guards are not over-broad).
+    val okPlan = rel.where(EqualTo(nanosAsTs(ts), Literal(M, TimestampType))).analyze
+    assert(!NanosTsPushdown(okPlan).fastEquals(okPlan), "control rewrite did not fire")
+  }
+
   test("predicates the rule must NOT touch still evaluate correctly") {
     // A non-literal bound (column vs column) matches no rewrite case;
     // the filter must still run through the unrewritten expression.
