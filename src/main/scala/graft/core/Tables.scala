@@ -23,24 +23,50 @@ object Tables {
     * schema supplied), which at 1–3 loads per query was ~25 % of the
     * per-query floor that dominates the sf0.1 bench. Real deployments
     * pay the same tax as a metastore round-trip + footer sample per
-    * uncached query. Schema is immutable metadata for the life of a
-    * fixture dir (the same contract [[documentsCount]] already
-    * documents), so it is inferred once per path and re-supplied;
-    * file LISTING stays per-call, so new/rewritten files with the
-    * same schema are always visible. */
+    * uncached query. Schema is immutable metadata for a given set of
+    * file BYTES, so the memo is keyed by (path, file-status
+    * fingerprint): a regeneration that rewrites the fixture in place —
+    * the driver did it three times in round 12 alone — changes the
+    * fingerprint and re-infers automatically, with no manual
+    * [[invalidate]] required (serving a stale schema after an
+    * in-place regeneration is the round-10 breakage class). The
+    * fingerprint is a file-status stat (name/length/mtime per part),
+    * ~0.1 ms on a local FS vs ~80 ms footer inference, so the memo's
+    * floor win is preserved (A/B'd via FloorDecompProbe; BASELINE.md).
+    * File LISTING for the scan itself stays per-call, so new files
+    * with the same schema are always visible. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemas.computeIfAbsent(path,
+    val schema = schemas.computeIfAbsent((path, fingerprint(spark, path)),
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 
-  /** Memoized inferred schemas, keyed by file path. Schema inference
-    * depends only on the file bytes and the parquet type-mapping confs
-    * pinned by [[GraftSession]] (nanosAsLong), not on session state,
-    * so the memo is safely JVM-global across sessions. */
+  /** Cheap content-version stamp for a fixture path: (name, length,
+    * mtime) of the file, or of each direct child for a directory-shaped
+    * parquet output. Any in-place rewrite bumps mtime (and usually
+    * length), so a changed fingerprint ⟹ possibly-changed bytes; the
+    * stale entry is left behind (bounded: one per regeneration) and a
+    * fresh inference happens under the new key. */
+  private def fingerprint(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(hp)
+    val parts =
+      if (st.isDirectory) fs.listStatus(hp).sortBy(_.getPath.getName)
+      else Array(st)
+    parts.iterator
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(";")
+  }
+
+  /** Memoized inferred schemas, keyed by (file path, status
+    * fingerprint). Schema inference depends only on the file bytes and
+    * the parquet type-mapping confs pinned by [[GraftSession]]
+    * (nanosAsLong), not on session state, so the memo is safely
+    * JVM-global across sessions. */
   private val schemas =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -134,15 +160,16 @@ object Tables {
       documents(s, d).select("source").distinct().collect()
         .map(_.getString(0)).toSeq.sorted)
 
-  /** Drops the memoized metadata for `d`. The memos above assume a
-    * fixture dir is immutable for the life of the JVM; anything that
-    * rewrites a directory in place (tests, fixture regeneration)
-    * must call this before re-reading through [[load]] (schema memo;
-    * only needed if the rewrite CHANGES the schema) / [[documentsCount]] /
-    * [[sourceNames]] or it will be served stale values. */
+  /** Drops the memoized metadata for `d`. The SCHEMA memo
+    * self-invalidates on file-status change (see [[load]]), so this is
+    * needed only for the DATA-level memos ([[documentsCount]] /
+    * [[sourceNames]]), which assume a fixture dir's contents are
+    * immutable for the life of the JVM: anything that rewrites the
+    * documents table in place must call this or be served stale
+    * values. */
   def invalidate(d: String): Unit = {
     docCounts.remove(d); srcNames.remove(d)
-    schemas.keySet.removeIf(_.startsWith(d + "/"))
+    schemas.keySet.removeIf(_._1.startsWith(d + "/"))
   }
 
   /** Clears every memoized entry — the coarse hammer for test suites

@@ -124,27 +124,27 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(toks > 0)
   }
 
-  test("load: the schema memo serves the inferred schema and invalidate() clears it") {
-    // Pins the Tables.load catalog contract: schema is inferred ONCE
-    // per path (the catalog-style memo that removed the ~70 ms/query
-    // footer-inference tax, BASELINE round 12 third session) and a
-    // same-path rewrite with a DIFFERENT schema is only visible after
-    // invalidate() — the documented immutable-dir-per-JVM contract,
-    // made a test failure instead of a surprise.
+  test("load: the schema memo self-invalidates on in-place regeneration") {
+    // Pins the Tables.load catalog contract: schema is inferred once
+    // per (path, file-status fingerprint) — the catalog-style memo that
+    // removed the ~70 ms/query footer-inference tax (BASELINE round 12
+    // third session) — and a same-path rewrite with a DIFFERENT schema
+    // is visible on the very next load with NO manual invalidate():
+    // the driver regenerated /root/testdata three times in round 12
+    // alone, and a stale served schema is the round-10 breakage class.
     val dir = Files.createTempDirectory("graft-schema-memo").toString
     val path = s"$dir/region.parquet"
     spark.range(3).selectExpr("id as r_regionkey").write.parquet(path)
     assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq
       == Seq("r_regionkey"))
-    // rewrite in place with an extra column; the memo still serves the
-    // original schema (same-schema rewrites are the supported case —
-    // listing is per-call, schema is not)
-    spark.range(3).selectExpr("id as r_regionkey", "'x' as r_name")
-      .write.mode("overwrite").parquet(path)
+    // memo hit: a second load of the unchanged dir serves the same schema
     assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq
       == Seq("r_regionkey"))
-    // invalidate() drops the memo; the new schema is re-inferred
-    Tables.invalidate(dir)
+    // rewrite in place with a changed schema; the fingerprint (part
+    // names/lengths/mtimes) changes, so the new schema is re-inferred
+    // immediately — no invalidate() call anywhere in this test
+    spark.range(3).selectExpr("id as r_regionkey", "'x' as r_name")
+      .write.mode("overwrite").parquet(path)
     assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq.sorted
       == Seq("r_name", "r_regionkey"))
   }
