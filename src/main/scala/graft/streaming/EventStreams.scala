@@ -316,4 +316,82 @@ object EventStreams {
       }
       .start()
   }
+
+  /** The production ingest shape: EXACT dedup then NEAR-dup, composed
+    * in one foreachBatch against ONE landing dir. Exact-equal reposts
+    * are the overwhelming bulk of real ingest duplicates and are
+    * eliminated first by the cheap path (in-batch text keeper, then
+    * bloom-pruned confirm against the landed text — the whole batch
+    * never reaches MinHash); only the exact-survivors are shingled,
+    * signed, bucket-min-kept, and probed against the landed `mh1..mh4`
+    * (column-pruned scan, text never re-tokenized). Survivors land
+    * WITH their signatures in one atomic-per-file append, so the
+    * landed corpus is simultaneously the exact-dedup state (text) and
+    * the near-dup state (signatures), and the crash-retry self-heal
+    * argument of both parents applies unchanged: a leftover task file
+    * carries text+sigs together, so a replayed batch collides with its
+    * own partial publish on BOTH stages.
+    *
+    * Near-dup would also drop exact duplicates (equal texts share all
+    * buckets), so correctness does not depend on stage order; the
+    * ordering is a cost statement — signature computation is the
+    * expensive stage, and it runs only on what exact dedup admits.
+    *
+    * Read-failure discipline matches the parents: only a genuinely-
+    * absent landing dir means "first batch"; any other failure fails
+    * the batch so the retry re-runs WITH dedup. */
+  def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
+                     textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.NearDupIncremental
+    val landed = landedCounts.computeIfAbsent(landingDir,
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // stage 1a: in-batch exact keeper (lowest id per text — q21)
+        val fields = col(idCol) +: batch.columns.filterNot(_ == idCol).map(col).toSeq
+        val firsts = batch
+          .groupBy(col(textCol))
+          .agg(min(struct(fields: _*)).as("r"))
+          .select(col("r.*"))
+        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(landingPath)) { // first batch: nothing landed yet
+            landed.compareAndSet(-1L, 0L)
+            // stage 2a only (nothing landed to probe): in-batch
+            // near-dup keeper over the exact-survivors
+            NearDupIncremental.keepBucketMins(
+              NearDupIncremental.withSigs(firsts, textCol), idCol)
+          } else {
+            val corpus = spark.read.parquet(landingDir)
+            if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+            // stage 1b: cross-batch exact confirm (bloom prune + join)
+            val exactNew = firsts.join(
+              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
+                  bits = graft.ops.IncrementalDedup.sizedBits(landed.get()))
+                .filter(col("is_new")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+            // stage 2: sign ONLY the exact-survivors, keep in-batch
+            // bucket minima, then probe the landed signature columns
+            val kept = NearDupIncremental.keepBucketMins(
+              NearDupIncremental.withSigs(exactNew, textCol), idCol)
+            val corpusSigs = corpus
+              .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+            kept.join(
+              NearDupIncremental.newDocs(corpusSigs, kept, idCol)
+                .filter(col("is_new")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+          }
+        val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
+        fresh.observe(obs, count(lit(1)).as("n"))
+          .write.options(graft.core.Committers.TaskCommitV2)
+          .mode("append").parquet(landingDir)
+        landed.addAndGet(obs.get("n").asInstanceOf[Long])
+        ()
+      }
+      .start()
+  }
 }

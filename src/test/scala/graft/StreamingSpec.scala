@@ -468,4 +468,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("ingestPipeline: exact + near-dup composed in one foreachBatch, one landing") {
+    // The production ingest shape (round-13 verdict item 8): both
+    // dedup stages against one growing landing dir, survivors landing
+    // WITH signatures so the corpus is simultaneously exact-dedup
+    // state (text) and near-dup state (mh1..mh4).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val landing = java.nio.file.Files.createTempDirectory("graft-pipe-landing").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pipe-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestPipeline(
+      input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      // batch 1: 2 is an in-batch EXACT dup of 1; 3 is an in-batch
+      // NEAR dup of 1 (tail edit); 4 is genuinely different
+      input.addData((1L, textA), (2L, textA),
+                    (3L, textA + " tiny tail edit"), (4L, textB))
+      q.processAllAvailable()
+      // batch 2: 5 is a cross-batch EXACT dup (stops at the cheap
+      // stage); 6 a cross-batch NEAR dup of 4; 7 is new
+      input.addData((5L, textA), (6L, "prefix tweak " + textB), (7L, textC))
+      q.processAllAvailable()
+      // batch 3: nothing genuinely new — appends nothing
+      input.addData((8L, textC + " postscript"), (9L, textB))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+               == Seq(1L, 4L, 7L))
+      // survivors land with their signature columns (near-dup state)
+      assert(Seq("mh1", "mh2", "mh3", "mh4").forall(landed.columns.contains))
+      // and the carried landed count tracked every append exactly
+      assert(EventStreams.landedCounts.get(landing).get() == 3L)
+    } finally q.stop()
+  }
 }
