@@ -311,18 +311,26 @@ object Similarity {
                 ksub: Int, nprobe: Int, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val cbRows = typed.filter(col(idCol) < math.max(coarseK, ksub)).orderBy(idCol).collect()
+    // ONE driver round-trip for all driver-resident rows (codebook +
+    // probe): the two separate collects this replaces were each a
+    // full scan job, and FloorDecompProbe put the pair at most of
+    // q75/q79's ~350 ms build phase — half of it pure job overhead.
+    val nCb = math.max(coarseK, ksub).toLong
+    val wanted = typed
+      .filter(col(idCol) < nCb || col(idCol) === probeId)
+      .orderBy(idCol).collect()
+    val cbRows = wanted.filter(_.getAs[Number](0).longValue() < nCb)
     val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
-    require(ids == (0L until math.max(coarseK, ksub).toLong),
-      s"ivfPqTopK: codebook rows must be the contiguous ids 0..${math.max(coarseK, ksub) - 1}; " +
+    require(ids == (0L until nCb),
+      s"ivfPqTopK: codebook rows must be the contiguous ids 0..${nCb - 1}; " +
         s"got ${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""} — a missing low id " +
         "would silently pair the wrong vector with the wrong codebook slot")
     val vecs: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
     val coarseIds = ids.take(coarseK)
     val coarse = vecs.take(coarseK)
     val pq = vecs.take(ksub)
-    val probe: Seq[Double] = typed.filter(col(idCol) === probeId)
-      .collect().headOption
+    val probe: Seq[Double] = wanted
+      .find(_.getAs[Number](0).longValue() == probeId)
       .map(_.getSeq[Double](1).toSeq)
       .getOrElse(throw new IllegalArgumentException(s"ivfPqTopK: no vector with $idCol=$probeId"))
     val dim = probe.length
@@ -393,18 +401,26 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(probeIds.nonEmpty, "ivfPqSearch: empty probe batch")
     val typed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val cbRows = typed.filter(col(idCol) < math.max(coarseK, ksub)).orderBy(idCol).collect()
+    // ONE driver round-trip for all driver-resident rows (codebook +
+    // probe batch — the incoming query set, driver-resident by
+    // definition): replaces two separate scan jobs, each ~half of the
+    // ~350 ms build phase FloorDecompProbe measured for q79.
+    val nCb = math.max(coarseK, ksub).toLong
+    val wanted = typed
+      .filter(col(idCol) < nCb || col(idCol).isin(probeIds: _*))
+      .orderBy(idCol).collect()
+    val cbRows = wanted.filter(_.getAs[Number](0).longValue() < nCb)
     val ids: Seq[Long] = cbRows.map(_.getAs[Number](0).longValue()).toSeq
-    require(ids == (0L until math.max(coarseK, ksub).toLong),
-      s"ivfPqSearch: codebook rows must be the contiguous ids 0..${math.max(coarseK, ksub) - 1}")
+    require(ids == (0L until nCb),
+      s"ivfPqSearch: codebook rows must be the contiguous ids 0..${nCb - 1}")
     val vecs: Seq[Seq[Double]] = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
     val coarseIds = ids.take(coarseK)
     val coarse = vecs.take(coarseK)
     val pq = vecs.take(ksub)
-    // the probe batch is driver-resident by definition (it is the
-    // incoming query set, not corpus data)
+    val probeIdSet = probeIds.toSet
     val probeRows: Map[Long, Seq[Double]] =
-      typed.filter(col(idCol).isin(probeIds: _*)).collect()
+      wanted.iterator
+        .filter(r => probeIdSet.contains(r.getAs[Number](0).longValue()))
         .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1).toSeq).toMap
     val missing = probeIds.filterNot(probeRows.contains)
     require(missing.isEmpty, s"ivfPqSearch: no vector for probe id(s) ${missing.mkString(",")}")
