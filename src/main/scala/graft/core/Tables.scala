@@ -37,9 +37,37 @@ object Tables {
     * with the same schema are always visible. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemas.computeIfAbsent((path, fingerprint(spark, path)),
+    val fp = fingerprint(spark, path)
+    val schema = schemas.computeIfAbsent((path, fp),
       _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    // Memoize the RESOLVED relation too (per session): building a
+    // fresh relation re-lists the path and re-runs datasource
+    // resolution on every call (~10–30 ms/load, 1–3 loads/query — the
+    // "pre-first-job prep" slice of the floor, FloorDecompProbe).
+    // Reusing the DataFrame object is safe: plans are immutable, and
+    // every query gets its own analysis over the shared relation. The
+    // fingerprint key gives the same auto-invalidation as the schema
+    // memo — ANY file add/remove/rewrite changes the stat fingerprint
+    // and builds a fresh relation, so the old "listing is per-call"
+    // visibility contract is preserved through the key itself.
+    relationsFor(spark).computeIfAbsent((path, fp),
+      _ => spark.read.schema(schema).parquet(path))
+  }
+
+  /** Per-session relation memos. Keyed WEAKLY by session so a retired
+    * session's relations (which pin the session via their plan) can be
+    * collected; the inner map is tiny (one entry per table × fixture
+    * generation). */
+  private val relations =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private def relationsFor(spark: SparkSession) = relations.synchronized {
+    var m = relations.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      relations.put(spark, m)
+    }
+    m
   }
 
   /** Cheap content-version stamp for a fixture path: (name, length,
@@ -170,9 +198,15 @@ object Tables {
   def invalidate(d: String): Unit = {
     docCounts.remove(d); srcNames.remove(d)
     schemas.keySet.removeIf(_._1.startsWith(d + "/"))
+    relations.synchronized {
+      relations.values.forEach(_.keySet.removeIf(_._1.startsWith(d + "/")))
+    }
   }
 
   /** Clears every memoized entry — the coarse hammer for test suites
     * that recycle many temp dirs. */
-  def invalidateAll(): Unit = { docCounts.clear(); srcNames.clear(); schemas.clear() }
+  def invalidateAll(): Unit = {
+    docCounts.clear(); srcNames.clear(); schemas.clear()
+    relations.synchronized { relations.values.forEach(_.clear()); relations.clear() }
+  }
 }
