@@ -148,4 +148,20 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(Tables.load(spark, dir, "region").schema.fieldNames.toSeq.sorted
       == Seq("r_name", "r_regionkey"))
   }
+
+  test("load: a same-schema file append is visible on the next load") {
+    // The relation memo caches the resolved FileIndex, so the OLD
+    // "listing is per-call" visibility contract now rides the
+    // fingerprint key instead: appending a part file changes the
+    // dir's stat fingerprint, which must rebuild the relation and
+    // surface the new rows — with no invalidate() call.
+    val dir = Files.createTempDirectory("graft-listing-memo").toString
+    val path = s"$dir/region.parquet"
+    spark.range(3).selectExpr("id as r_regionkey").write.parquet(path)
+    assert(Tables.load(spark, dir, "region").count() == 3)
+    spark.range(2).selectExpr("id + 100 as r_regionkey")
+      .write.mode("append").parquet(path)
+    assert(Tables.load(spark, dir, "region").count() == 5,
+      "appended part file not visible — relation memo failed to re-key on the new listing")
+  }
 }
