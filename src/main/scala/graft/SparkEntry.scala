@@ -1099,11 +1099,15 @@ object SparkEntry {
       // the tokenize+explode subtree keeps its ONE consumer; twin
       // subtrees re-execute, see q35).
       val wdf = Window.partitionBy("term")
-      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      // corpus size from the documentsCount metadata memo (the q49
+      // discipline: catalog-statistics class, one metadata job per
+      // session) instead of a second documents-scan subtree + a
+      // broadcast crossJoin of its 1-row result — the scan, the
+      // exchange, and the join all disappear from the plan.
+      val n = Tables.documentsCount(s, dir)
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
       tf.withColumn("df", count(lit(1)).over(wdf))
-        .crossJoin(broadcast(n))
-        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+        .withColumn("score", col("tf").cast("double") * lit(n) / col("df"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
