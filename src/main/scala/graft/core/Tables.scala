@@ -167,36 +167,42 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
-  /** Memoized row count of the documents table — for size GATES (e.g.
-    * q49's broadcast-vs-shuffle decision), not results. The fixture
-    * dirs are immutable for the life of a session, and the count is a
-    * parquet-metadata job that still costs ~0.2 s per call on a
-    * multi-file layout — a pure tax when repeated per execution. */
-  private val docCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Memoized row count of the documents table — the catalog-
+    * statistics class: a size GATE for q49's broadcast-vs-shuffle
+    * decision and the corpus `N` in q61's tf-idf score. The count is
+    * a parquet-metadata job that still costs ~0.2 s per call on a
+    * multi-file layout — a pure tax when repeated per execution.
+    * Keyed by (dir, documents fingerprint) like the schema/relation
+    * memos, so an in-place regeneration with a different row count is
+    * picked up on the next call — with `N` feeding RESULTS now, a
+    * stale count would be a silent correctness bug, not a perf bug. */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
   def documentsCount(s: SparkSession, d: String): Long =
-    docCounts.computeIfAbsent(d, _ => documents(s, d).count())
+    docCounts.computeIfAbsent((d, fingerprint(s, s"$d/documents.parquet")),
+      _ => documents(s, d).count())
 
   /** Memoized distinct `source` values of the documents table, sorted.
     * The source domain is bounded metadata (tens of values — the same
     * driver-resident class as codebooks/centroids), so queries that
     * need the domain itself (q66's pair table) read it once per
-    * session instead of re-scanning and re-distincting the corpus per
-    * execution. */
-  private val srcNames = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    * fixture generation instead of re-scanning and re-distincting the
+    * corpus per execution. Fingerprint-keyed like [[documentsCount]]. */
+  private val srcNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
   def sourceNames(s: SparkSession, d: String): Seq[String] =
-    srcNames.computeIfAbsent(d, _ =>
-      documents(s, d).select("source").distinct().collect()
+    srcNames.computeIfAbsent((d, fingerprint(s, s"$d/documents.parquet")),
+      _ => documents(s, d).select("source").distinct().collect()
         .map(_.getString(0)).toSeq.sorted)
 
-  /** Drops the memoized metadata for `d`. The SCHEMA memo
-    * self-invalidates on file-status change (see [[load]]), so this is
-    * needed only for the DATA-level memos ([[documentsCount]] /
-    * [[sourceNames]]), which assume a fixture dir's contents are
-    * immutable for the life of the JVM: anything that rewrites the
-    * documents table in place must call this or be served stale
-    * values. */
+  /** Drops every memo entry for `d`. All four memos now
+    * self-invalidate on file-status change (fingerprint keys), so this
+    * exists only as the explicit escape hatch for callers that mutate
+    * a dir in ways a stat cannot see (none known — a same-size
+    * same-mtime rewrite needs deliberate effort) and for test
+    * hygiene. */
   def invalidate(d: String): Unit = {
-    docCounts.remove(d); srcNames.remove(d)
+    docCounts.keySet.removeIf(_._1 == d); srcNames.keySet.removeIf(_._1 == d)
     schemas.keySet.removeIf(_._1.startsWith(d + "/"))
     relations.synchronized {
       relations.values.forEach(_.keySet.removeIf(_._1.startsWith(d + "/")))

@@ -164,4 +164,25 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(Tables.load(spark, dir, "region").count() == 5,
       "appended part file not visible — relation memo failed to re-key on the new listing")
   }
+
+  test("documentsCount/sourceNames self-invalidate on documents rewrite") {
+    // With q61 feeding documentsCount into RESULT values, a stale
+    // count after an in-place regeneration would be a silent
+    // correctness bug — so the data memos carry the same fingerprint
+    // key as the schema/relation memos.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-doccount-memo").toString
+    val path = s"$dir/documents.parquet"
+    Seq((1L, "a", "s1"), (2L, "b", "s2")).toDF("doc_id", "text", "source")
+      .write.parquet(path)
+    assert(Tables.documentsCount(spark, dir) == 2L)
+    assert(Tables.sourceNames(spark, dir) == Seq("s1", "s2"))
+    Seq((1L, "a", "s1"), (2L, "b", "s2"), (3L, "c", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(path)
+    assert(Tables.documentsCount(spark, dir) == 3L,
+      "stale documentsCount after in-place rewrite")
+    assert(Tables.sourceNames(spark, dir) == Seq("s1", "s2", "s3"),
+      "stale sourceNames after in-place rewrite")
+  }
 }
