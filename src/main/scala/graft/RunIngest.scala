@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+import graft.streaming.EventStreams
+
+/** CLI driving the composed streaming ingest
+  * ([[graft.streaming.EventStreams.ingestPipeline]]) — the streaming
+  * twin of [[RunCorpus]]: watch an arrivals directory of parquet
+  * document batches and keep a deduplicated corpus landing current.
+  *
+  *   graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
+  *                   [--mode exact|near|both]   (default both)
+  *                   [--once]                   (drain what exists, then exit)
+  *                   [--text-col NAME] [--id-col NAME]
+  *
+  * `--in` is a parquet directory new document files are dropped into
+  * (the `spark.readStream` file source — each discovered file becomes
+  * part of a micro-batch, tracked exactly-once via the checkpoint).
+  * `--corpus` is the landing dir: it IS the dedup state (text for the
+  * exact stage, `mh1..mh4` signature columns for the near stage), so
+  * restarts and batch retries self-heal — see the ingestPipeline
+  * scaladoc. `--once` drains everything present (processAllAvailable,
+  * then stop) and exits 0 — the cron-invocation shape, with the same
+  * exactly-once checkpointed file-source offsets a Trigger.AvailableNow
+  * run would use; without it the query runs until killed.
+  *
+  * The first batch defines the stream schema: `--in` must contain at
+  * least one parquet file at start (the file source requires a schema;
+  * inferring it from the seed files is the standard bootstrap).
+  *
+  * Exit codes: 0 ok, 1 stream failure, 2 usage. */
+object RunIngest {
+  private val usage =
+    """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
+      |  [--mode exact|near|both]      which dedup stages (default both)
+      |  [--once]                      Trigger.AvailableNow: drain and exit
+      |  [--text-col NAME]             default text
+      |  [--id-col NAME]               default doc_id""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-ingest")
+    val code = execute(spark, args)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** CLI minus session lifecycle and process exit — IngestCliSpec
+    * drives this in-JVM. */
+  private[graft] def execute(spark: SparkSession, args: Array[String]): Int = {
+    val opts =
+      try parse(args.toList, Map.empty)
+      catch {
+        case e: RuntimeException =>
+          System.err.println(s"[ingest] ${e.getMessage}\n$usage")
+          return 2
+      }
+    val required = Seq("in", "corpus", "checkpoint")
+    val missing = required.filterNot(opts.contains)
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"[ingest] missing ${missing.map("--" + _).mkString(", ")}\n$usage")
+      return 2
+    }
+    val mode = opts.getOrElse("mode", "both")
+    if (!Seq("exact", "near", "both").contains(mode)) {
+      System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
+      return 2
+    }
+    val textCol = opts.getOrElse("text-col", "text")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+
+    try {
+      // schema bootstrap: the file source needs a fixed schema, taken
+      // from whatever is already in --in (the seed batch)
+      val schema = spark.read.parquet(opts("in")).schema
+      require(schema.fieldNames.contains(textCol) && schema.fieldNames.contains(idCol),
+        s"input schema must contain '$textCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
+      val docs = spark.readStream.schema(schema).parquet(opts("in"))
+      val start = (df: org.apache.spark.sql.DataFrame) => mode match {
+        case "exact" => EventStreams.ingestDedup(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
+        case "near"  => EventStreams.ingestNearDup(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
+        case _       => EventStreams.ingestPipeline(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
+      }
+      val q = start(docs)
+      if (opts.contains("once")) {
+        // AvailableNow is a writeStream option; the ingest entry
+        // points own their writeStream, so "--once" drains by polling
+        // processAllAvailable then stopping — same exactly-once
+        // semantics (checkpointed file-source offsets), simpler than
+        // threading a Trigger through every entry point.
+        q.processAllAvailable()
+        q.stop()
+        val landed = spark.read.parquet(opts("corpus")).count()
+        println(s"[ingest] drained; corpus now $landed rows at ${opts("corpus")}")
+      } else {
+        println(s"[ingest] streaming from ${opts("in")} into ${opts("corpus")} (mode=$mode); ctrl-c to stop")
+        q.awaitTermination()
+      }
+      0
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+        1
+    }
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case "--once" :: rest => parse(rest, acc + ("once" -> "true"))
+      case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
+        parse(rest, acc + (flag.drop(2) -> value))
+      case flag :: rest if flag.startsWith("--") =>
+        throw new RuntimeException(s"flag $flag needs a value")
+      case other :: _ =>
+        throw new RuntimeException(s"unexpected argument '$other'")
+    }
+}

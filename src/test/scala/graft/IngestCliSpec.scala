@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives [[RunIngest.execute]] in-JVM: the cron-invocation shape —
+  * two `--once` runs over a growing arrivals dir, checkpoint carried
+  * between them, corpus landing as the dedup state throughout. */
+class IngestCliSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+  private val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+  private val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+
+  test("--once twice over a growing arrivals dir: exactly-once, both dedup stages") {
+    val arrivals = Files.createTempDirectory("graft-cli-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-ckpt").toString
+
+    // seed batch: one exact dup (2 of 1) and one near dup (3 of 1)
+    Seq((1L, textA), (2L, textA), (3L, textA + " tiny tail edit"), (4L, textB))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    val args1 = Array("--in", arrivals, "--corpus", corpus,
+      "--checkpoint", ckpt, "--once")
+    assert(RunIngest.execute(spark, args1) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+
+    // second arrival file lands; a new --once run must process ONLY
+    // it (checkpointed offsets) and dedup against the landed corpus
+    Seq((5L, textA), (6L, "prefix tweak " + textB), (7L, textC))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, args1) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 7L))
+    // signature columns landed with the rows (near-dup state)
+    assert(Seq("mh1", "mh2", "mh3", "mh4")
+      .forall(spark.read.parquet(corpus).columns.contains))
+  }
+
+  test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
+    assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
+    val d = Files.createTempDirectory("graft-cli-usage").toString
+    assert(RunIngest.execute(spark,
+      Array("--in", d, "--corpus", d, "--checkpoint", d, "--mode", "fuzzy")) == 2)
+    // structurally valid flags, but --in has no parquet to bootstrap
+    // the schema from → run failure, not a usage error
+    assert(RunIngest.execute(spark,
+      Array("--in", d + "/nope", "--corpus", d + "/c", "--checkpoint", d + "/k",
+        "--once")) == 1)
+  }
+}
