@@ -50,21 +50,32 @@ object Tables {
     // memo — ANY file add/remove/rewrite changes the stat fingerprint
     // and builds a fresh relation, so the old "listing is per-call"
     // visibility contract is preserved through the key itself.
-    relationsFor(spark).computeIfAbsent((path, fp),
-      _ => spark.read.schema(schema).parquet(path))
+    val memo = relationsFor(spark)
+    val key = (path, fp)
+    val cached = Option(memo.get(key)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val df = spark.read.schema(schema).parquet(path)
+      memo.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
-  /** Per-session relation memos. Keyed WEAKLY by session so a retired
-    * session's relations (which pin the session via their plan) can be
-    * collected; the inner map is tiny (one entry per table × fixture
-    * generation). */
+  /** Per-session relation memos. The session key is weak and the
+    * DataFrame values are SOFT references: a plain strong value would
+    * reference its own key through `df.sparkSession` — the documented
+    * WeakHashMap self-reference trap that pins the entry forever. With
+    * soft values the chain map→df→session unwinds under memory
+    * pressure, so a retired session's relations are reclaimable while
+    * a live session keeps its memo (soft refs are only cleared ahead
+    * of an OOM); a cleared entry just rebuilds on the next load. The
+    * inner map is tiny (one entry per table × fixture generation). */
   private val relations =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.ref.SoftReference[DataFrame]]]()
   private def relationsFor(spark: SparkSession) = relations.synchronized {
     var m = relations.get(spark)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.ref.SoftReference[DataFrame]]()
       relations.put(spark, m)
     }
     m
