@@ -106,15 +106,26 @@ object RunIngest {
     }
   }
 
+  /** Flags taking a value. A misspelled flag must be a usage error,
+    * not a silently-ignored entry that lets the run proceed with
+    * defaults (e.g. `--textcol body` deduplicating the wrong column
+    * and exiting 0). */
+  private val valueFlags = Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col")
+
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
       case "--once" :: rest => parse(rest, acc + ("once" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
-        parse(rest, acc + (flag.drop(2) -> value))
+        val name = flag.drop(2)
+        if (!valueFlags.contains(name))
+          throw new RuntimeException(s"unknown flag $flag")
+        parse(rest, acc + (name -> value))
       case flag :: rest if flag.startsWith("--") =>
-        throw new RuntimeException(s"flag $flag needs a value")
+        throw new RuntimeException(
+          if (valueFlags.contains(flag.drop(2))) s"flag $flag needs a value"
+          else s"unknown flag $flag")
       case other :: _ =>
         throw new RuntimeException(s"unexpected argument '$other'")
     }

@@ -30,11 +30,12 @@ object Tables {
     * fingerprint and re-infers automatically, with no manual
     * [[invalidate]] required (serving a stale schema after an
     * in-place regeneration is the round-10 breakage class). The
-    * fingerprint is a file-status stat (name/length/mtime per part),
-    * ~0.1 ms on a local FS vs ~80 ms footer inference, so the memo's
-    * floor win is preserved (A/B'd via FloorDecompProbe; BASELINE.md).
-    * File LISTING for the scan itself stays per-call, so new files
-    * with the same schema are always visible. */
+    * fingerprint is a recursive file-status walk (path/length/mtime
+    * per file — the same file set the scan's own listing sees),
+    * ~0.1 ms on a local flat layout vs ~80 ms footer inference, so
+    * the memo's floor win is preserved (A/B'd via FloorDecompProbe;
+    * BASELINE.md) and any file add/remove/rewrite at ANY depth is
+    * visible on the next load. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val fp = fingerprint(spark, path)
@@ -81,22 +82,36 @@ object Tables {
     m
   }
 
-  /** Cheap content-version stamp for a fixture path: (name, length,
-    * mtime) of the file, or of each direct child for a directory-shaped
-    * parquet output. Any in-place rewrite bumps mtime (and usually
-    * length), so a changed fingerprint ⟹ possibly-changed bytes; the
-    * stale entry is left behind (bounded: one per regeneration) and a
-    * fresh inference happens under the new key. */
+  /** Cheap content-version stamp for a fixture path: (path, length,
+    * mtime) of every FILE under it, recursively. Recursion matters:
+    * a direct-children stat would miss a part file landing two levels
+    * down a partitioned layout (dir/year=…/month=…/part-*) — the
+    * parent dir's mtime doesn't ripple up — and object stores report
+    * synthetic mtimes for directories at all. File-level recursion is
+    * exactly what the scan's own listing walks, so a changed listing
+    * ⟹ changed fingerprint ⟹ fresh relation: the memos can never be
+    * STALER than the per-call listing they replaced, just cheaper
+    * (no datasource resolution, no footer reads). Stale entries are
+    * left behind (bounded: one per regeneration).
+    *
+    * Uses the SparkContext's shared Hadoop configuration read-only —
+    * `sessionState.newHadoopConf()` clones the full conf + every SQL
+    * entry per call, a tax this hot path (1–3 loads/query) must not
+    * pay. */
   private def fingerprint(spark: SparkSession, path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(hp)
-    val parts =
-      if (st.isDirectory) fs.listStatus(hp).sortBy(_.getPath.getName)
-      else Array(st)
-    parts.iterator
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .mkString(";")
+    if (!st.isDirectory) s"${st.getLen}:${st.getModificationTime}"
+    else {
+      val it = fs.listFiles(hp, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        parts += s"${s.getPath.toUri.getPath}:${s.getLen}:${s.getModificationTime}"
+      }
+      parts.sorted.mkString(";")
+    }
   }
 
   /** Memoized inferred schemas, keyed by (file path, status

@@ -204,6 +204,38 @@ object EventStreams {
   private[graft] val landedCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** In-batch exact keeper: lowest id per text (the q21 discipline);
+    * the id leads the struct so min() orders by it. Shared by
+    * [[ingestDedup]] and [[ingestPipeline]] — one copy of the keeper
+    * rule. */
+  private def exactFirsts(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fields = col(idCol) +: batch.columns.filterNot(_ == idCol).map(col).toSeq
+    batch.groupBy(col(textCol))
+      .agg(min(struct(fields: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Cross-batch exact confirm: bloom-pruned NOT-IN against the landed
+    * corpus, sized by the carried `landedCount`. */
+  private def exactConfirm(corpus: DataFrame, firsts: DataFrame, landedCount: Long,
+                           textCol: String, idCol: String): DataFrame =
+    firsts.join(
+      graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
+          bits = graft.ops.IncrementalDedup.sizedBits(landedCount))
+        .filter(col("is_new")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Cross-batch near-dup confirm: probe the landed `mh1..mh4`
+    * signature columns (column-pruned scan, text never re-read). */
+  private def nearConfirm(corpus: DataFrame, kept: DataFrame, idCol: String): DataFrame = {
+    val corpusSigs = corpus
+      .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+    kept.join(
+      graft.ops.NearDupIncremental.newDocs(corpusSigs, kept, idCol)
+        .filter(col("is_new")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -220,13 +252,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // in-batch keeper: lowest id per text (the q21 discipline);
-        // the id leads the struct so min() orders by it
-        val fields = col(idCol) +: batch.columns.filterNot(_ == idCol).map(col).toSeq
-        val firsts = batch
-          .groupBy(col(textCol))
-          .agg(min(struct(fields: _*)).as("r"))
-          .select(col("r.*"))
+        val firsts = exactFirsts(batch, textCol, idCol)
         // Only a genuinely-absent landing dir means "first batch".
         // Any other read failure (transient IO, corrupt footer,
         // permissions) must fail the batch so the retry re-runs WITH
@@ -235,17 +261,18 @@ object EventStreams {
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (!fs.exists(landingPath)) { // first batch: nothing landed yet
-            landed.compareAndSet(-1L, 0L)
+          if (!fs.exists(landingPath)) {
+            // first batch: nothing landed yet. Unconditional set, not
+            // compareAndSet(-1,0): a stale carried counter from a
+            // DELETED-and-recreated landing dir (same JVM, new stream)
+            // must reset with the dir, or sizedBits sizes off a ghost
+            // corpus forever.
+            landed.set(0L)
             firsts
           } else {
             val corpus = spark.read.parquet(landingDir)
             if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-            firsts.join(
-              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
-                  bits = graft.ops.IncrementalDedup.sizedBits(landed.get()))
-                .filter(col("is_new")).select(col(idCol)),
-              Seq(idCol), "left_semi")
+            exactConfirm(corpus, firsts, landed.get(), textCol, idCol)
           }
         // observe the append size inside the write action (no second
         // computation of `fresh`) and advance the carried count
@@ -300,14 +327,7 @@ object EventStreams {
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
           if (!fs.exists(landingPath)) kept // first batch: nothing landed yet
-          else {
-            val corpusSigs = spark.read.parquet(landingDir)
-              .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
-            kept.join(
-              NearDupIncremental.newDocs(corpusSigs, kept, idCol)
-                .filter(col("is_new")).select(col(idCol)),
-              Seq(idCol), "left_semi")
-          }
+          else nearConfirm(spark.read.parquet(landingDir), kept, idCol)
         // v2 task commit: see ingestDedup's append — partial publishes
         // are absorbed because signatures land with their rows
         fresh.write.options(graft.core.Committers.TaskCommitV2)
@@ -350,17 +370,13 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // stage 1a: in-batch exact keeper (lowest id per text — q21)
-        val fields = col(idCol) +: batch.columns.filterNot(_ == idCol).map(col).toSeq
-        val firsts = batch
-          .groupBy(col(textCol))
-          .agg(min(struct(fields: _*)).as("r"))
-          .select(col("r.*"))
+        // stage 1a: in-batch exact keeper (shared with ingestDedup)
+        val firsts = exactFirsts(batch, textCol, idCol)
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
           if (!fs.exists(landingPath)) { // first batch: nothing landed yet
-            landed.compareAndSet(-1L, 0L)
+            landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
             // stage 2a only (nothing landed to probe): in-batch
             // near-dup keeper over the exact-survivors
             NearDupIncremental.keepBucketMins(
@@ -369,21 +385,12 @@ object EventStreams {
             val corpus = spark.read.parquet(landingDir)
             if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
             // stage 1b: cross-batch exact confirm (bloom prune + join)
-            val exactNew = firsts.join(
-              graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
-                  bits = graft.ops.IncrementalDedup.sizedBits(landed.get()))
-                .filter(col("is_new")).select(col(idCol)),
-              Seq(idCol), "left_semi")
+            val exactNew = exactConfirm(corpus, firsts, landed.get(), textCol, idCol)
             // stage 2: sign ONLY the exact-survivors, keep in-batch
             // bucket minima, then probe the landed signature columns
             val kept = NearDupIncremental.keepBucketMins(
               NearDupIncremental.withSigs(exactNew, textCol), idCol)
-            val corpusSigs = corpus
-              .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
-            kept.join(
-              NearDupIncremental.newDocs(corpusSigs, kept, idCol)
-                .filter(col("is_new")).select(col(idCol)),
-              Seq(idCol), "left_semi")
+            nearConfirm(corpus, kept, idCol)
           }
         val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
         fresh.observe(obs, count(lit(1)).as("n"))
