@@ -101,7 +101,15 @@ object Tables {
   private def fingerprint(spark: SparkSession, path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(hp)
+    val st =
+      try fs.getFileStatus(hp)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // surface the same class of error a direct read would have
+          // raised, with the path named — not a bare Hadoop stat trace
+          throw new IllegalArgumentException(
+            s"Tables.load: path does not exist: $path")
+      }
     if (!st.isDirectory) s"${st.getLen}:${st.getModificationTime}"
     else {
       val it = fs.listFiles(hp, true)
