@@ -1602,6 +1602,40 @@ object SparkEntry {
           corpusSigs = sigs.filter(col("doc_id") % 20 === 0),
           batchSigs = sigs.filter(col("doc_id") % 20 =!= 0))
         .orderBy("doc_id")
+    }),
+
+    // ---- composed ingest: exact + near-dup confirm, one pass ----
+    // Batch twin of EventStreams.ingestPipeline's cross-batch stages
+    // (the streaming in-batch keepers have their own specs): corpus =
+    // every 20th doc, landed; batch = the rest with deterministic
+    // overlap constructed identically in both engines — doc_id%7==1
+    // docs carry an EXACT copy of their base corpus doc (base =
+    // doc_id − doc_id%20), %7==2 docs a suffix-edited NEAR copy. A
+    // batch doc is new iff it survives BOTH confirms: q74's
+    // bloom-pruned exact NOT-IN and q82's landed-bucket collision.
+    // The flags are computed independently and ANDed, which equals
+    // the pipeline's run-near-only-on-exact-survivors because each
+    // flag depends only on the doc itself and the landed corpus.
+    "q83_ingest_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id").as("base_id"), col("text").as("base_text"))
+      val corpus = d.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") % 20 =!= 0)
+        .join(base, col("base_id") === col("doc_id") - (col("doc_id") % 20))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, col("base_text"))
+            .when(col("doc_id") % 7 === 2,
+              concat(col("base_text"), lit(" ingest edit marker")))
+            .otherwise(col("text")).as("text"))
+      val exactFlag = ops.IncrementalDedup.newDocs(corpus, batch)
+        .select(col("doc_id"), col("is_new").as("exact_new"))
+      val nearFlag = ops.NearDupIncremental.newDocs(
+          ops.NearDupIncremental.withSigs(corpus),
+          ops.NearDupIncremental.withSigs(batch))
+        .select(col("doc_id"), col("is_new").as("near_new"))
+      exactFlag.join(nearFlag, Seq("doc_id"))
+        .select(col("doc_id"), (col("exact_new") && col("near_new")).as("is_new"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3090,7 +3124,55 @@ object SparkEntry {
         |SELECT d.doc_id, (dup.doc_id IS NULL) AS is_new
         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
         |WHERE d.doc_id % 20 <> 0
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Composed ingest: q74's exact NOT-IN AND q82's landed-bucket
+    // collision, over the same constructed batch texts as the Spark
+    // side (exact copy at %7==1, suffix edit at %7==2). The minhash
+    // CTE chain is re-derived over corpus ∪ modified-batch instead of
+    // the raw documents table, constants identical to
+    // SqlMinhashPairCtes (kept in lockstep with the native
+    // minhash_sigs expression).
+    "q83_ingest_pipeline" ->
+      """WITH b AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 1 THEN o.text
+        |         WHEN d.doc_id % 7 = 2 THEN o.text || ' ingest edit marker'
+        |         ELSE d.text END AS text
+        |  FROM documents d JOIN documents o
+        |    ON o.doc_id = d.doc_id - (d.doc_id % 20)
+        |  WHERE d.doc_id % 20 <> 0),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM b),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM all_docs),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS band, mh3 AS x, mh4 AS y FROM sigs),
+        |landed AS (
+        |  SELECT DISTINCT band, x, y FROM bands WHERE doc_id % 20 = 0),
+        |neardup AS (
+        |  SELECT DISTINCT bd.doc_id
+        |  FROM bands bd JOIN landed USING (band, x, y)
+        |  WHERE bd.doc_id % 20 <> 0)
+        |SELECT b.doc_id,
+        |  (b.text NOT IN (SELECT text FROM documents WHERE doc_id % 20 = 0)
+        |   AND neardup.doc_id IS NULL) AS is_new
+        |FROM b LEFT JOIN neardup ON neardup.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
