@@ -1620,6 +1620,9 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val base = d.select(col("doc_id").as("base_id"), col("text").as("base_text"))
       val corpus = d.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      // localCheckpoint: the constructed batch (self-join + text
+      // rewrite) has TWO consumers below (exact confirm, near sigs) —
+      // the q35 twin-subtree discipline; materialize once.
       val batch = d.filter(col("doc_id") % 20 =!= 0)
         .join(base, col("base_id") === col("doc_id") - (col("doc_id") % 20))
         .select(col("doc_id"),
@@ -1627,6 +1630,7 @@ object SparkEntry {
             .when(col("doc_id") % 7 === 2,
               concat(col("base_text"), lit(" ingest edit marker")))
             .otherwise(col("text")).as("text"))
+        .localCheckpoint()
       val exactFlag = ops.IncrementalDedup.newDocs(corpus, batch)
         .select(col("doc_id"), col("is_new").as("exact_new"))
       val nearFlag = ops.NearDupIncremental.newDocs(
