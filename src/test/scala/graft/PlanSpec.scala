@@ -279,6 +279,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 1, s"ADC scan should not shuffle, got $exchanges:\n$p")
   }
 
+  test("q61: tf-idf reads documents ONCE — corpus N is a memoized statistic, not a subtree") {
+    // Round 13 removed the second documents scan (the corpus-count
+    // aggregate + broadcast crossJoin): N now comes from the
+    // Tables.documentsCount catalog-statistics memo as a literal.
+    val p = plan("q61_tfidf_terms")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected exactly 1 documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the tf-idf plan:\n$p")
+  }
+
   test("q79: batch IVF-PQ search scans the corpus ONCE for all probes") {
     val p = plan("q79_ivfpq_batch")
     // one FileScan in the lazy plan — per-probe work rides the
