@@ -165,6 +165,22 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       "appended part file not visible — relation memo failed to re-key on the new listing")
   }
 
+  test("load: relation memo is per-session — a second session gets its own relation") {
+    // The memo is keyed weakly by session: a DataFrame built in one
+    // session must never be served to another (plans carry their
+    // session), and both sessions must read the same data correctly.
+    val dir = Files.createTempDirectory("graft-two-sessions").toString
+    spark.range(4).selectExpr("id as r_regionkey").write.parquet(s"$dir/region.parquet")
+    val df1 = Tables.load(spark, dir, "region")
+    val other = spark.newSession()
+    val df2 = Tables.load(other, dir, "region")
+    assert(df1.sparkSession eq spark)
+    assert(df2.sparkSession eq other)
+    assert(df1.count() == 4 && df2.count() == 4)
+    // same session + unchanged dir -> the SAME memoized frame
+    assert(Tables.load(spark, dir, "region") eq df1)
+  }
+
   test("documentsCount/sourceNames self-invalidate on documents rewrite") {
     // With q61 feeding documentsCount into RESULT values, a stale
     // count after an in-place regeneration would be a silent
