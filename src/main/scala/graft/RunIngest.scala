@@ -30,6 +30,14 @@ import graft.streaming.EventStreams
   * least one parquet file at start (the file source requires a schema;
   * inferring it from the seed files is the standard bootstrap).
   *
+  * `--mode` is per-CORPUS, not per-run: `near`/`both` land signature
+  * columns and expect them back on the next batch, `exact` lands
+  * none — so pointing a `near`/`both` run at a corpus landed by
+  * `exact` fails loudly on the missing `mh1..mh4` (the right outcome:
+  * silently re-signing landed text would hide that earlier batches
+  * were never near-dup-checked). Pick the mode when the corpus is
+  * created and keep it.
+  *
   * Exit codes: 0 ok, 1 stream failure, 2 usage. */
 object RunIngest {
   private val usage =
