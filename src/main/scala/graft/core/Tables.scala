@@ -51,8 +51,18 @@ object Tables {
     // memo — ANY file add/remove/rewrite changes the stat fingerprint
     // and builds a fresh relation, so the old "listing is per-call"
     // visibility contract is preserved through the key itself.
+    memoizedRelation(spark, path, fp, schema)
+  }
+
+  /** Serve (or build-and-memoize) the resolved relation for `path`
+    * read with `schema`. The schema participates in the key so a
+    * schema-OVERRIDDEN read of the same file (the [[events]] NTZ
+    * re-declaration) memoizes separately from the inferred-schema
+    * read. */
+  private def memoizedRelation(spark: SparkSession, path: String, fp: String,
+                               schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val memo = relationsFor(spark)
-    val key = (path, fp)
+    val key = (s"$path@${schema.hashCode}", fp)
     val cached = Option(memo.get(key)).flatMap(r => Option(r.get))
     cached.getOrElse {
       val df = spark.read.schema(schema).parquet(path)
@@ -182,7 +192,11 @@ object Tables {
           s"(got '$zone'); build the session via GraftSession.build")
         val tsAsSessionTz = StructType(df.schema.fields.map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
-        s.read.schema(tsAsSessionTz).parquet(s"$d/events.parquet")
+        // through the relation memo (schema participates in the key),
+        // so the re-declared read stops re-listing/re-resolving on
+        // every event-query load — same fingerprint invalidation
+        val path = s"$d/events.parquet"
+        memoizedRelation(s, path, fingerprint(s, path), tsAsSessionTz)
       case _                => df
     }
   }
