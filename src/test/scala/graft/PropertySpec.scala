@@ -296,6 +296,13 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
         assert(got(id) == ((chunks.size.toLong, kept.size.toLong, kept.mkString(" "))),
                s"w=$w id=$id text='$text': got ${got(id)}")
       }
+      // fingerprint-prefixed window key (measured knob, round 13):
+      // grouping by (xxhash64(chunk), chunk) IS grouping by chunk, so
+      // the variant must agree row-for-row on the same random corpus
+      val fp = ChunkDedup.dedup(docs.toDF("doc_id", "text"), "text", "doc_id", w,
+          fingerprintKey = true)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(fp == got, s"w=$w: fingerprintKey variant diverged")
     }
   }
 
