@@ -43,7 +43,7 @@ object RunIngest {
   private val usage =
     """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
       |  [--mode exact|near|both]      which dedup stages (default both)
-      |  [--once]                      Trigger.AvailableNow: drain and exit
+      |  [--once]                      drain everything present, then exit
       |  [--text-col NAME]             default text
       |  [--id-col NAME]               default doc_id""".stripMargin
 
@@ -86,12 +86,11 @@ object RunIngest {
       require(schema.fieldNames.contains(textCol) && schema.fieldNames.contains(idCol),
         s"input schema must contain '$textCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
       val docs = spark.readStream.schema(schema).parquet(opts("in"))
-      val start = (df: org.apache.spark.sql.DataFrame) => mode match {
-        case "exact" => EventStreams.ingestDedup(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
-        case "near"  => EventStreams.ingestNearDup(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
-        case _       => EventStreams.ingestPipeline(df, opts("corpus"), opts("checkpoint"), textCol, idCol)
+      val q = mode match {
+        case "exact" => EventStreams.ingestDedup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
+        case "near"  => EventStreams.ingestNearDup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
+        case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
       }
-      val q = start(docs)
       if (opts.contains("once")) {
         // AvailableNow is a writeStream option; the ingest entry
         // points own their writeStream, so "--once" drains by polling

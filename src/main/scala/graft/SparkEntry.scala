@@ -1618,7 +1618,10 @@ object SparkEntry {
     // flag depends only on the doc itself and the landed corpus.
     "q83_ingest_pipeline" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val base = d.select(col("doc_id").as("base_id"), col("text").as("base_text"))
+      // only multiples of 20 can be bases (base_id = doc_id − doc_id%20),
+      // so the broadcast side is 1/20th of the corpus, not all of it
+      val base = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("base_id"), col("text").as("base_text"))
       val corpus = d.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
       // localCheckpoint: the constructed batch (self-join + text
       // rewrite) has TWO consumers below (exact confirm, near sigs) —

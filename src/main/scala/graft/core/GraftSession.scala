@@ -24,6 +24,7 @@ object GraftSession {
   val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String, cpus: String = DefaultCpus): SparkSession = {
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .appName(appName)
       // Engine-native functions (custom Catalyst expressions) are
@@ -74,10 +75,8 @@ object GraftSession {
       // stays on: AQE's runtime coalescing/skew handling is what lets
       // one config serve both the 10 MB bench and the 100 TB design
       // point (the q35 heap ceiling above is managed by AQE).
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       // The INITIAL shuffle partition count is the ceiling AQE can
       // coalesce DOWN from — with it equal to shuffle.partitions(32),
       // 32 was both floor and ceiling, so a fat-row exchange at 10×
