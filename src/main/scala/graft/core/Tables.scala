@@ -108,7 +108,7 @@ object Tables {
     * `sessionState.newHadoopConf()` clones the full conf + every SQL
     * entry per call, a tax this hot path (1–3 loads/query) must not
     * pay. */
-  private def fingerprint(spark: SparkSession, path: String): String = {
+  private[graft] def fingerprint(spark: SparkSession, path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st =

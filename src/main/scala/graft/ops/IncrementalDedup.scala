@@ -49,10 +49,40 @@ object IncrementalDedup {
               textCol: String = "text", idCol: String = "doc_id",
               bits: Int = 0, hashes: Int = 3): DataFrame = {
     val nbits = if (bits > 0) bits else sizedBits(corpus.count())
-    val blob = corpus
+    newDocsWithBloom(corpus, batch, buildBloom(corpus, textCol, nbits, hashes),
+      textCol, idCol)
+  }
+
+  /** Aggregate the corpus texts into a bloom blob — ONE corpus scan.
+    * Exposed so a streaming caller can build it once and CARRY it
+    * across micro-batches ([[graft.streaming.EventStreams]]) instead
+    * of paying this scan per batch. */
+  def buildBloom(corpus: DataFrame, textCol: String, bits: Int, hashes: Int): Array[Byte] =
+    corpus
       .agg(call_function("bloom_agg",
-        xxhash64(col(textCol)), lit(nbits), lit(hashes)).as("bf"))
+        xxhash64(col(textCol)), lit(bits), lit(hashes)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
+
+  /** Bitwise union of two same-shape blooms: the union of the sets
+    * they represent (identical bits/hash-count is the caller's
+    * contract — blob lengths must match). */
+  def unionBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"unionBloom: blob shapes differ (${a.length} vs ${b.length} bytes)")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
+  /** [[newDocs]] with a caller-supplied prefilter blob. The bloom is
+    * ONLY an optimization: a false positive is removed by the exact
+    * confirm join; a blob that is missing corpus texts, however, WOULD
+    * admit duplicates — carrying one across batches therefore requires
+    * a consistency check on the corpus (see the EventStreams carried-
+    * bloom fingerprint discipline). */
+  def newDocsWithBloom(corpus: DataFrame, batch: DataFrame, blob: Array[Byte],
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val probed = batch.withColumn("maybe_dup",
       call_function("bloom_might_contain", lit(blob), xxhash64(col(textCol))))
     // exact confirmation for the bloom-positive minority only. The

@@ -215,15 +215,99 @@ object EventStreams {
       .select(col("r.*"))
   }
 
+  /** Exact-stage bloom carried across micro-batches, keyed by landing
+    * dir. Rebuilding the bloom per batch is a FULL corpus scan per
+    * micro-batch — O(corpus), the clearest scale-killer in a
+    * long-running ingest over a large landing. The carried blob makes
+    * steady state O(batch): probe with the carried blob, and after
+    * each append OR-in a bloom of just the appended rows.
+    *
+    * Exactness discipline — a bloom MISSING landed texts would admit
+    * duplicates (the false-NEGATIVE direction the confirm join cannot
+    * repair), so the carry is only trusted when `landingFp`, a
+    * file-status fingerprint of the landing dir recorded immediately
+    * after our own append, still matches: ANY out-of-band change —
+    * leftover task files from a crashed batch attempt (the
+    * StreamingSpec crash-retry case), another writer, a manual edit —
+    * changes the fingerprint and forces a reseed scan, restoring the
+    * per-batch-rebuild self-heal exactly when it is needed and only
+    * then. Capacity: the blob is sized for 4× the seed-time corpus
+    * (~16 bits/row keeps confirm traffic ~0.5%); growing past that
+    * drops the carry so the next batch reseeds at the new size —
+    * amortized one corpus scan per 4× growth. */
+  private[graft] final case class CarriedBloom(
+    blob: Array[Byte], bits: Int, hashes: Int, capacity: Long, landingFp: String)
+  private[graft] val carriedBlooms =
+    new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
+
+  private def landingFp(spark: SparkSession, landingDir: String): String =
+    graft.core.Tables.fingerprint(spark, landingDir)
+
   /** Cross-batch exact confirm: bloom-pruned NOT-IN against the landed
-    * corpus, sized by the carried `landedCount`. */
-  private def exactConfirm(corpus: DataFrame, firsts: DataFrame, landedCount: Long,
-                           textCol: String, idCol: String): DataFrame =
+    * corpus. Uses (and maintains) the carried bloom for `landingDir`;
+    * seeds it with one corpus scan when absent, stale, or outgrown. */
+  private def exactConfirm(spark: SparkSession, landingDir: String,
+                           corpus: DataFrame, firsts: DataFrame, landedCount: Long,
+                           textCol: String, idCol: String): DataFrame = {
+    val fp = landingFp(spark, landingDir)
+    val cached = carriedBlooms.get(landingDir)
+    val carried =
+      if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
+      else {
+        val cap = math.max(landedCount, 1L) * 4
+        val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+        val c = CarriedBloom(
+          graft.ops.IncrementalDedup.buildBloom(corpus, textCol, bits, 3),
+          bits, 3, cap, fp)
+        carriedBlooms.put(landingDir, c)
+        c
+      }
     firsts.join(
-      graft.ops.IncrementalDedup.newDocs(corpus, firsts, textCol, idCol,
-          bits = graft.ops.IncrementalDedup.sizedBits(landedCount))
+      graft.ops.IncrementalDedup.newDocsWithBloom(corpus, firsts, carried.blob,
+          textCol, idCol)
         .filter(col("is_new")).select(col(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** The bloom metric to ride the append's Observation when a carry
+    * exists: the appended rows' bloom is then computed DURING the
+    * write itself — no extra action, and crucially no re-execution of
+    * `fresh`'s plan, whose confirm subtree reads the landing (the
+    * steady-state batch must never rescan the landing; pinned by
+    * StreamingSpec's listener test). None when no carry exists yet —
+    * the first batch seeds via [[seedCarryFromAppend]] instead. */
+  private def bloomMetricFor(landingDir: String, textCol: String): Option[org.apache.spark.sql.Column] =
+    Option(carriedBlooms.get(landingDir)).map(c =>
+      call_function("bloom_agg", xxhash64(col(textCol)), lit(c.bits), lit(c.hashes)).as("bf"))
+
+  /** After a successful append: fold the observed append-bloom into
+    * the carry and re-stamp the landing fingerprint; drop the carry
+    * when the landed count outgrew the blob (next batch reseeds at the
+    * larger size). */
+  private def foldObservedBloom(spark: SparkSession, landingDir: String,
+                                observed: Option[Array[Byte]], landedCount: Long): Unit = {
+    val cached = carriedBlooms.get(landingDir)
+    if (cached == null || observed.isEmpty) return
+    if (landedCount > cached.capacity) { carriedBlooms.remove(landingDir); return }
+    carriedBlooms.put(landingDir, cached.copy(
+      blob = graft.ops.IncrementalDedup.unionBloom(cached.blob, observed.get),
+      landingFp = landingFp(spark, landingDir)))
+  }
+
+  /** First batch only (no carry yet): seed the carry from the append
+    * itself — no corpus existed before it, so the append IS the
+    * corpus, and `fresh`'s first-batch plan reads no landing (the dir
+    * was absent), so re-running it here is landing-free batch-scale
+    * work. */
+  private def seedCarryFromAppend(spark: SparkSession, landingDir: String,
+                                  fresh: DataFrame, landedCount: Long,
+                                  textCol: String): Unit = {
+    val cap = math.max(landedCount, 1L) * 4
+    val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+    carriedBlooms.put(landingDir, CarriedBloom(
+      graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
+      bits, 3, cap, landingFp(spark, landingDir)))
+  }
 
   /** Cross-batch near-dup confirm: probe the landed `mh1..mh4`
     * signature columns (column-pruned scan, text never re-read). */
@@ -260,32 +344,43 @@ object EventStreams {
         // and break the exactly-once-corpus convergence contract.
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val firstBatch = !fs.exists(landingPath)
         val fresh =
-          if (!fs.exists(landingPath)) {
+          if (firstBatch) {
             // first batch: nothing landed yet. Unconditional set, not
             // compareAndSet(-1,0): a stale carried counter from a
             // DELETED-and-recreated landing dir (same JVM, new stream)
             // must reset with the dir, or sizedBits sizes off a ghost
-            // corpus forever.
+            // corpus forever. Same for a stale carried bloom.
             landed.set(0L)
+            carriedBlooms.remove(landingDir)
             firsts
           } else {
             val corpus = spark.read.parquet(landingDir)
             if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-            exactConfirm(corpus, firsts, landed.get(), textCol, idCol)
+            exactConfirm(spark, landingDir, corpus, firsts, landed.get(), textCol, idCol)
           }
-        // observe the append size inside the write action (no second
-        // computation of `fresh`) and advance the carried count
+        // observe the append size — and, when a carry exists, the
+        // appended rows' bloom — inside the write action (no second
+        // computation of `fresh`, no landing rescan) and advance the
+        // carried count + blob
+        val bloomMetric = bloomMetricFor(landingDir, textCol)
         val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
-        fresh.observe(obs, count(lit(1)).as("n"))
+        fresh.observe(obs, count(lit(1)).as("n"), bloomMetric.toSeq: _*)
           // task-side commit (v2): a failed batch may leave SOME task
-          // files behind, but the dedup confirm above re-reads the
-          // landing on retry and treats them as corpus — the retried
-          // batch appends only what is genuinely missing (self-heal
-          // pinned by StreamingSpec's crash-retry case)
+          // files behind, and the carried-bloom fingerprint check
+          // detects them on retry (mismatch → reseed from the landing,
+          // which includes the leftovers) — the retried batch appends
+          // only what is genuinely missing (self-heal pinned by
+          // StreamingSpec's crash-retry case)
           .write.options(graft.core.Committers.TaskCommitV2)
           .mode("append").parquet(landingDir)
         landed.addAndGet(obs.get("n").asInstanceOf[Long])
+        if (firstBatch)
+          seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
+        else
+          foldObservedBloom(spark, landingDir,
+            bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]), landed.get())
         ()
       }
       .start()
@@ -374,9 +469,11 @@ object EventStreams {
         val firsts = exactFirsts(batch, textCol, idCol)
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val firstBatch = !fs.exists(landingPath)
         val fresh =
-          if (!fs.exists(landingPath)) { // first batch: nothing landed yet
+          if (firstBatch) { // nothing landed yet
             landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
+            carriedBlooms.remove(landingDir)
             // stage 2a only (nothing landed to probe): in-batch
             // near-dup keeper over the exact-survivors
             NearDupIncremental.keepBucketMins(
@@ -384,19 +481,28 @@ object EventStreams {
           } else {
             val corpus = spark.read.parquet(landingDir)
             if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-            // stage 1b: cross-batch exact confirm (bloom prune + join)
-            val exactNew = exactConfirm(corpus, firsts, landed.get(), textCol, idCol)
+            // stage 1b: cross-batch exact confirm (carried-bloom prune + join)
+            val exactNew = exactConfirm(spark, landingDir, corpus, firsts, landed.get(), textCol, idCol)
             // stage 2: sign ONLY the exact-survivors, keep in-batch
             // bucket minima, then probe the landed signature columns
             val kept = NearDupIncremental.keepBucketMins(
               NearDupIncremental.withSigs(exactNew, textCol), idCol)
             nearConfirm(corpus, kept, idCol)
           }
+        // the landing holds exactly the near-surviving texts, so the
+        // carried EXACT bloom folds the final `fresh` (post-near),
+        // observed during the write like ingestDedup's
+        val bloomMetric = bloomMetricFor(landingDir, textCol)
         val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
-        fresh.observe(obs, count(lit(1)).as("n"))
+        fresh.observe(obs, count(lit(1)).as("n"), bloomMetric.toSeq: _*)
           .write.options(graft.core.Committers.TaskCommitV2)
           .mode("append").parquet(landingDir)
         landed.addAndGet(obs.get("n").asInstanceOf[Long])
+        if (firstBatch)
+          seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
+        else
+          foldObservedBloom(spark, landingDir,
+            bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]), landed.get())
         ()
       }
       .start()

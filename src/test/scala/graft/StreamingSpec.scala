@@ -401,6 +401,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally ndQ.stop()
   }
 
+  test("carried bloom: steady-state batches never rescan the landing for the prefilter") {
+    // The round-13 carried-bloom discipline: the exact-stage bloom is
+    // built over the LANDING at most once per seed (restart / outgrown
+    // / fingerprint mismatch); steady-state batches fold only their own
+    // append. Count every bloom_agg execution whose plan reads the
+    // landing dir — over a fresh dir and three clean batches there must
+    // be ZERO (the first carry seeds from the append itself).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-cb").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cb-ckpt").toString
+    val bloomScansOnLanding = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def touchesLanding(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(landing))
+              case _ => false
+            }
+        }.exists(identity)
+      private def buildsBloom(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.toString.contains("bloom_agg")
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        // a SEED is a standalone driver collect of a bloom aggregate
+        // over the landing (IncrementalDedup.buildBloom). The batch
+        // WRITE also mentions bloom_agg (the observed append metric)
+        // and reads the landing (the exact-confirm join) — that is the
+        // legitimate confirm path, not a prefilter rebuild, so only
+        // collect-action executions count.
+        if (funcName == "collect" && buildsBloom(qe) && touchesLanding(qe))
+          bloomScansOnLanding.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    EventStreams.carriedBlooms.remove(landing)
+    spark.listenerManager.register(listener)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      input.addData((3L, "beta"), (4L, "gamma")); q.processAllAvailable()
+      input.addData((5L, "alpha"), (6L, "delta")); q.processAllAvailable()
+      // dedup stayed exact across the carried batches
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(landed == Seq((1L, "alpha"), (2L, "beta"), (4L, "gamma"), (6L, "delta")))
+      // quiesce the async listener bus, then assert zero landing-wide
+      // bloom builds (the carry was seeded from batch 1's own append)
+      Thread.sleep(1500)
+      assert(bloomScansOnLanding.get() == 0,
+        s"expected 0 landing-scanning bloom builds, got ${bloomScansOnLanding.get()}")
+      assert(EventStreams.carriedBlooms.containsKey(landing), "carry missing after 3 batches")
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("ingestDedup: landing dir is never re-counted after the seed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
