@@ -121,15 +121,28 @@ object Tables {
             s"Tables.load: path does not exist: $path")
       }
     if (!st.isDirectory) s"${st.getLen}:${st.getModificationTime}"
-    else {
-      val it = fs.listFiles(hp, true)
-      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        parts += s"${s.getPath.toUri.getPath}:${s.getLen}:${s.getModificationTime}"
-      }
-      parts.sorted.mkString(";")
+    else listing(spark, path).mkString(";")
+  }
+
+  /** The sorted per-file `path:len:mtime` parts behind a directory
+    * [[fingerprint]] — exposed (package-private) so the streaming
+    * ingest's append validation can diff two listings file-by-file
+    * ([[graft.streaming.EventStreams]]: the carried-bloom fold must
+    * prove the only files that appeared during an append are the
+    * batch's own committed part files). `fingerprint` for a directory
+    * is exactly `listing(...).mkString(";")`, so a fingerprint derived
+    * from a validated listing compares equal to the one the next
+    * batch's staleness check computes. */
+  private[graft] def listing(spark: SparkSession, path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      parts += s"${s.getPath.toUri.getPath}:${s.getLen}:${s.getModificationTime}"
     }
+    parts.sorted.toSeq
   }
 
   /** Memoized inferred schemas, keyed by (file path, status

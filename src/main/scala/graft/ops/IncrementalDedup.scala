@@ -64,13 +64,25 @@ object IncrementalDedup {
       .collect()(0).getAs[Array[Byte]](0)
 
   /** Bitwise union of two same-shape blooms: the union of the sets
-    * they represent (identical bits/hash-count is the caller's
-    * contract — blob lengths must match). */
+    * they represent. Shape is VERIFIED from the blobs' own headers
+    * (word 0 = probe-hash count k, word 1 = bit count m — the
+    * `bloom_agg` layout), not just byte length: two equal-length blobs
+    * with different k would OR their headers into a garbage probe
+    * count, and a wrong k produces false NEGATIVES — silently admitted
+    * duplicates — the one failure mode the bloom contract forbids.
+    * Only the bitset words are OR'd; the (equal) header is copied. */
   def unionBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    require(a.length == b.length,
+    require(a.length == b.length && a.length >= 16,
       s"unionBloom: blob shapes differ (${a.length} vs ${b.length} bytes)")
+    val ha = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val (ka, ma) = (ha.getLong(0), ha.getLong(8))
+    val (kb, mb) = (hb.getLong(0), hb.getLong(8))
+    require(ka == kb && ma == mb,
+      s"unionBloom: header mismatch (hashes $ka vs $kb, bits $ma vs $mb)")
     val out = new Array[Byte](a.length)
-    var i = 0
+    System.arraycopy(a, 0, out, 0, 16)
+    var i = 16
     while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
     out
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -176,31 +176,24 @@ object EventStreams {
     transform(spark.readStream.schema(schema).parquet(dir))
   }
 
-  /** Continuous corpus ingest with CROSS-BATCH exact dedup — the
-    * streaming face of [[graft.ops.IncrementalDedup]] (q74) and the
-    * contract a training-data pipeline actually needs: a document is
-    * a duplicate if its text appeared in ANY earlier batch, not just
-    * inside the watermark window ([[dedupeStream]]'s bounded-state
-    * regime). Each micro-batch first collapses its own internal
-    * repeats (lowest id wins, the q21 keeper discipline), then checks
-    * the ENTIRE landed corpus through the bloom-prefiltered exact
-    * confirm, and appends only genuinely-new rows to the landing dir.
-    *
-    * The landed corpus IS the dedup state — there is no separate
-    * state store to size, checkpoint, or lose. That makes retries
-    * self-healing: if a batch reruns after a partial failure, every
-    * row it already landed probes as a duplicate of itself and is
-    * skipped, so at-least-once batch delivery still converges to an
-    * exactly-once corpus. That includes a PARTIALLY-failed append
-    * under the v2 task-side committer ([[graft.core.Committers]]):
-    * leftover committed-task files are valid parquet the next batch
-    * reads as corpus, so the retry appends only what is genuinely
-    * missing (pinned by StreamingSpec's crash-retry case).
-    * At 100 TB the corpus side is exactly q74's shape: one bloom scan
-    * + a confirm join bounded by the batch's dup rate. */
+  // =====================================================================
+  // Cross-batch ingest dedup (exact / near / composed)
+  //
+  // The landed corpus IS the dedup state — there is no separate state
+  // store to size, checkpoint, or lose. Retries are self-healing: a
+  // batch rerun after a partial failure finds its own landed rows as
+  // corpus and appends only what is genuinely missing, so at-least-once
+  // batch delivery converges to an exactly-once corpus (pinned by
+  // StreamingSpec's crash-retry case). Per-landing carried state
+  // (counts + blooms) only ACCELERATES the confirm: dropping any of it
+  // costs one reseed scan, never exactness.
+  // =====================================================================
+
   /** Landed-corpus row counts carried across micro-batches, keyed by
     * landing dir — exposed so StreamingSpec can pin that the count
-    * tracks the corpus without per-batch recounting. */
+    * tracks the corpus without per-batch recounting. The count only
+    * SIZES the bloom filters; drift after a partial retry can't break
+    * dedup exactness (the confirm join stays exact). */
   private[graft] val landedCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
@@ -215,84 +208,176 @@ object EventStreams {
       .select(col("r.*"))
   }
 
-  /** Exact-stage bloom carried across micro-batches, keyed by landing
-    * dir. Rebuilding the bloom per batch is a FULL corpus scan per
-    * micro-batch — O(corpus), the clearest scale-killer in a
-    * long-running ingest over a large landing. The carried blob makes
-    * steady state O(batch): probe with the carried blob, and after
-    * each append OR-in a bloom of just the appended rows.
+  /** A bloom blob carried across micro-batches, keyed by landing dir.
+    * Two instances exist per landing: the EXACT-stage bloom over
+    * landed text hashes ([[carriedBlooms]]) and the NEAR-stage bloom
+    * over landed LSH bucket hashes ([[carriedBuckets]]). Rebuilding
+    * either per batch is a full corpus scan per micro-batch —
+    * O(corpus), the clearest scale-killer in a long-running ingest —
+    * so both are seeded at most once and then FOLDED forward: after
+    * each append, a bloom of just the appended rows (computed by the
+    * write's own Observation — no second pass) is OR'd in.
     *
-    * Exactness discipline — a bloom MISSING landed texts would admit
+    * What the carry amortizes — and what it doesn't: the carry removes
+    * the per-batch bloom-BUILD scan, and, with the two-phase confirm
+    * (probe first, join only if any row probes positive), a batch
+    * whose rows all probe bloom-negative touches the landing not at
+    * all. A batch with bloom-positive rows still pays a confirm join
+    * whose corpus side is a scan of the landing's text (exact stage)
+    * or signature columns (near stage) — bounded in frequency by the
+    * dup/FP rate of the probe side, not eliminated.
+    *
+    * Exactness discipline — a bloom MISSING landed rows would admit
     * duplicates (the false-NEGATIVE direction the confirm join cannot
-    * repair), so the carry is only trusted when `landingFp`, a
-    * file-status fingerprint of the landing dir recorded immediately
-    * after our own append, still matches: ANY out-of-band change —
-    * leftover task files from a crashed batch attempt (the
-    * StreamingSpec crash-retry case), another writer, a manual edit —
-    * changes the fingerprint and forces a reseed scan, restoring the
-    * per-batch-rebuild self-heal exactly when it is needed and only
-    * then. Capacity: the blob is sized for 4× the seed-time corpus
-    * (~16 bits/row keeps confirm traffic ~0.5%); growing past that
-    * drops the carry so the next batch reseeds at the new size —
-    * amortized one corpus scan per 4× growth. */
+    * repair), so a carry is only trusted when `landingFp`, the
+    * file-status fingerprint of the landing recorded by a VALIDATED
+    * fold ([[foldCarries]]), still matches the landing: any
+    * out-of-band change — leftover task files from a crashed batch
+    * attempt, another writer, a manual edit — changes the fingerprint
+    * and forces a reseed scan, restoring the per-batch-rebuild
+    * self-heal exactly when it is needed and only then. The fold
+    * itself verifies the only files that appeared during the append
+    * are the batch's own committed part files (one write-job UUID);
+    * anything else in the delta drops the carry instead of stamping a
+    * fingerprint whose rows the blob does not contain
+    * ([[appendOnlyDelta]] — closes the append→fold race window).
+    * Capacity: blobs are sized for 4× the seed-time corpus (~16
+    * bits/key keeps confirm traffic ~0.5%); growing past that drops
+    * the carry so the next batch reseeds at the new size — amortized
+    * one corpus scan per 4× growth. */
   private[graft] final case class CarriedBloom(
     blob: Array[Byte], bits: Int, hashes: Int, capacity: Long, landingFp: String)
+
+  /** Exact-stage carry: bloom over xxhash64 of landed text. */
   private[graft] val carriedBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
 
-  private def landingFp(spark: SparkSession, landingDir: String): String =
-    graft.core.Tables.fingerprint(spark, landingDir)
+  /** Near-stage carry: bloom over the landed corpus's LSH bucket
+    * hashes (two buckets per doc — band 1 = (mh1,mh2), band 2 =
+    * (mh3,mh4), hashed as xxhash64(band, x, y)). A bucket-hash
+    * COLLISION only costs a confirm probe (the row looks like a
+    * candidate and the exact bucket join clears it); it can never
+    * admit a duplicate, which is what makes a bloom a sound carrier
+    * for the bucket set. */
+  private[graft] val carriedBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
 
-  /** Cross-batch exact confirm: bloom-pruned NOT-IN against the landed
-    * corpus. Uses (and maintains) the carried bloom for `landingDir`;
-    * seeds it with one corpus scan when absent, stale, or outgrown. */
-  private def exactConfirm(spark: SparkSession, landingDir: String,
-                           corpus: DataFrame, firsts: DataFrame, landedCount: Long,
-                           textCol: String, idCol: String): DataFrame = {
-    val fp = landingFp(spark, landingDir)
-    val cached = carriedBlooms.get(landingDir)
-    val carried =
-      if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
-      else {
-        val cap = math.max(landedCount, 1L) * 4
-        val bits = graft.ops.IncrementalDedup.sizedBits(cap)
-        val c = CarriedBloom(
-          graft.ops.IncrementalDedup.buildBloom(corpus, textCol, bits, 3),
-          bits, 3, cap, fp)
-        carriedBlooms.put(landingDir, c)
-        c
-      }
-    firsts.join(
-      graft.ops.IncrementalDedup.newDocsWithBloom(corpus, firsts, carried.blob,
-          textCol, idCol)
-        .filter(col("is_new")).select(col(idCol)),
-      Seq(idCol), "left_semi")
+  private def landingParts(spark: SparkSession, landingDir: String): Seq[String] =
+    graft.core.Tables.listing(spark, landingDir)
+
+  private def fpOf(parts: Seq[String]): String = parts.mkString(";")
+
+  // ---------- append validation (the fold's TOCTOU guard) ----------
+
+  /** `path` of a `path:len:mtime` listing part (len/mtime stripped). */
+  private def partPath(part: String): String = {
+    val i = part.lastIndexOf(':')
+    part.substring(0, part.lastIndexOf(':', i - 1))
   }
 
-  /** The bloom metric to ride the append's Observation when a carry
-    * exists: the appended rows' bloom is then computed DURING the
-    * write itself — no extra action, and crucially no re-execution of
-    * `fresh`'s plan, whose confirm subtree reads the landing (the
-    * steady-state batch must never rescan the landing; pinned by
-    * StreamingSpec's listener test). None when no carry exists yet —
-    * the first batch seeds via [[seedCarryFromAppend]] instead. */
-  private def bloomMetricFor(landingDir: String, textCol: String): Option[org.apache.spark.sql.Column] =
+  private def isVisible(part: String): Boolean = {
+    val p = partPath(part)
+    val base = p.substring(p.lastIndexOf('/') + 1)
+    !(base.startsWith("_") || base.startsWith("."))
+  }
+
+  /** `part-<split>-<job-uuid>…` — every file one Spark write job
+    * commits carries the job's single random UUID in its name. */
+  private val PartFileUuid =
+    raw"part-\d+-([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})-.*".r
+
+  /** True iff `post` is `pre` plus ONLY the files one Spark write job
+    * appended: no visible file deleted or mutated in place, and every
+    * new visible file a `part-*` data file sharing a single write-job
+    * UUID. This is what lets [[foldCarries]] stamp the post-append
+    * fingerprint safely — the validated listing provably contains no
+    * out-of-band file whose rows the folded blob would be missing
+    * (rows the bloom lacks would probe definitively-new and admit
+    * duplicates forever). Hidden files (`_SUCCESS`, checksums) are
+    * ignored: the scans that define corpus content never read them.
+    * Conservative by design: any unexpected delta returns false and
+    * the caller drops the carry — one reseed scan, never staleness. */
+  private[graft] def appendOnlyDelta(pre: Seq[String], post: Seq[String]): Boolean = {
+    val preV = pre.filter(isVisible).toSet
+    val postV = post.filter(isVisible).toSet
+    preV.subsetOf(postV) && {
+      val uuids = (postV -- preV).toSeq.map { part =>
+        val p = partPath(part)
+        p.substring(p.lastIndexOf('/') + 1) match {
+          case PartFileUuid(u) => Some(u.toLowerCase)
+          case _ => None
+        }
+      }
+      uuids.forall(_.isDefined) && uuids.flatten.distinct.size <= 1
+    }
+  }
+
+  /** Test seam: invoked after a batch's append returns and BEFORE the
+    * fold re-lists the landing — the exact window the validated fold
+    * exists to defend (StreamingSpec races an out-of-band append into
+    * it deterministically). No-op in production. */
+  @volatile private[graft] var postAppendHook: (String, Long) => Unit = (_, _) => ()
+
+  /** After a successful append: re-list the landing, verify the delta
+    * is exactly this batch's own committed part files, and either fold
+    * the observed append-blooms into both carries under the validated
+    * listing's fingerprint, or — on ANY unexpected delta — drop the
+    * carries so the next batch reseeds from the landing (which then
+    * includes whatever landed out-of-band). Also drops a carry whose
+    * capacity the landed count outgrew (next batch reseeds larger). */
+  private def foldCarries(spark: SparkSession, landingDir: String,
+                          preParts: Seq[String],
+                          textBloom: Option[Array[Byte]],
+                          bucketBloom: Option[Array[Byte]],
+                          landedCount: Long): Unit = {
+    val postParts = landingParts(spark, landingDir)
+    if (!appendOnlyDelta(preParts, postParts)) {
+      carriedBlooms.remove(landingDir)
+      carriedBuckets.remove(landingDir)
+      return
+    }
+    val fp = fpOf(postParts)
+    def foldOne(map: java.util.concurrent.ConcurrentHashMap[String, CarriedBloom],
+                observed: Option[Array[Byte]]): Unit = {
+      val cached = map.get(landingDir)
+      if (cached == null || observed.isEmpty) return
+      if (landedCount > cached.capacity) { map.remove(landingDir); return }
+      map.put(landingDir, cached.copy(
+        blob = graft.ops.IncrementalDedup.unionBloom(cached.blob, observed.get),
+        landingFp = fp))
+    }
+    foldOne(carriedBlooms, textBloom)
+    foldOne(carriedBuckets, bucketBloom)
+  }
+
+  // ---------- exact-stage carry ----------
+
+  /** The carried exact bloom for `landingDir`, seeding it with ONE
+    * corpus text scan when absent, stale (fingerprint mismatch), or
+    * outgrown. */
+  private def ensureCarriedBloom(landingDir: String, corpus: DataFrame,
+                                 landedCount: Long, textCol: String,
+                                 fp: String): CarriedBloom = {
+    val cached = carriedBlooms.get(landingDir)
+    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
+    else {
+      val cap = math.max(landedCount, 1L) * 4
+      val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+      val c = CarriedBloom(
+        graft.ops.IncrementalDedup.buildBloom(corpus, textCol, bits, 3),
+        bits, 3, cap, fp)
+      carriedBlooms.put(landingDir, c)
+      c
+    }
+  }
+
+  /** The text-bloom metric to ride the append's Observation: the
+    * appended rows' bloom is computed DURING the write itself — no
+    * extra action, no re-execution of `fresh`'s plan. None when no
+    * carry exists (first batch seeds via [[seedCarryFromAppend]]). */
+  private def bloomMetricFor(landingDir: String, textCol: String): Option[Column] =
     Option(carriedBlooms.get(landingDir)).map(c =>
       call_function("bloom_agg", xxhash64(col(textCol)), lit(c.bits), lit(c.hashes)).as("bf"))
-
-  /** After a successful append: fold the observed append-bloom into
-    * the carry and re-stamp the landing fingerprint; drop the carry
-    * when the landed count outgrew the blob (next batch reseeds at the
-    * larger size). */
-  private def foldObservedBloom(spark: SparkSession, landingDir: String,
-                                observed: Option[Array[Byte]], landedCount: Long): Unit = {
-    val cached = carriedBlooms.get(landingDir)
-    if (cached == null || observed.isEmpty) return
-    if (landedCount > cached.capacity) { carriedBlooms.remove(landingDir); return }
-    carriedBlooms.put(landingDir, cached.copy(
-      blob = graft.ops.IncrementalDedup.unionBloom(cached.blob, observed.get),
-      landingFp = landingFp(spark, landingDir)))
-  }
 
   /** First batch only (no carry yet): seed the carry from the append
     * itself — no corpus existed before it, so the append IS the
@@ -306,30 +391,210 @@ object EventStreams {
     val bits = graft.ops.IncrementalDedup.sizedBits(cap)
     carriedBlooms.put(landingDir, CarriedBloom(
       graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
-      bits, 3, cap, landingFp(spark, landingDir)))
+      bits, 3, cap, fpOf(landingParts(spark, landingDir))))
   }
 
-  /** Cross-batch near-dup confirm: probe the landed `mh1..mh4`
-    * signature columns (column-pruned scan, text never re-read). */
-  private def nearConfirm(corpus: DataFrame, kept: DataFrame, idCol: String): DataFrame = {
-    val corpusSigs = corpus
-      .select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
-    kept.join(
-      graft.ops.NearDupIncremental.newDocs(corpusSigs, kept, idCol)
-        .filter(col("is_new")).select(col(idCol)),
-      Seq(idCol), "left_semi")
+  /** Two-phase cross-batch exact confirm over in-batch keepers
+    * `firsts`: (1) probe every row against the carried bloom — a
+    * batch-side map, no landing I/O; (2) ONLY if any row probed
+    * positive, confirm the positives with a semi-join against the
+    * landed text and anti-join the confirmed dups away. A clean batch
+    * (all rows bloom-negative — the common case in steady ingest)
+    * therefore executes NO plan that reads the landing at all (pinned
+    * by StreamingSpec's listener cases), which is the property that
+    * survives a 100 TB landing. `firsts` must be persisted by the
+    * caller (the probe count and the write both consume it). */
+  private def exactStage(probed: DataFrame, corpus: DataFrame,
+                         textCol: String, idCol: String): DataFrame = {
+    val nPositive = probed.filter(col("maybe_dup")).count()
+    if (nPositive == 0L) probed.drop("maybe_dup")
+    else {
+      // exact confirmation for the bloom-positive minority only; the
+      // corpus side is column-pruned to the text column, and AQE's
+      // runtime size check broadcasts whichever side is small
+      val dupIds = probed.filter(col("maybe_dup"))
+        .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
+        .select(col(idCol))
+      probed.join(dupIds, Seq(idCol), "left_anti").drop("maybe_dup")
+    }
   }
 
+  // ---------- near-stage carry (LSH bucket bloom) ----------
+
+  /** 64-bit key of an LSH band bucket — the hashed form of the
+    * (band, x, y) triples [[graft.ops.NearDupIncremental.bucketsFromSigs]]
+    * joins on. */
+  private def bucketHash(band: Int, x: Column, y: Column): Column =
+    xxhash64(lit(band), x, y)
+
+  /** `maybe_nd`: any of the row's two band buckets possibly present in
+    * the carried bucket bloom. Both-negative is DEFINITIVE absence —
+    * no landed doc shares a bucket, so the row cannot be an LSH
+    * candidate against the corpus. */
+  private def bucketProbe(blob: Array[Byte]): Column =
+    call_function("bloom_might_contain", lit(blob), bucketHash(1, col("mh1"), col("mh2"))) ||
+    call_function("bloom_might_contain", lit(blob), bucketHash(2, col("mh3"), col("mh4")))
+
+  /** The two per-band bucket-bloom aggregates (one scan, union the
+    * blobs driver-side — no explode in the write path). */
+  private def bucketAggs(bits: Int, hashes: Int): Seq[Column] = Seq(
+    call_function("bloom_agg", bucketHash(1, col("mh1"), col("mh2")), lit(bits), lit(hashes)).as("bb1"),
+    call_function("bloom_agg", bucketHash(2, col("mh3"), col("mh4")), lit(bits), lit(hashes)).as("bb2"))
+
+  /** Bits for a bucket bloom covering `cap` docs (two buckets each),
+    * overflow-clamped. */
+  private def bucketBits(cap: Long): Int =
+    graft.ops.IncrementalDedup.sizedBits(math.min(cap, Long.MaxValue / 2) * 2)
+
+  private def buildBucketBloom(sigs: DataFrame, bits: Int, hashes: Int): Array[Byte] = {
+    val aggs = bucketAggs(bits, hashes)
+    val r = sigs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    graft.ops.IncrementalDedup.unionBloom(
+      r.getAs[Array[Byte]]("bb1"), r.getAs[Array[Byte]]("bb2"))
+  }
+
+  /** The carried bucket bloom for `landingDir`, seeding with ONE
+    * column-pruned (mh1..mh4, 4 longs/row) corpus scan when absent,
+    * stale, or outgrown. */
+  private def ensureCarriedBuckets(landingDir: String, corpus: DataFrame,
+                                   landedCount: Long, fp: String): CarriedBloom = {
+    val cached = carriedBuckets.get(landingDir)
+    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
+    else {
+      val cap = math.max(landedCount, 1L) * 4
+      val bits = bucketBits(cap)
+      val c = CarriedBloom(
+        buildBucketBloom(corpus.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
+        bits, 3, cap, fp)
+      carriedBuckets.put(landingDir, c)
+      c
+    }
+  }
+
+  /** Bucket-bloom metrics to ride the append's Observation (empty when
+    * no carry exists yet — the first batch seeds from the append). */
+  private def bucketMetricsFor(landingDir: String): Seq[Column] =
+    Option(carriedBuckets.get(landingDir)).toSeq.flatMap(c => bucketAggs(c.bits, c.hashes))
+
+  private def observedBucketBloom(landingDir: String,
+                                  obs: org.apache.spark.sql.Observation): Option[Array[Byte]] =
+    Option(carriedBuckets.get(landingDir)).map { _ =>
+      graft.ops.IncrementalDedup.unionBloom(
+        obs.get("bb1").asInstanceOf[Array[Byte]], obs.get("bb2").asInstanceOf[Array[Byte]])
+    }
+
+  /** First batch only: seed the bucket carry from the append itself
+    * (landing-free — see [[seedCarryFromAppend]]). */
+  private def seedBucketsFromAppend(spark: SparkSession, landingDir: String,
+                                    fresh: DataFrame, landedCount: Long): Unit = {
+    val cap = math.max(landedCount, 1L) * 4
+    val bits = bucketBits(cap)
+    carriedBuckets.put(landingDir, CarriedBloom(
+      buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
+      bits, 3, cap, fpOf(landingParts(spark, landingDir))))
+  }
+
+  /** Two-phase cross-batch near-dup confirm — the bucket-bloom twin of
+    * [[exactStage]]: probe each kept row's two band buckets (batch-side
+    * map, no landing I/O); only if any row probed positive, run the
+    * exact bucket join ([[graft.ops.NearDupIncremental.newDocs]])
+    * for the candidates against the landing's signature columns
+    * (column-pruned, 4 longs/row, text never re-read) and keep the
+    * confirmed-new. `probed` must be persisted by the caller. */
+  private def nearStage(probed: DataFrame, corpus: DataFrame, idCol: String): DataFrame = {
+    val nCandidates = probed.filter(col("maybe_nd")).count()
+    if (nCandidates == 0L) probed.drop("maybe_nd")
+    else {
+      val candidates = probed.filter(col("maybe_nd")).drop("maybe_nd")
+      val corpusSigs = corpus.select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+      val confirmedNew = candidates.join(
+        graft.ops.NearDupIncremental.newDocs(corpusSigs, candidates, idCol)
+          .filter(col("is_new")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      probed.filter(!col("maybe_nd")).drop("maybe_nd").unionByName(confirmedNew)
+    }
+  }
+
+  // ---------- single-writer guard ----------
+
+  private[graft] final class IngestReg(val owner: SparkSession) {
+    @volatile var runId: java.util.UUID = null
+  }
+
+  /** Active ingest streams keyed by landing dir. All carried state
+    * above is keyed by landing dir and tolerates exactly ONE writer:
+    * two concurrent streams would interleave counter updates and bloom
+    * folds, silently corrupting dedup state. Entries self-clear — a
+    * registration whose query is no longer active is taken over by the
+    * next starter. */
+  private[graft] val activeIngests =
+    new java.util.concurrent.ConcurrentHashMap[String, IngestReg]()
+
+  /** Refuse to start a second active ingest stream on a landing dir
+    * (loud error, pinned by StreamingSpec) — the in-JVM half of the
+    * single-writer contract; cross-JVM writers are caught by the
+    * fingerprint/validated-fold discipline instead (reseed, never
+    * staleness). */
+  private def startGuarded(spark: SparkSession, landingDir: String)
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val mine = new IngestReg(spark)
+    var placed = false
+    while (!placed) {
+      val cur = activeIngests.putIfAbsent(landingDir, mine)
+      if (cur == null) placed = true
+      else {
+        val stillActive = cur.runId == null ||
+          cur.owner.streams.active.exists(_.runId == cur.runId)
+        if (stillActive)
+          throw new IllegalStateException(
+            s"an ingest stream is already active on landing dir '$landingDir'; " +
+            "the carried dedup state (landed counts + blooms) is keyed by landing " +
+            "dir and tolerates exactly one writer — stop the existing stream first")
+        placed = activeIngests.replace(landingDir, cur, mine)
+      }
+    }
+    try {
+      val q = start
+      mine.runId = q.runId
+      q
+    } catch {
+      case t: Throwable => activeIngests.remove(landingDir, mine); throw t
+    }
+  }
+
+  // ---------- the three ingest entries ----------
+
+  /** Continuous corpus ingest with CROSS-BATCH exact dedup — the
+    * streaming face of [[graft.ops.IncrementalDedup]] (q74) and the
+    * contract a training-data pipeline actually needs: a document is
+    * a duplicate if its text appeared in ANY earlier batch, not just
+    * inside the watermark window ([[dedupeStream]]'s bounded-state
+    * regime). Each micro-batch first collapses its own internal
+    * repeats (lowest id wins, the q21 keeper discipline), then checks
+    * the ENTIRE landed corpus through the carried-bloom two-phase
+    * confirm ([[exactStage]]), and appends only genuinely-new rows.
+    *
+    * Steady-state cost per batch: one batch-side probe pass + the
+    * append; the landing is read ONLY to confirm bloom-positive rows
+    * (bounded by the dup/FP rate) and to reseed after an out-of-band
+    * change. At 100 TB the corpus side is exactly q74's shape with
+    * the bloom build amortized away.
+    *
+    * Retries self-heal (see the section comment): a PARTIALLY-failed
+    * append under the v2 task-side committer ([[graft.core.Committers]])
+    * leaves committed-task files the fingerprint check detects — the
+    * next batch reseeds from the landing (which includes the
+    * leftovers) and appends only what is genuinely missing (pinned by
+    * StreamingSpec's crash-retry case). */
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
+  startGuarded(docs.sparkSession, landingDir) {
     // Landed row count carried across batches: seeded ONCE (first
     // batch that finds an existing dir — one metadata count), then
-    // advanced by each batch's observed append size. Bloom sizing
-    // (sizedBits) therefore never re-counts the landing dir, whose
-    // file listing grows forever under a long-running stream. The
-    // count only SIZES the filter — drift after a partial retry can't
-    // break dedup exactness (the confirm join stays exact).
+    // advanced by each batch's observed append size — never a
+    // per-batch recount over the landing's growing file listing.
     val landed = landedCounts.computeIfAbsent(landingDir,
       _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     docs.writeStream
@@ -345,42 +610,52 @@ object EventStreams {
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val firstBatch = !fs.exists(landingPath)
-        val fresh =
-          if (firstBatch) {
-            // first batch: nothing landed yet. Unconditional set, not
-            // compareAndSet(-1,0): a stale carried counter from a
-            // DELETED-and-recreated landing dir (same JVM, new stream)
-            // must reset with the dir, or sizedBits sizes off a ghost
-            // corpus forever. Same for a stale carried bloom.
-            landed.set(0L)
-            carriedBlooms.remove(landingDir)
-            firsts
-          } else {
-            val corpus = spark.read.parquet(landingDir)
-            if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-            exactConfirm(spark, landingDir, corpus, firsts, landed.get(), textCol, idCol)
-          }
-        // observe the append size — and, when a carry exists, the
-        // appended rows' bloom — inside the write action (no second
-        // computation of `fresh`, no landing rescan) and advance the
-        // carried count + blob
-        val bloomMetric = bloomMetricFor(landingDir, textCol)
-        val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
-        fresh.observe(obs, count(lit(1)).as("n"), bloomMetric.toSeq: _*)
-          // task-side commit (v2): a failed batch may leave SOME task
-          // files behind, and the carried-bloom fingerprint check
-          // detects them on retry (mismatch → reseed from the landing,
-          // which includes the leftovers) — the retried batch appends
-          // only what is genuinely missing (self-heal pinned by
-          // StreamingSpec's crash-retry case)
-          .write.options(graft.core.Committers.TaskCommitV2)
-          .mode("append").parquet(landingDir)
-        landed.addAndGet(obs.get("n").asInstanceOf[Long])
-        if (firstBatch)
-          seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
-        else
-          foldObservedBloom(spark, landingDir,
-            bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]), landed.get())
+        var persisted: List[DataFrame] = Nil
+        try {
+          val (fresh, preParts) =
+            if (firstBatch) {
+              // first batch: nothing landed yet. Unconditional set, not
+              // compareAndSet(-1,0): a stale carried counter from a
+              // DELETED-and-recreated landing dir (same JVM, new stream)
+              // must reset with the dir, or sizedBits sizes off a ghost
+              // corpus forever. Same for stale carried blooms.
+              landed.set(0L)
+              carriedBlooms.remove(landingDir)
+              carriedBuckets.remove(landingDir)
+              (firsts, Seq.empty[String])
+            } else {
+              // ONE listing serves both the staleness check and the
+              // fold's pre-append snapshot — taken before the corpus
+              // relation resolves, so the validated post-append delta
+              // brackets everything the batch's plans could have seen
+              val pre = landingParts(spark, landingDir)
+              val corpus = spark.read.parquet(landingDir)
+              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              val carried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
+              val probed = firsts.withColumn("maybe_dup",
+                call_function("bloom_might_contain", lit(carried.blob), xxhash64(col(textCol))))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= probed
+              (exactStage(probed, corpus, textCol, idCol), pre)
+            }
+          // observe the append size — and, when a carry exists, the
+          // appended rows' bloom — inside the write action (no second
+          // computation of `fresh`, no landing rescan)
+          val bloomMetric = bloomMetricFor(landingDir, textCol)
+          val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
+          val metrics = count(lit(1)).as("n") +: bloomMetric.toSeq
+          fresh.observe(obs, metrics.head, metrics.tail: _*)
+            .write.options(graft.core.Committers.TaskCommitV2)
+            .mode("append").parquet(landingDir)
+          postAppendHook(landingDir, batchId)
+          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          if (firstBatch)
+            seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
+          else
+            foldCarries(spark, landingDir, preParts,
+              bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
+              None, landed.get())
+        } finally persisted.foreach(_.unpersist(false))
         ()
       }
       .start()
@@ -393,16 +668,15 @@ object EventStreams {
     *
     * The landed corpus again IS the state, with one refinement: each
     * accepted row lands WITH its `mh1..mh4` signature columns, in the
-    * SAME atomic append. Per-batch dedup therefore reads only those
-    * four long columns off the landing (column-pruned scan — the text
-    * is never re-tokenized), and state cannot diverge from the corpus
-    * on a retry: a partially-failed append publishes each surviving
-    * row WITH its signatures (the v2 task commit is atomic per file,
-    * and signatures ride the same rows), so a replayed batch collides
-    * with its own landed buckets and drops exactly those docs.
-    * Within a batch the greedy bucket-min keeper applies first
-    * (smallest id per bucket survives — deterministic, one pass;
-    * see [[graft.ops.NearDupIncremental.keepBucketMins]] for the
+    * SAME atomic append — state cannot diverge from the corpus on a
+    * retry (a partially-failed append publishes each surviving row
+    * WITH its signatures, so a replayed batch collides with its own
+    * landed buckets). Per-batch dedup is the carried bucket-bloom
+    * two-phase confirm ([[nearStage]]): steady-state clean batches
+    * never read the landing at all; candidate batches read only the
+    * four signature columns. Within a batch the greedy bucket-min
+    * keeper applies first (smallest id per bucket survives — see
+    * [[graft.ops.NearDupIncremental.keepBucketMins]] for the
     * over-drop trade vs full connected components, which remains the
     * batch q60 operator's job). The read-failure discipline matches
     * [[ingestDedup]]: only a genuinely-absent dir means "first
@@ -410,8 +684,11 @@ object EventStreams {
     * dedup. */
   def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
                     textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
+  startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
+    val landed = landedCounts.computeIfAbsent(landingDir,
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -420,13 +697,39 @@ object EventStreams {
           NearDupIncremental.withSigs(batch, textCol), idCol)
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (!fs.exists(landingPath)) kept // first batch: nothing landed yet
-          else nearConfirm(spark.read.parquet(landingDir), kept, idCol)
-        // v2 task commit: see ingestDedup's append — partial publishes
-        // are absorbed because signatures land with their rows
-        fresh.write.options(graft.core.Committers.TaskCommitV2)
-          .mode("append").parquet(landingDir)
+        val firstBatch = !fs.exists(landingPath)
+        var persisted: List[DataFrame] = Nil
+        try {
+          val (fresh, preParts) =
+            if (firstBatch) {
+              landed.set(0L)
+              carriedBlooms.remove(landingDir)
+              carriedBuckets.remove(landingDir)
+              (kept, Seq.empty[String])
+            } else {
+              val pre = landingParts(spark, landingDir)
+              val corpus = spark.read.parquet(landingDir)
+              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              val carried = ensureCarriedBuckets(landingDir, corpus, landed.get(), fpOf(pre))
+              val probed = kept.withColumn("maybe_nd", bucketProbe(carried.blob))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= probed
+              (nearStage(probed, corpus, idCol), pre)
+            }
+          val bucketMetrics = bucketMetricsFor(landingDir)
+          val obs = new org.apache.spark.sql.Observation(s"ingest_nd_landed_$batchId")
+          val metrics = count(lit(1)).as("n") +: bucketMetrics
+          fresh.observe(obs, metrics.head, metrics.tail: _*)
+            .write.options(graft.core.Committers.TaskCommitV2)
+            .mode("append").parquet(landingDir)
+          postAppendHook(landingDir, batchId)
+          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          if (firstBatch)
+            seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
+          else
+            foldCarries(spark, landingDir, preParts,
+              None, observedBucketBloom(landingDir, obs), landed.get())
+        } finally persisted.foreach(_.unpersist(false))
         ()
       }
       .start()
@@ -436,16 +739,15 @@ object EventStreams {
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are
     * eliminated first by the cheap path (in-batch text keeper, then
-    * bloom-pruned confirm against the landed text — the whole batch
-    * never reaches MinHash); only the exact-survivors are shingled,
-    * signed, bucket-min-kept, and probed against the landed `mh1..mh4`
-    * (column-pruned scan, text never re-tokenized). Survivors land
-    * WITH their signatures in one atomic-per-file append, so the
-    * landed corpus is simultaneously the exact-dedup state (text) and
-    * the near-dup state (signatures), and the crash-retry self-heal
-    * argument of both parents applies unchanged: a leftover task file
-    * carries text+sigs together, so a replayed batch collides with its
-    * own partial publish on BOTH stages.
+    * the carried-bloom two-phase exact confirm); only the
+    * exact-survivors are shingled, signed, bucket-min-kept, and put
+    * through the carried bucket-bloom two-phase near confirm.
+    * Survivors land WITH their signatures in one atomic-per-file
+    * append, so the landed corpus is simultaneously the exact-dedup
+    * state (text) and the near-dup state (signatures), and the
+    * crash-retry self-heal argument of both parents applies unchanged.
+    * A steady-state batch with no cross-batch duplicates reads the
+    * landing ZERO times (pinned by StreamingSpec's listener case).
     *
     * Near-dup would also drop exact duplicates (equal texts share all
     * buckets), so correctness does not depend on stage order; the
@@ -457,7 +759,8 @@ object EventStreams {
     * the batch so the retry re-runs WITH dedup. */
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
+  startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
     val landed = landedCounts.computeIfAbsent(landingDir,
       _ => new java.util.concurrent.atomic.AtomicLong(-1L))
@@ -470,39 +773,59 @@ object EventStreams {
         val landingPath = new org.apache.hadoop.fs.Path(landingDir)
         val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val firstBatch = !fs.exists(landingPath)
-        val fresh =
-          if (firstBatch) { // nothing landed yet
-            landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
-            carriedBlooms.remove(landingDir)
-            // stage 2a only (nothing landed to probe): in-batch
-            // near-dup keeper over the exact-survivors
-            NearDupIncremental.keepBucketMins(
-              NearDupIncremental.withSigs(firsts, textCol), idCol)
-          } else {
-            val corpus = spark.read.parquet(landingDir)
-            if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-            // stage 1b: cross-batch exact confirm (carried-bloom prune + join)
-            val exactNew = exactConfirm(spark, landingDir, corpus, firsts, landed.get(), textCol, idCol)
-            // stage 2: sign ONLY the exact-survivors, keep in-batch
-            // bucket minima, then probe the landed signature columns
-            val kept = NearDupIncremental.keepBucketMins(
-              NearDupIncremental.withSigs(exactNew, textCol), idCol)
-            nearConfirm(corpus, kept, idCol)
-          }
-        // the landing holds exactly the near-surviving texts, so the
-        // carried EXACT bloom folds the final `fresh` (post-near),
-        // observed during the write like ingestDedup's
-        val bloomMetric = bloomMetricFor(landingDir, textCol)
-        val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
-        fresh.observe(obs, count(lit(1)).as("n"), bloomMetric.toSeq: _*)
-          .write.options(graft.core.Committers.TaskCommitV2)
-          .mode("append").parquet(landingDir)
-        landed.addAndGet(obs.get("n").asInstanceOf[Long])
-        if (firstBatch)
-          seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
-        else
-          foldObservedBloom(spark, landingDir,
-            bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]), landed.get())
+        var persisted: List[DataFrame] = Nil
+        try {
+          val (fresh, preParts) =
+            if (firstBatch) { // nothing landed yet
+              landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
+              carriedBlooms.remove(landingDir)
+              carriedBuckets.remove(landingDir)
+              // stage 2a only (nothing landed to probe): in-batch
+              // near-dup keeper over the exact-survivors
+              (NearDupIncremental.keepBucketMins(
+                NearDupIncremental.withSigs(firsts, textCol), idCol),
+               Seq.empty[String])
+            } else {
+              val pre = landingParts(spark, landingDir)
+              val corpus = spark.read.parquet(landingDir)
+              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              // stage 1b: carried-bloom two-phase exact confirm
+              val xCarried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
+              val probedX = firsts.withColumn("maybe_dup",
+                call_function("bloom_might_contain", lit(xCarried.blob), xxhash64(col(textCol))))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= probedX
+              val exactNew = exactStage(probedX, corpus, textCol, idCol)
+              // stage 2: sign ONLY the exact-survivors, keep in-batch
+              // bucket minima, then the carried bucket-bloom confirm
+              val kept = NearDupIncremental.keepBucketMins(
+                NearDupIncremental.withSigs(exactNew, textCol), idCol)
+              val nCarried = ensureCarriedBuckets(landingDir, corpus, landed.get(), fpOf(pre))
+              val probedN = kept.withColumn("maybe_nd", bucketProbe(nCarried.blob))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= probedN
+              (nearStage(probedN, corpus, idCol), pre)
+            }
+          // the landing holds exactly the near-surviving texts, so the
+          // carried EXACT bloom folds the final `fresh` (post-near),
+          // observed during the write like both parents'
+          val bloomMetric = bloomMetricFor(landingDir, textCol)
+          val bucketMetrics = bucketMetricsFor(landingDir)
+          val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
+          val metrics = count(lit(1)).as("n") +: (bloomMetric.toSeq ++ bucketMetrics)
+          fresh.observe(obs, metrics.head, metrics.tail: _*)
+            .write.options(graft.core.Committers.TaskCommitV2)
+            .mode("append").parquet(landingDir)
+          postAppendHook(landingDir, batchId)
+          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          if (firstBatch) {
+            seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
+            seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
+          } else
+            foldCarries(spark, landingDir, preParts,
+              bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
+              observedBucketBloom(landingDir, obs), landed.get())
+        } finally persisted.foreach(_.unpersist(false))
         ()
       }
       .start()

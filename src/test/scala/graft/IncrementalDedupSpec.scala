@@ -92,6 +92,28 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
       s"auto-sized false-positive rate ${fps.toDouble / probes} far above the designed ~0.5%")
   }
 
+  test("unionBloom: verifies blob headers, unions the represented sets") {
+    def blob(keys: Seq[String], bits: Int, hashes: Int): Array[Byte] =
+      keys.toDF("s").agg(call_function("bloom_agg",
+        xxhash64(col("s")), lit(bits), lit(hashes)).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    val a = blob(Seq("apple", "pear"), 1 << 13, 3)
+    val b = blob(Seq("plum"), 1 << 13, 3)
+    val u = IncrementalDedup.unionBloom(a, b)
+    val hits = Seq("apple", "pear", "plum").toDF("s")
+      .filter(call_function("bloom_might_contain", lit(u), xxhash64(col("s"))))
+      .count()
+    assert(hits == 3, "union lost a member (false negative)")
+    // same byte LENGTH but different probe-hash count: OR'ing blindly
+    // would garble the k header into false negatives — must be refused
+    val k4 = blob(Seq("plum"), 1 << 13, 4)
+    val e = intercept[IllegalArgumentException] { IncrementalDedup.unionBloom(a, k4) }
+    assert(e.getMessage.contains("header mismatch"))
+    // different bit count changes the length — also refused
+    val small = blob(Seq("plum"), 1 << 14, 3)
+    intercept[IllegalArgumentException] { IncrementalDedup.unionBloom(a, small) }
+  }
+
   test("bloom_might_contain: null key or null filter gives null") {
     val blob = spark.range(1).select(lit("x").as("s"))
       .agg(call_function("bloom_agg", xxhash64(col("s")), lit(64), lit(2)))

@@ -563,6 +563,210 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q2.stop()
   }
 
+  /** Counts QueryExecutions (any action) whose analyzed plan reads the
+    * given landing dir, while armed — the round-14 carried-bucket pin:
+    * a steady-state batch with no cross-batch duplicates must execute
+    * NO plan that touches the landing at all (the two-phase confirm
+    * probes batch-side and only joins the landing when a bloom probe
+    * is positive). */
+  private final class LandingTouchCounter(landing: String) {
+    val touches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def touchesLanding(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(landing))
+              case _ => false
+            }
+        }.exists(identity)
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (armed.get() && touchesLanding(qe)) touches.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+  }
+
+  test("carried buckets: clean ingestNearDup batches never touch the landing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val landing = java.nio.file.Files.createTempDirectory("graft-cbk").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cbk-ckpt").toString
+    val counter = new LandingTouchCounter(landing)
+    spark.listenerManager.register(counter.listener)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestNearDup(input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      // batch 1 seeds the bucket carry from its own append
+      input.addData((1L, textA)); q.processAllAvailable()
+      counter.armed.set(true)
+      // batches 2-3: genuinely-new texts — every bucket probes
+      // bloom-negative, so the landing must never be read
+      input.addData((2L, textB)); q.processAllAvailable()
+      input.addData((3L, textC)); q.processAllAvailable()
+      Thread.sleep(1500) // quiesce the async listener bus
+      counter.armed.set(false)
+      assert(counter.touches.get() == 0,
+        s"clean near-dup batches touched the landing ${counter.touches.get()} times")
+      assert(EventStreams.carriedBuckets.containsKey(landing), "bucket carry missing")
+      // and the carry still DEDUPS: a cross-batch near-dup (edited
+      // repost of textA) is a candidate, confirmed against the
+      // landing (a legitimate read, after disarm), and dropped
+      input.addData((4L, "prefix tweak " + textA)); q.processAllAvailable()
+      val ids = spark.read.parquet(landing).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(counter.listener)
+    }
+  }
+
+  test("carried state: clean ingestPipeline batches never touch the landing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val landing = java.nio.file.Files.createTempDirectory("graft-cpk").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpk-ckpt").toString
+    val counter = new LandingTouchCounter(landing)
+    spark.listenerManager.register(counter.listener)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestPipeline(input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((1L, textA)); q.processAllAvailable() // seeds both carries
+      counter.armed.set(true)
+      input.addData((2L, textB)); q.processAllAvailable()
+      input.addData((3L, textC)); q.processAllAvailable()
+      Thread.sleep(1500)
+      counter.armed.set(false)
+      assert(counter.touches.get() == 0,
+        s"clean composed-ingest batches touched the landing ${counter.touches.get()} times")
+      // both carries alive and still exact: an exact repost and an
+      // edited repost both bounce after the armed window
+      input.addData((5L, textA), (6L, textC + " postscript")); q.processAllAvailable()
+      val ids = spark.read.parquet(landing).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(counter.listener)
+    }
+  }
+
+  test("validated fold: an out-of-band append racing the batch's own drops the carry, dedup stays exact") {
+    // The round-13 advice TOCTOU: a file landed BETWEEN a batch's
+    // append and its fold used to be folded into the trusted
+    // fingerprint without its texts in the blob — later duplicates of
+    // those texts would probe definitively-new and be admitted
+    // permanently. The validated fold diffs the listings: the delta
+    // must be exactly the batch's own committed part files (one write
+    // UUID); anything else drops the carry so the next batch reseeds.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-race").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-race-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      assert(EventStreams.carriedBlooms.containsKey(landing))
+      // arm the race: right after batch 2's append returns and before
+      // its fold re-lists, a second writer lands (99,"omega")
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      EventStreams.postAppendHook = (dir, _) =>
+        if (dir == landing && fired.compareAndSet(false, true))
+          Seq((99L, "omega")).toDF("doc_id", "text")
+            .coalesce(1).write.mode("append").parquet(landing)
+      input.addData((3L, "gamma"))
+      q.processAllAvailable()
+      EventStreams.postAppendHook = (_, _) => ()
+      assert(fired.get(), "race hook did not fire")
+      // the fold saw a delta with two write UUIDs → carry dropped
+      assert(!EventStreams.carriedBlooms.containsKey(landing),
+        "carry survived an out-of-band append inside the fold window")
+      // next batch reseeds from the landing (which includes omega), so
+      // the duplicate of the raced-in row is still rejected
+      input.addData((4L, "omega"), (5L, "epsilon"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(landed == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+                           (5L, "epsilon"), (99L, "omega")))
+      assert(EventStreams.carriedBlooms.containsKey(landing), "reseed did not restore the carry")
+    } finally {
+      EventStreams.postAppendHook = (_, _) => ()
+      q.stop()
+    }
+  }
+
+  test("appendOnlyDelta: only a single write job's part files validate the fold") {
+    def part(path: String, len: Int = 10, mtime: Int = 1): String = s"$path:$len:$mtime"
+    val u1 = "0b7ac24e-1111-4abc-9def-0123456789ab"
+    val u2 = "9f8e7d6c-2222-4abc-9def-0123456789ab"
+    val pre = Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet"), part("/L/_SUCCESS"))
+    def f(name: String, len: Int = 10, mtime: Int = 1) = part(s"/L/$name", len, mtime)
+    // pure append from one job
+    assert(EventStreams.appendOnlyDelta(pre,
+      pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"), f(s"part-00001-$u2-c000.snappy.parquet"))))
+    // empty delta (empty batch wrote nothing)
+    assert(EventStreams.appendOnlyDelta(pre, pre))
+    // _SUCCESS rewritten in place (mtime moved): hidden files are
+    // outside the corpus contract — still clean
+    assert(EventStreams.appendOnlyDelta(pre,
+      Seq(pre.head, f("_SUCCESS", mtime = 9), f(s"part-00000-$u2-c000.snappy.parquet"))))
+    // TWO write jobs in the delta: an interloper raced the append
+    assert(!EventStreams.appendOnlyDelta(pre,
+      pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"),
+                 f(s"part-00000-9a8b7c6d-3333-4abc-9def-0123456789ab-c000.snappy.parquet"))))
+    // a non-part visible file appeared
+    assert(!EventStreams.appendOnlyDelta(pre, pre :+ f("docs.csv")))
+    // a visible file deleted
+    assert(!EventStreams.appendOnlyDelta(pre, Seq(part("/L/_SUCCESS"))))
+    // a visible file mutated in place (length changed)
+    assert(!EventStreams.appendOnlyDelta(pre,
+      Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet", len = 11), part("/L/_SUCCESS"))))
+  }
+
+  test("single-writer guard: a second ingest stream on one landing dir is refused while the first is active") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-guard").toString + "/corpus"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestDedup(in1.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-guard-ck1").toString)
+    try {
+      in1.addData((1L, "alpha")); q1.processAllAvailable()
+      val in2 = MemoryStream[(Long, String)]
+      val err = intercept[IllegalStateException] {
+        EventStreams.ingestNearDup(in2.toDF().toDF("doc_id", "text"), landing,
+          java.nio.file.Files.createTempDirectory("graft-guard-ck2").toString)
+      }
+      assert(err.getMessage.contains(landing))
+    } finally q1.stop()
+    // after the first stream stops, its registration is stale and a
+    // new stream takes the landing over
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = EventStreams.ingestDedup(in3.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-guard-ck3").toString)
+    try {
+      in3.addData((2L, "beta"), (3L, "alpha")); q3.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(landed == Seq((1L, "alpha"), (2L, "beta")))
+    } finally q3.stop()
+  }
+
   test("ingestPipeline: exact + near-dup composed in one foreachBatch, one landing") {
     // The production ingest shape (round-13 verdict item 8): both
     // dedup stages against one growing landing dir, survivors landing
