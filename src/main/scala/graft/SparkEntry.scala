@@ -1643,6 +1643,25 @@ object SparkEntry {
       exactFlag.join(nearFlag, Seq("doc_id"))
         .select(col("doc_id"), (col("exact_new") && col("near_new")).as("is_new"))
         .orderBy("doc_id")
+    }),
+
+    // ---- REAL subword token counts driving shard packing ----
+    // q46/q51's Σ⌈len/4⌉ estimator replaced by the actual greedy
+    // longest-match tokenizer over the committed BpeVocab (native
+    // bpe_token_count — one byte scan, trie-walk matching, no
+    // per-row allocation), feeding the same q51 PrefixSum
+    // shard-packing so token budgets are exact, not estimated. The
+    // DuckDB oracle re-derives every count from the SAME vocab list
+    // via a recursive CTE — the two engines share the merge table by
+    // construction, not by coincidence.
+    "q84_bpe_shards" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+                call_function("bpe_token_count", col("text")).as("n_tokens"))
+      PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+                expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)").as("shard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3179,7 +3198,44 @@ object SparkEntry {
         |  (b.text NOT IN (SELECT text FROM documents WHERE doc_id % 20 = 0)
         |   AND neardup.doc_id IS NULL) AS is_new
         |FROM b LEFT JOIN neardup ON neardup.doc_id = b.doc_id
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Greedy longest-match tokenization re-derived from the SAME
+    // committed vocabulary (graft.functions.BpeVocab — interpolated
+    // below, so engine and oracle cannot drift): per word instance,
+    // the recursive CTE repeatedly strips the longest vocab prefix
+    // (or one character when nothing matches), counting one token per
+    // step; the q51 window then packs the exact counts into shards.
+    "q84_bpe_shards" ->
+      s"""WITH RECURSIVE vocab(tok) AS (VALUES ${
+            graft.functions.BpeVocab.Entries.map(v => s"('$v')").mkString(",")}),
+        |words AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |winst AS (SELECT doc_id, w, row_number() OVER () AS wid FROM words),
+        |step AS (
+        |  SELECT wid, doc_id, w AS rem, CAST(0 AS BIGINT) AS ntok FROM winst
+        |  UNION ALL
+        |  SELECT wid, doc_id,
+        |         substr(rem, 1 + coalesce((SELECT max(length(v.tok)) FROM vocab v
+        |                                    WHERE v.tok = substr(rem, 1, length(v.tok))), 1)),
+        |         ntok + 1
+        |  FROM step WHERE rem <> ''),
+        |t AS (
+        |  SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, SUM(ntok) AS n FROM step WHERE rem = ''
+        |             GROUP BY doc_id) n USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

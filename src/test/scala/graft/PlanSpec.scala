@@ -186,6 +186,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"found globally-ordered window over the data in:\n$p")
   }
 
+  test("q84: real-token shard packing — native count in the scan projection, chunk-keyed window") {
+    val p = plan("q84_bpe_shards")
+    // the tokenizer is the native expression evaluated in the scan's
+    // projection — no UDF, no join or extra shuffle added by counting
+    assert(p.contains("bpe_token_count"), s"native tokenizer missing from:\n$p")
+    // and the running total keeps q51's distributed-prefix-sum shape
+    assert(p.contains("windowspecdefinition(__pid"),
+           s"expected chunk-keyed window in:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id#"),
+           s"found globally-ordered window over the data in:\n$p")
+  }
+
   test("no WindowExec anywhere runs with an empty partition spec") {
     // Every intentional single-partition meta window (Percentiles /
     // PrefixSum chunk offsets) is keyed by a constant, so a window

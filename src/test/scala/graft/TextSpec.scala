@@ -252,4 +252,44 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("n") =!= col("r")).collect()
     assert(bad.isEmpty, s"clean_spaces divergence on: ${bad.take(3).mkString("; ")}")
   }
+
+  test("bpe_token_count: greedy longest-match pins — hand-derived token counts") {
+    def n(s: String): Any = one(s, call_function("bpe_token_count", col("text")))
+    assert(n("the") == 1L)                 // whole-word vocab hit
+    assert(n("thequery") == 2L)            // the·query — greedy takes the longest prefix each step
+    assert(n("customer") == 5L)            // c·us·t·om·er — OOV word decomposes via merges
+    assert(n("CUSTOMER") == 5L)            // ASCII case folding before matching
+    assert(n("") == 0L)
+    assert(n("...!!!") == 0L)              // no word characters at all
+    assert(n("the the the") == 3L)         // words tokenized independently
+    assert(n("a-b_c.d") == 4L)             // punctuation splits words (word_tokens discipline)
+    assert(n("0123456789") == 10L)         // digits are single-char units
+  }
+
+  test("bpe_token_count: expression equals the per-word reference tokenizer on every shape") {
+    import graft.functions.BpeVocab
+    def ref(s: String): Long =
+      s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(w => BpeVocab.tokenizeWord(w).size.toLong).sum
+    val cases = Seq(
+      "", "   ", "the", "The Query", "customer vector stream window",
+      "a", "zz", "xyzzyplugh", "data2value", "  spaced   out  ",
+      "MiXeD CaSe ToKeNs", "trailing ", " leading", "tab\there\nnewline",
+      "query-plan_hash.join", "aggregate filtering ordering")
+    cases.foreach { s =>
+      assert(one(s, call_function("bpe_token_count", col("text"))) == ref(s),
+             s"mismatch on: '$s'")
+    }
+    // a word reassembles from its tokens (greedy covers every byte)
+    Seq("customer", "window", "xyzzyplugh", "a1b2c3").foreach { w =>
+      assert(BpeVocab.tokenizeWord(w).mkString == w, s"coverage hole in '$w'")
+    }
+  }
+
+  test("bpe_token_count: null in, null out") {
+    import spark.implicits._
+    val r = Seq[(Integer, String)]((1, null)).toDF("id", "text")
+      .select(call_function("bpe_token_count", col("text")).as("n")).head
+    assert(r.isNullAt(0))
+  }
 }
