@@ -24,6 +24,14 @@ import graft.core.{GraftSession, Tables}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Hygiene first (round-13 forensics): killed sessions orphan
+    // blockmgr-*/spark-* dirs — two 11–14 GB ones were found polluting
+    // sf10 cells via disk/page-cache pressure. Never fail the bench
+    // over cleanup.
+    try sweepStaleSparkLocal()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] stale-dir sweep failed: ${e.getMessage}")
+    }
     val spark = GraftSession.build("graft-bench")
 
     // Warm-up failure must not abort the run: the measured loop below
@@ -95,6 +103,50 @@ object Bench {
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Sweep orphaned Spark local-storage dirs before the run. A killed
+    * session (ctrl-C'd bench, OOM'd test JVM) leaves its `blockmgr-*`
+    * shuffle store and `spark-*` scratch dir behind in the local-dir
+    * root forever; at sf10 a single orphan is 11–14 GB of dead shuffle
+    * blocks competing for disk and page cache with the measured run.
+    * "Stale" = no file ANYWHERE in the tree modified in 30 min — an
+    * ACTIVE session's shuffle/scratch files are seconds old, so the
+    * newest-mtime walk can never sweep a live session's dirs (a
+    * top-level-mtime check could: block files land in subdirs and
+    * don't ripple up). Prints what it swept so the session notes can
+    * record the dir state. */
+  private def sweepStaleSparkLocal(): Unit = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+    val candidates = Option(root.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.isDirectory &&
+        (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+    }
+    var swept = 0
+    var bytes = 0L
+    candidates.foreach { d =>
+      var newest = d.lastModified()
+      var size = 0L
+      def walk(f: java.io.File): Unit =
+        Option(f.listFiles()).getOrElse(Array.empty).foreach { k =>
+          if (k.lastModified() > newest) newest = k.lastModified()
+          if (k.isDirectory) walk(k) else size += k.length()
+        }
+      walk(d)
+      if (newest < cutoff) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+          f.delete(); ()
+        }
+        del(d)
+        swept += 1
+        bytes += size
+      }
+    }
+    if (swept > 0)
+      System.err.println(
+        f"[bench] swept $swept stale spark-local dir(s), ${bytes / 1e9}%.1f GB freed")
   }
 
   /** Touch each scan/codegen path the measured queries rely on:
