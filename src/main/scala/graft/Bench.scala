@@ -110,13 +110,21 @@ object Bench {
     * shuffle store and `spark-*` scratch dir behind in the local-dir
     * root forever; at sf10 a single orphan is 11–14 GB of dead shuffle
     * blocks competing for disk and page cache with the measured run.
-    * "Stale" = no file ANYWHERE in the tree modified in 30 min — an
-    * ACTIVE session's shuffle/scratch files are seconds old, so the
-    * newest-mtime walk can never sweep a live session's dirs (a
-    * top-level-mtime check could: block files land in subdirs and
-    * don't ripple up). Prints what it swept so the session notes can
-    * record the dir state. */
+    *
+    * A dir is swept only when BOTH hold: (1) no file anywhere in its
+    * tree was modified in 30 min — an actively-working session's
+    * shuffle/scratch files are seconds old (the walk checks every
+    * file; a top-level-mtime check would miss block files in subdirs)
+    * — and (2) no live process holds an open fd under it (/proc
+    * scan). Honest limits: a session that has been fully QUIESCENT
+    * for 30+ min with zero open handles into its store is
+    * indistinguishable from an orphan by any local heuristic and
+    * would be swept; on a bench host that trade is right, and
+    * `SPARK_GRAFT_SWEEP=0` disables the sweep entirely for shared
+    * hosts. Prints what it swept so the session notes can record the
+    * dir state. */
   private def sweepStaleSparkLocal(): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("0")) return
     val root = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
     val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
     val candidates = Option(root.listFiles()).getOrElse(Array.empty).filter { f =>
@@ -134,7 +142,7 @@ object Bench {
           if (k.isDirectory) walk(k) else size += k.length()
         }
       walk(d)
-      if (newest < cutoff) {
+      if (newest < cutoff && !hasOpenFds(d)) {
         def del(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
           f.delete(); ()
@@ -147,6 +155,24 @@ object Bench {
     if (swept > 0)
       System.err.println(
         f"[bench] swept $swept stale spark-local dir(s), ${bytes / 1e9}%.1f GB freed")
+  }
+
+  /** True when any live process holds an open file descriptor under
+    * `dir` (Linux /proc/<pid>/fd scan; unreadable entries — raced
+    * exits, permissions — count as no evidence). */
+  private def hasOpenFds(dir: java.io.File): Boolean = {
+    val target = dir.getAbsolutePath
+    val prefix = target + "/"
+    val procs = Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+    procs.exists { p =>
+      Option(new java.io.File(p, "fd").listFiles()).getOrElse(Array.empty).exists { fd =>
+        try {
+          val t = java.nio.file.Files.readSymbolicLink(fd.toPath).toString
+          t == target || t.startsWith(prefix)
+        } catch { case _: Throwable => false }
+      }
+    }
   }
 
   /** Touch each scan/codegen path the measured queries rely on:

@@ -262,6 +262,19 @@ object EventStreams {
   private[graft] val carriedBuckets =
     new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
 
+  /** One canonical form per physical landing dir — `makeQualified`
+    * resolves scheme/authority/trailing-slash spellings ('/a/b/',
+    * 'file:/a/b') to one string, so the per-landing state maps and the
+    * single-writer guard cannot be split or bypassed by a path alias
+    * (two spellings of one dir would otherwise run two "independent"
+    * carries that invalidate each other's folds every batch). Every
+    * public ingest entry normalizes ONCE; all internal state and I/O
+    * use the canonical form. */
+  private[graft] def landingKey(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
   private def landingParts(spark: SparkSession, landingDir: String): Seq[String] =
     graft.core.Tables.listing(spark, landingDir)
 
@@ -286,29 +299,40 @@ object EventStreams {
   private val PartFileUuid =
     raw"part-\d+-([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})-.*".r
 
-  /** True iff `post` is `pre` plus ONLY the files one Spark write job
-    * appended: no visible file deleted or mutated in place, and every
+  /** True iff `post` is `pre` plus ONLY the files THIS batch's write
+    * job appended: no visible file deleted or mutated in place, every
     * new visible file a `part-*` data file sharing a single write-job
-    * UUID. This is what lets [[foldCarries]] stamp the post-append
-    * fingerprint safely — the validated listing provably contains no
-    * out-of-band file whose rows the folded blob would be missing
-    * (rows the bloom lacks would probe definitively-new and admit
-    * duplicates forever). Hidden files (`_SUCCESS`, checksums) are
-    * ignored: the scans that define corpus content never read them.
-    * Conservative by design: any unexpected delta returns false and
-    * the caller drops the carry — one reseed scan, never staleness. */
-  private[graft] def appendOnlyDelta(pre: Seq[String], post: Seq[String]): Boolean = {
+    * UUID, and the delta's presence consistent with the observed
+    * appended row count — `appendedRows == 0` demands an EMPTY visible
+    * delta (a zero-row append writes no data file, so any new file is
+    * someone else's), while `appendedRows > 0` demands a non-empty one
+    * (our files must be in it, so a single foreign job can't pose as
+    * ours: two writers would show two UUIDs). This is what lets
+    * [[foldCarries]] stamp the post-append fingerprint safely — the
+    * validated listing provably contains no out-of-band file whose
+    * rows the folded blob would be missing (rows the bloom lacks would
+    * probe definitively-new and admit duplicates forever). Hidden
+    * files (`_SUCCESS`, checksums) are ignored: the scans that define
+    * corpus content never read them. Conservative by design: any
+    * unexpected delta returns false and the caller drops the carry —
+    * one reseed scan, never staleness. */
+  private[graft] def appendOnlyDelta(pre: Seq[String], post: Seq[String],
+                                     appendedRows: Long): Boolean = {
     val preV = pre.filter(isVisible).toSet
     val postV = post.filter(isVisible).toSet
     preV.subsetOf(postV) && {
-      val uuids = (postV -- preV).toSeq.map { part =>
-        val p = partPath(part)
-        p.substring(p.lastIndexOf('/') + 1) match {
-          case PartFileUuid(u) => Some(u.toLowerCase)
-          case _ => None
+      val delta = (postV -- preV).toSeq
+      if (appendedRows == 0L) delta.isEmpty
+      else delta.nonEmpty && {
+        val uuids = delta.map { part =>
+          val p = partPath(part)
+          p.substring(p.lastIndexOf('/') + 1) match {
+            case PartFileUuid(u) => Some(u.toLowerCase)
+            case _ => None
+          }
         }
+        uuids.forall(_.isDefined) && uuids.flatten.distinct.size == 1
       }
-      uuids.forall(_.isDefined) && uuids.flatten.distinct.size <= 1
     }
   }
 
@@ -326,12 +350,12 @@ object EventStreams {
     * includes whatever landed out-of-band). Also drops a carry whose
     * capacity the landed count outgrew (next batch reseeds larger). */
   private def foldCarries(spark: SparkSession, landingDir: String,
-                          preParts: Seq[String],
+                          preParts: Seq[String], appendedRows: Long,
                           textBloom: Option[Array[Byte]],
                           bucketBloom: Option[Array[Byte]],
                           landedCount: Long): Unit = {
     val postParts = landingParts(spark, landingDir)
-    if (!appendOnlyDelta(preParts, postParts)) {
+    if (!appendOnlyDelta(preParts, postParts, appendedRows)) {
       carriedBlooms.remove(landingDir)
       carriedBuckets.remove(landingDir)
       return
@@ -383,15 +407,22 @@ object EventStreams {
     * itself — no corpus existed before it, so the append IS the
     * corpus, and `fresh`'s first-batch plan reads no landing (the dir
     * was absent), so re-running it here is landing-free batch-scale
-    * work. */
+    * work (the caller persists `fresh`, so it is one cached pass).
+    * The stamped listing gets the SAME validation as the fold's: the
+    * landing must hold exactly this append's files (pre = nothing),
+    * else another writer raced the window and the seed is SKIPPED —
+    * no carry beats a carry missing the raced-in rows, and the next
+    * batch reseeds from the landing, which by then includes them. */
   private def seedCarryFromAppend(spark: SparkSession, landingDir: String,
                                   fresh: DataFrame, landedCount: Long,
                                   textCol: String): Unit = {
+    val post = landingParts(spark, landingDir)
+    if (!appendOnlyDelta(Seq.empty, post, landedCount)) return
     val cap = math.max(landedCount, 1L) * 4
     val bits = graft.ops.IncrementalDedup.sizedBits(cap)
     carriedBlooms.put(landingDir, CarriedBloom(
       graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
-      bits, 3, cap, fpOf(landingParts(spark, landingDir))))
+      bits, 3, cap, fpOf(post)))
   }
 
   /** Two-phase cross-batch exact confirm over in-batch keepers
@@ -484,14 +515,17 @@ object EventStreams {
     }
 
   /** First batch only: seed the bucket carry from the append itself
-    * (landing-free — see [[seedCarryFromAppend]]). */
+    * (landing-free, validated and skip-on-race — see
+    * [[seedCarryFromAppend]]). */
   private def seedBucketsFromAppend(spark: SparkSession, landingDir: String,
                                     fresh: DataFrame, landedCount: Long): Unit = {
+    val post = landingParts(spark, landingDir)
+    if (!appendOnlyDelta(Seq.empty, post, landedCount)) return
     val cap = math.max(landedCount, 1L) * 4
     val bits = bucketBits(cap)
     carriedBuckets.put(landingDir, CarriedBloom(
       buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
-      bits, 3, cap, fpOf(landingParts(spark, landingDir))))
+      bits, 3, cap, fpOf(post)))
   }
 
   /** Two-phase cross-batch near-dup confirm — the bucket-bloom twin of
@@ -590,6 +624,12 @@ object EventStreams {
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
+      checkpointDir, textCol, idCol)
+
+  private def ingestDedupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
+                              textCol: String, idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     // Landed row count carried across batches: seeded ONCE (first
     // batch that finds an existing dir — one metadata count), then
@@ -622,7 +662,11 @@ object EventStreams {
               landed.set(0L)
               carriedBlooms.remove(landingDir)
               carriedBuckets.remove(landingDir)
-              (firsts, Seq.empty[String])
+              // persisted: the write AND the seed's bloom build both
+              // consume this frame — one computed pass, not two
+              val f = firsts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= f
+              (f, Seq.empty[String])
             } else {
               // ONE listing serves both the staleness check and the
               // fold's pre-append snapshot — taken before the corpus
@@ -648,11 +692,12 @@ object EventStreams {
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
-          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          val appended = obs.get("n").asInstanceOf[Long]
+          landed.addAndGet(appended)
           if (firstBatch)
             seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
           else
-            foldCarries(spark, landingDir, preParts,
+            foldCarries(spark, landingDir, preParts, appended,
               bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
               None, landed.get())
         } finally persisted.foreach(_.unpersist(false))
@@ -685,6 +730,12 @@ object EventStreams {
   def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
                     textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
+      checkpointDir, textCol, idCol)
+
+  private def ingestNearDupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
+                                textCol: String, idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
     val landed = landedCounts.computeIfAbsent(landingDir,
@@ -705,7 +756,10 @@ object EventStreams {
               landed.set(0L)
               carriedBlooms.remove(landingDir)
               carriedBuckets.remove(landingDir)
-              (kept, Seq.empty[String])
+              // persisted: write + bucket-seed both consume it
+              val f = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= f
+              (f, Seq.empty[String])
             } else {
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
@@ -723,11 +777,12 @@ object EventStreams {
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
-          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          val appended = obs.get("n").asInstanceOf[Long]
+          landed.addAndGet(appended)
           if (firstBatch)
             seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
           else
-            foldCarries(spark, landingDir, preParts,
+            foldCarries(spark, landingDir, preParts, appended,
               None, observedBucketBloom(landingDir, obs), landed.get())
         } finally persisted.foreach(_.unpersist(false))
         ()
@@ -760,6 +815,12 @@ object EventStreams {
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
+      checkpointDir, textCol, idCol)
+
+  private def ingestPipelineImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
+                                 textCol: String, idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
     val landed = landedCounts.computeIfAbsent(landingDir,
@@ -781,10 +842,14 @@ object EventStreams {
               carriedBlooms.remove(landingDir)
               carriedBuckets.remove(landingDir)
               // stage 2a only (nothing landed to probe): in-batch
-              // near-dup keeper over the exact-survivors
-              (NearDupIncremental.keepBucketMins(
-                NearDupIncremental.withSigs(firsts, textCol), idCol),
-               Seq.empty[String])
+              // near-dup keeper over the exact-survivors. Persisted:
+              // the write and BOTH seeds' bloom builds consume it —
+              // one tokenize+sign pass, not three
+              val f = NearDupIncremental.keepBucketMins(
+                  NearDupIncremental.withSigs(firsts, textCol), idCol)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= f
+              (f, Seq.empty[String])
             } else {
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
@@ -817,12 +882,13 @@ object EventStreams {
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
-          landed.addAndGet(obs.get("n").asInstanceOf[Long])
+          val appended = obs.get("n").asInstanceOf[Long]
+          landed.addAndGet(appended)
           if (firstBatch) {
             seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
             seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
           } else
-            foldCarries(spark, landingDir, preParts,
+            foldCarries(spark, landingDir, preParts, appended,
               bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
               observedBucketBloom(landingDir, obs), landed.get())
         } finally persisted.foreach(_.unpersist(false))

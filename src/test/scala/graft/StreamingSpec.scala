@@ -292,7 +292,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       // append's observed size) — this is what lets sizedBits run
       // without a per-batch metadata count over the growing file
       // listing of the landing dir
-      assert(EventStreams.landedCounts.get(landing).get() == 3L)
+      assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 3L)
     } finally q.stop()
   }
 
@@ -440,7 +440,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
     }
-    EventStreams.carriedBlooms.remove(landing)
+    EventStreams.carriedBlooms.remove(EventStreams.landingKey(spark, landing))
     spark.listenerManager.register(listener)
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.ingestDedup(input.toDF().toDF("doc_id", "text"), landing, ckpt)
@@ -457,7 +457,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       Thread.sleep(1500)
       assert(bloomScansOnLanding.get() == 0,
         s"expected 0 landing-scanning bloom builds, got ${bloomScansOnLanding.get()}")
-      assert(EventStreams.carriedBlooms.containsKey(landing), "carry missing after 3 batches")
+      assert(EventStreams.carriedBlooms.containsKey(EventStreams.landingKey(spark, landing)), "carry missing after 3 batches")
     } finally {
       q.stop()
       spark.listenerManager.unregister(listener)
@@ -497,7 +497,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // pre-exist the corpus so the stream's first batch takes the
     // seed path (a restart over landed state — the expensive case)
     Seq((1L, "alpha")).toDF("doc_id", "text").write.parquet(landing)
-    EventStreams.landedCounts.remove(landing) // simulate a fresh JVM
+    EventStreams.landedCounts.remove(EventStreams.landingKey(spark, landing)) // simulate a fresh JVM
     spark.listenerManager.register(listener)
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.ingestDedup(
@@ -525,7 +525,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       }
       assert(countsOnLanding.get() == 1,
         s"expected exactly the one seed count over the landing dir, got ${countsOnLanding.get()}")
-      assert(EventStreams.landedCounts.get(landing).get() == 4L) // 1 seeded + 3 landed
+      assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 4L) // 1 seeded + 3 landed
     } finally {
       q.stop()
       spark.listenerManager.unregister(listener)
@@ -547,7 +547,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     try {
       in1.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       q1.processAllAvailable()
-      assert(EventStreams.landedCounts.get(landing).get() == 3L)
+      assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 3L)
     } finally q1.stop()
     // wipe the landing; new stream, same dir, fresh checkpoint
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(landing))
@@ -557,7 +557,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     try {
       in2.addData((10L, "delta"))
       q2.processAllAvailable()
-      assert(EventStreams.landedCounts.get(landing).get() == 1L,
+      assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 1L,
         "carried count did not reset with the recreated landing dir")
       assert(spark.read.parquet(landing).count() == 1L)
     } finally q2.stop()
@@ -616,7 +616,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       counter.armed.set(false)
       assert(counter.touches.get() == 0,
         s"clean near-dup batches touched the landing ${counter.touches.get()} times")
-      assert(EventStreams.carriedBuckets.containsKey(landing), "bucket carry missing")
+      assert(EventStreams.carriedBuckets.containsKey(EventStreams.landingKey(spark, landing)), "bucket carry missing")
       // and the carry still DEDUPS: a cross-batch near-dup (edited
       // repost of textA) is a candidate, confirmed against the
       // landing (a legitimate read, after disarm), and dropped
@@ -680,12 +680,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     try {
       input.addData((1L, "alpha"), (2L, "beta"))
       q.processAllAvailable()
-      assert(EventStreams.carriedBlooms.containsKey(landing))
+      assert(EventStreams.carriedBlooms.containsKey(EventStreams.landingKey(spark, landing)))
       // arm the race: right after batch 2's append returns and before
       // its fold re-lists, a second writer lands (99,"omega")
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       EventStreams.postAppendHook = (dir, _) =>
-        if (dir == landing && fired.compareAndSet(false, true))
+        if (dir == EventStreams.landingKey(spark, landing) && fired.compareAndSet(false, true))
           Seq((99L, "omega")).toDF("doc_id", "text")
             .coalesce(1).write.mode("append").parquet(landing)
       input.addData((3L, "gamma"))
@@ -693,7 +693,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       EventStreams.postAppendHook = (_, _) => ()
       assert(fired.get(), "race hook did not fire")
       // the fold saw a delta with two write UUIDs → carry dropped
-      assert(!EventStreams.carriedBlooms.containsKey(landing),
+      assert(!EventStreams.carriedBlooms.containsKey(EventStreams.landingKey(spark, landing)),
         "carry survived an out-of-band append inside the fold window")
       // next batch reseeds from the landing (which includes omega), so
       // the duplicate of the raced-in row is still rejected
@@ -703,39 +703,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(landed == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
                            (5L, "epsilon"), (99L, "omega")))
-      assert(EventStreams.carriedBlooms.containsKey(landing), "reseed did not restore the carry")
+      assert(EventStreams.carriedBlooms.containsKey(EventStreams.landingKey(spark, landing)), "reseed did not restore the carry")
     } finally {
       EventStreams.postAppendHook = (_, _) => ()
       q.stop()
     }
   }
 
-  test("appendOnlyDelta: only a single write job's part files validate the fold") {
+  test("appendOnlyDelta: only THIS batch's write job's part files validate the fold") {
     def part(path: String, len: Int = 10, mtime: Int = 1): String = s"$path:$len:$mtime"
     val u1 = "0b7ac24e-1111-4abc-9def-0123456789ab"
     val u2 = "9f8e7d6c-2222-4abc-9def-0123456789ab"
     val pre = Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet"), part("/L/_SUCCESS"))
     def f(name: String, len: Int = 10, mtime: Int = 1) = part(s"/L/$name", len, mtime)
-    // pure append from one job
+    // pure append from one job, rows observed
     assert(EventStreams.appendOnlyDelta(pre,
-      pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"), f(s"part-00001-$u2-c000.snappy.parquet"))))
-    // empty delta (empty batch wrote nothing)
-    assert(EventStreams.appendOnlyDelta(pre, pre))
+      pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"), f(s"part-00001-$u2-c000.snappy.parquet")),
+      appendedRows = 2))
+    // zero-row batch wrote nothing: empty delta is the ONLY clean shape
+    assert(EventStreams.appendOnlyDelta(pre, pre, appendedRows = 0))
+    // zero-row batch + a single FOREIGN job's file: without the row-count
+    // cross-check this validated (one uuid!) and poisoned the carry —
+    // the files can't be ours, so it must be refused
+    assert(!EventStreams.appendOnlyDelta(pre,
+      pre :+ f(s"part-00000-$u2-c000.snappy.parquet"), appendedRows = 0))
+    // rows observed but no file appeared: inconsistent — refuse
+    assert(!EventStreams.appendOnlyDelta(pre, pre, appendedRows = 2))
     // _SUCCESS rewritten in place (mtime moved): hidden files are
     // outside the corpus contract — still clean
     assert(EventStreams.appendOnlyDelta(pre,
-      Seq(pre.head, f("_SUCCESS", mtime = 9), f(s"part-00000-$u2-c000.snappy.parquet"))))
+      Seq(pre.head, f("_SUCCESS", mtime = 9), f(s"part-00000-$u2-c000.snappy.parquet")),
+      appendedRows = 1))
     // TWO write jobs in the delta: an interloper raced the append
     assert(!EventStreams.appendOnlyDelta(pre,
       pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"),
-                 f(s"part-00000-9a8b7c6d-3333-4abc-9def-0123456789ab-c000.snappy.parquet"))))
+                 f(s"part-00000-9a8b7c6d-3333-4abc-9def-0123456789ab-c000.snappy.parquet")),
+      appendedRows = 2))
     // a non-part visible file appeared
-    assert(!EventStreams.appendOnlyDelta(pre, pre :+ f("docs.csv")))
+    assert(!EventStreams.appendOnlyDelta(pre, pre :+ f("docs.csv"), appendedRows = 1))
     // a visible file deleted
-    assert(!EventStreams.appendOnlyDelta(pre, Seq(part("/L/_SUCCESS"))))
+    assert(!EventStreams.appendOnlyDelta(pre, Seq(part("/L/_SUCCESS")), appendedRows = 0))
     // a visible file mutated in place (length changed)
     assert(!EventStreams.appendOnlyDelta(pre,
-      Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet", len = 11), part("/L/_SUCCESS"))))
+      Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet", len = 11), part("/L/_SUCCESS")),
+      appendedRows = 0))
+  }
+
+  test("landingKey: path spellings of one dir share one state key") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-lk").toString + "/corpus"
+    val k1 = EventStreams.landingKey(spark, raw)
+    assert(k1 == EventStreams.landingKey(spark, raw + "/"), "trailing slash split the key")
+    assert(k1 == EventStreams.landingKey(spark, "file:" + raw), "scheme spelling split the key")
+    assert(k1 == EventStreams.landingKey(spark, k1), "normalization not idempotent")
   }
 
   test("single-writer guard: a second ingest stream on one landing dir is refused while the first is active") {
@@ -801,7 +820,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       // survivors land with their signature columns (near-dup state)
       assert(Seq("mh1", "mh2", "mh3", "mh4").forall(landed.columns.contains))
       // and the carried landed count tracked every append exactly
-      assert(EventStreams.landedCounts.get(landing).get() == 3L)
+      assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 3L)
     } finally q.stop()
   }
 }
