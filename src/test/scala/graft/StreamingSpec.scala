@@ -757,6 +757,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(k1 == EventStreams.landingKey(spark, k1), "normalization not idempotent")
   }
 
+  test("single-writer guard: a path ALIAS of an active landing dir is refused too") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-alias").toString + "/corpus"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestDedup(in1.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-alias-ck1").toString)
+    try {
+      in1.addData((1L, "alpha")); q1.processAllAvailable()
+      val in2 = MemoryStream[(Long, String)]
+      // same physical dir, different spellings — both must hit the guard
+      for (alias <- Seq(landing + "/", "file:" + landing)) {
+        intercept[IllegalStateException] {
+          EventStreams.ingestDedup(in2.toDF().toDF("doc_id", "text"), alias,
+            java.nio.file.Files.createTempDirectory("graft-alias-ck2").toString)
+        }
+      }
+    } finally q1.stop()
+  }
+
   test("single-writer guard: a second ingest stream on one landing dir is refused while the first is active") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
