@@ -1662,6 +1662,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
                 expr("CAST((cum_tokens - n_tokens) div 2000 AS BIGINT)").as("shard"))
         .orderBy("doc_id")
+    }),
+
+    // ---- context-window chunking by token budget ----
+    // The step between counting (q84) and packing (q51): documents
+    // longer than the model window are cut into ≤64-token pieces at
+    // WORD granularity (greedy — add whole words until the next would
+    // overflow; an over-budget single word gets its own chunk). The
+    // native bpe_chunks emits the chunk array in the same one-byte
+    // scan that counts tokens; per-chunk counts are re-derived with
+    // bpe_token_count (equal to the sum of the chunk's word counts by
+    // construction — the chunk IS its words space-joined). Map-only
+    // until the final sort; the oracle re-derives chunk boundaries
+    // from the same vocab via a recursive greedy accumulate.
+    "q85_token_chunks" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                posexplode(call_function("bpe_chunks", col("text"), lit(64)))
+                  .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+                col("chunk_text"),
+                call_function("bpe_token_count", col("chunk_text")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -3235,7 +3257,48 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
         |FROM t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Greedy token-budget chunking re-derived from the SAME vocab:
+    // per-word counts via the strip-longest-prefix recursion (as
+    // q84), then a second recursion accumulates word counts in doc
+    // order, starting a new chunk when the running total would pass
+    // the budget — the exact greedy rule bpe_chunks implements.
+    "q85_token_chunks" ->
+      s"""WITH RECURSIVE vocab(tok) AS (VALUES ${
+            graft.functions.BpeVocab.Entries.map(v => s"('$v')").mkString(",")}),
+        |w0 AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi0
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws
+        |        FROM documents)),
+        |words AS (
+        |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY wi0) AS wi
+        |  FROM w0 WHERE w <> ''),
+        |step AS (
+        |  SELECT doc_id, wi, w AS rem, CAST(0 AS BIGINT) AS ntok FROM words
+        |  UNION ALL
+        |  SELECT doc_id, wi,
+        |         substr(rem, 1 + coalesce((SELECT max(length(v.tok)) FROM vocab v
+        |                                    WHERE v.tok = substr(rem, 1, length(v.tok))), 1)),
+        |         ntok + 1
+        |  FROM step WHERE rem <> ''),
+        |wt AS (
+        |  SELECT s.doc_id, s.wi, w.w, s.ntok AS t
+        |  FROM (SELECT doc_id, wi, ntok FROM step WHERE rem = '') s
+        |  JOIN words w USING (doc_id, wi)),
+        |chunk AS (
+        |  SELECT doc_id, wi, CAST(0 AS BIGINT) AS chunk_id, t AS cur FROM wt WHERE wi = 1
+        |  UNION ALL
+        |  SELECT w.doc_id, w.wi,
+        |         CASE WHEN c.cur + w.t > 64 THEN c.chunk_id + 1 ELSE c.chunk_id END,
+        |         CASE WHEN c.cur + w.t > 64 THEN w.t ELSE c.cur + w.t END
+        |  FROM chunk c JOIN wt w ON w.doc_id = c.doc_id AND w.wi = c.wi + 1)
+        |SELECT c.doc_id, c.chunk_id,
+        |       string_agg(w.w, ' ' ORDER BY c.wi) AS chunk_text,
+        |       CAST(SUM(w.t) AS BIGINT) AS n_tokens
+        |FROM chunk c JOIN wt w USING (doc_id, wi)
+        |GROUP BY c.doc_id, c.chunk_id
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -58,6 +58,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.BloomMightContain.description)
         ext.injectFunction(graft.functions.WordChunks.description)
         ext.injectFunction(graft.functions.BpeTokenCount.description)
+        ext.injectFunction(graft.functions.BpeChunks.description)
         ext.injectFunction(graft.functions.PiiScrub.description)
         ext.injectFunction(graft.functions.NfcNormalize.description)
         ext.injectFunction(graft.functions.CleanSpaces.description)

@@ -170,3 +170,107 @@ object BpeTokenCount {
     new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
     (children: Seq[Expression]) => BpeTokenCount(children.head))
 }
+
+/** `bpe_chunks(text, budget)` → ARRAY<STRING>: the document split into
+  * maximal pieces of at most `budget` subword tokens ([[BpeVocab]]
+  * counting, word granularity) — the context-window-sized chunking a
+  * training pipeline runs between token counting (q84) and packing:
+  * documents longer than the model's window must be cut, and cutting
+  * mid-word wastes tokens, so the greedy rule is "add whole words
+  * until the next word would overflow, then start a new chunk".
+  *
+  * Semantics (lockstep with the DuckDB oracle's recursive
+  * accumulate): words are the [[WordTokens]] discipline (maximal
+  * `[a-zA-Z0-9]+` runs, ASCII-lowered); chunk text is its words
+  * joined by single spaces, so `bpe_token_count(chunk)` = the sum of
+  * its words' counts by construction. A single word over budget gets
+  * its own chunk (never split — the oracle's base case likewise). No
+  * words → empty array.
+  *
+  * One byte scan; the per-word token count is the same trie walk the
+  * counter uses, so chunking costs one extra output buffer over
+  * counting. */
+case class BpeChunks(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"bpe_chunks needs STRING text, got ${left.dataType.catalogString}")
+    if (!right.foldable || right.dataType != org.apache.spark.sql.types.IntegerType ||
+        right.eval() == null || right.eval().asInstanceOf[Int] < 1)
+      return TypeCheckResult.TypeCheckFailure(
+        s"bpe_chunks budget must be a foldable positive INT, got ${right.sql}")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val budget: Int = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(textAny: Any, budgetAny: Any): Any = {
+    val bytes = textAny.asInstanceOf[UTF8String].getBytes
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val cur = new java.io.ByteArrayOutputStream()
+    var curTokens = 0L
+    def emit(): Unit = {
+      if (curTokens > 0) {
+        chunks += UTF8String.fromBytes(cur.toByteArray)
+        cur.reset()
+        curTokens = 0L
+      }
+    }
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9')
+      if (alnum) {
+        var e = i
+        var go = true
+        while (go && e < len) {
+          val c = bytes(e)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9')) e += 1
+          else go = false
+        }
+        var t = 0L
+        var p = i
+        while (p < e) {
+          val m = BpeVocab.longestMatch(bytes, p, e)
+          p += (if (m == 0) 1 else m)
+          t += 1
+        }
+        if (curTokens > 0 && curTokens + t > budget) emit()
+        if (curTokens > 0) cur.write(' ')
+        var j = i
+        while (j < e) {
+          val c = bytes(j)
+          cur.write(if (c >= 'A' && c <= 'Z') c + 32 else c)
+          j += 1
+        }
+        curTokens += t
+        i = e
+      } else i += 1
+    }
+    emit()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeChunks =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bpe_chunks"
+}
+
+object BpeChunks {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_chunks"),
+    new ExpressionInfo(classOf[BpeChunks].getName, "bpe_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bpe_chunks(text, budget) takes exactly 2 arguments")
+      BpeChunks(children.head, children(1))
+    })
+}

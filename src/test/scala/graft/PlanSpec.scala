@@ -198,6 +198,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"found globally-ordered window over the data in:\n$p")
   }
 
+  test("q85: token-budget chunking is map-only — generate + project, zero pre-sort exchanges") {
+    val p = plan("q85_token_chunks")
+    assert(p.contains("bpe_chunks"), s"native chunker missing from:\n$p")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a per-doc chunking pipeline:\n$p")
+  }
+
   test("no WindowExec anywhere runs with an empty partition spec") {
     // Every intentional single-partition meta window (Percentiles /
     // PrefixSum chunk offsets) is keyed by a constant, so a window

@@ -286,6 +286,37 @@ class TextSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bpe_chunks: greedy whole-word packing against a token budget") {
+    def chunks(s: String, budget: Int): Seq[String] =
+      one(s, call_function("bpe_chunks", col("text"), lit(budget)))
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    // "the"=1 token each: budget 2 packs two words per chunk
+    assert(chunks("the the the the the", 2) ==
+      Seq("the the", "the the", "the"))
+    // a word that alone exceeds the budget gets its own chunk, unsplit
+    // (customer=5 tokens, the=1; budget 3)
+    assert(chunks("the customer the", 3) == Seq("the", "customer", "the"))
+    // chunk text is lowered and space-joined regardless of input shape
+    assert(chunks("The,Query;the", 2) == Seq("the query", "the"))
+    // no words -> no chunks; everything fits -> one chunk
+    assert(chunks("...", 5) == Seq())
+    assert(chunks("the query", 64) == Seq("the query"))
+    // invariant: every chunk respects the budget unless it is a single
+    // over-budget word, and token counts are additive over the split
+    val text = ("customer vector stream window the query table filters " * 20).trim
+    val budget = 16
+    val cs = chunks(text, budget)
+    import spark.implicits._
+    val counts = cs.toDF("c")
+      .select(call_function("bpe_token_count", col("c")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts.forall(_ <= budget), s"chunk over budget: ${counts.max}")
+    val total = one(text, call_function("bpe_token_count", col("text"))).asInstanceOf[Long]
+    assert(counts.sum == total, "token counts not additive over the chunking")
+    assert(cs.mkString(" ") == text.toLowerCase(java.util.Locale.ROOT),
+      "chunks do not reassemble the word stream")
+  }
+
   test("bpe_token_count: null in, null out") {
     import spark.implicits._
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "text")
