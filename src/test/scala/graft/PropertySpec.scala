@@ -441,4 +441,55 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(j == want, s"x=$x y=$y: got $j, want $want")
     }
   }
+
+  /** Driver-side greedy tokenizer — independent of the expression's
+    * byte scan (String ops, per-word, via BpeVocab's own matcher). */
+  private def bpeCountRef(s: String): Long =
+    s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+      .map(w => graft.functions.BpeVocab.tokenizeWord(w).size.toLong).sum
+
+  private def bpeChunksRef(s: String, budget: Int): Seq[(String, Long)] = {
+    val words = s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var cur = Vector.empty[String]
+    var curT = 0L
+    words.foreach { w =>
+      val t = graft.functions.BpeVocab.tokenizeWord(w).size.toLong
+      if (cur.nonEmpty && curT + t > budget) {
+        out += ((cur.mkString(" "), curT)); cur = Vector.empty; curT = 0L
+      }
+      cur :+= w; curT += t
+    }
+    if (cur.nonEmpty) out += ((cur.mkString(" "), curT))
+    out.toSeq
+  }
+
+  test("bpe_token_count / bpe_chunks match the driver-side greedy reference on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xB9E5EEDL)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,;-_!?\t\n"
+    val texts = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(80)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "the", "customer", "a" * 200)
+    val budget = 7
+    val rows = texts.toDF("text").select(
+      col("text"),
+      call_function("bpe_token_count", col("text")).as("n"),
+      call_function("bpe_chunks", col("text"), lit(budget)).as("cs"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      assert(r.getLong(1) == bpeCountRef(text), s"count mismatch on '$text'")
+      val got = r.getSeq[String](2).toSeq
+      val want = bpeChunksRef(text, budget)
+      assert(got == want.map(_._1), s"chunks mismatch on '$text': $got vs $want")
+      // counts additive: chunk counts sum to the text's count, and
+      // each chunk is within budget unless it is a lone long word
+      want.foreach { case (c, t) =>
+        assert(t <= budget || !c.contains(' '), s"multi-word chunk over budget: '$c'")
+      }
+      assert(want.map(_._2).sum == r.getLong(1), s"additivity broke on '$text'")
+    }
+  }
 }
