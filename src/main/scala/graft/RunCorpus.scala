@@ -14,6 +14,7 @@ import graft.pipeline.CorpusPipeline
   *                   [--no-cleanup] [--no-pii] [--no-exact-dedup]
   *                   [--no-chunk-dedup] [--no-quality] [--no-split]
   *                   [--chunk-w N] [--min-tokens N] [--train-pct N]
+  *                   [--window-tokens N]
   *
   * `--in` is a parquet path: either a documents table file/dir
   * directly, or a testdata sf directory (its `documents.parquet` is
@@ -31,7 +32,8 @@ object RunCorpus {
       |  [--near-dup]                  enable the MinHash near-dup stage
       |  [--no-cleanup] [--no-pii] [--no-exact-dedup]
       |  [--no-chunk-dedup] [--no-quality] [--no-split]
-      |  [--chunk-w N] [--min-tokens N] [--train-pct N]""".stripMargin
+      |  [--chunk-w N] [--min-tokens N] [--train-pct N]
+      |  [--window-tokens N]              explode docs into <=N-token chunks (q85 stage)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-corpus")
@@ -69,7 +71,8 @@ object RunCorpus {
       minTokens = opts.getOrElse("min-tokens", "5").toInt,
       nearDup = opts.contains("near-dup"),
       split = !opts.contains("no-split"),
-      trainPct = opts.getOrElse("train-pct", "80").toInt)
+      trainPct = opts.getOrElse("train-pct", "80").toInt,
+      windowTokens = opts.getOrElse("window-tokens", "0").toInt)
 
     try {
       val docs = spark.read.parquet(inPath)
@@ -114,7 +117,8 @@ object RunCorpus {
 
   private val flags = Set("dry-run", "near-dup", "no-cleanup", "no-pii", "no-exact-dedup",
     "no-chunk-dedup", "no-quality", "no-split")
-  private val valued = Set("in", "out", "chunk-w", "min-tokens", "train-pct")
+  private val valued = Set("in", "out", "chunk-w", "min-tokens", "train-pct",
+    "window-tokens")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

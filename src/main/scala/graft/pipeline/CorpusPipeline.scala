@@ -8,10 +8,10 @@ import graft.ops.{ChunkDedup, NearDupIncremental, Pii, Text}
 /** The end-to-end LLM-corpus preparation flow, as one composable
   * operator: cleanup → PII scrub → exact dedup → optional MinHash
   * near-dup dedup → chunk-level boilerplate dedup → quality gate →
-  * deterministic split. Each stage
-  * is an operator oracled on its own (q77, q72, q21, q82, q73, q23, q45);
-  * this object pins how they CHAIN, and [[graft.RunCorpus]] makes the
-  * chain drivable from the command line.
+  * deterministic split → optional context-window chunking. Each stage
+  * is an operator oracled on its own (q77, q72, q21, q82, q73, q23,
+  * q45, q85); this object pins how they CHAIN, and [[graft.RunCorpus]]
+  * makes the chain drivable from the command line.
   *
   * Scale shape: stages 1–2 are pure projections; exact dedup is one
   * hash aggregation (min-struct keeper — map-side combinable, the q21
@@ -22,11 +22,15 @@ import graft.ops.{ChunkDedup, NearDupIncremental, Pii, Text}
   *
   * Input contract: columns `doc_id` (unique id), `text`, plus any
   * passthrough columns (kept on the output). Output adds `n_pii`,
-  * `n_chunks`, `n_kept`, `split` and rewrites `text`.
+  * `n_chunks`, `n_kept`, `split` and rewrites `text`; with
+  * `windowTokens > 0` the grain becomes one row per chunk and
+  * `chunk_id`, `n_tokens` are added.
   */
 object CorpusPipeline {
 
-  /** Stage toggles + knobs; defaults mirror CorpusPipelineSpec. */
+  /** Stage toggles + knobs; defaults mirror CorpusPipelineSpec.
+    * `windowTokens > 0` enables the final context-window chunking
+    * stage (one output row per ≤windowTokens-token piece). */
   case class Config(
       cleanup: Boolean = true,
       pii: Boolean = true,
@@ -37,7 +41,8 @@ object CorpusPipeline {
       quality: Boolean = true,
       minTokens: Int = 5,
       split: Boolean = true,
-      trainPct: Int = 80)
+      trainPct: Int = 80,
+      windowTokens: Int = 0)
 
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame =
     stages(docs, cfg).last._2
@@ -108,8 +113,27 @@ object CorpusPipeline {
           when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
                  .cast("long") % 100 < cfg.trainPct, "train").otherwise("eval"))
       else gated
+    // 6. OPT-IN context-window chunking (the q85 operator as the
+    // pipeline's last mile): training consumes window-sized pieces,
+    // not documents, so each surviving doc explodes into one row per
+    // ≤windowTokens-token chunk (greedy whole-word packing; an
+    // over-budget single word gets its own chunk). Chunks INHERIT the
+    // doc's split and passthrough columns — splitting before chunking
+    // is deliberate, or two chunks of one document could land in
+    // train AND eval (leakage). Map-only: a projection + generate,
+    // no shuffle added.
+    val windowed =
+      if (cfg.windowTokens > 0)
+        split.select(col("*"),
+            posexplode(call_function("bpe_chunks", col("text"), lit(cfg.windowTokens)))
+              .as(Seq("chunk_id", "chunk_text")))
+          .drop("text")
+          .withColumnRenamed("chunk_text", "text")
+          .withColumn("chunk_id", col("chunk_id").cast("long"))
+          .withColumn("n_tokens", call_function("bpe_token_count", col("text")))
+      else split
     Seq("cleanup" -> cleaned, "pii-scrub" -> scrubbed, "exact-dedup" -> exact,
         "neardup-dedup" -> near, "chunk-dedup" -> chunked,
-        "quality-gate" -> gated, "split" -> split)
+        "quality-gate" -> gated, "split" -> split, "window-chunk" -> windowed)
   }
 }

@@ -109,6 +109,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(!on.columns.exists(_.startsWith("mh")), on.columns.mkString(","))
   }
 
+  test("window-chunk stage: off by default, explodes to budget-bounded chunks that inherit the split") {
+    import spark.implicits._
+    // ~40 tokens per repetition of the phrase; budget 64 forces
+    // multiple chunks per doc at 4 repetitions
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 4).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 4).trim
+    val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val base = CorpusPipeline.Config(pii = false, chunkDedup = false, quality = false)
+    // off by default: doc grain, no chunk columns
+    val off = CorpusPipeline.run(docs, base)
+    assert(off.count() == 2 && !off.columns.contains("chunk_id"))
+    val on = CorpusPipeline.run(docs, base.copy(windowTokens = 64))
+    val rows = on.select("doc_id", "chunk_id", "text", "n_tokens", "split").collect()
+    assert(rows.length > 2, "chunking must explode the doc grain")
+    // every chunk respects the budget (words are all well under it)
+    assert(rows.forall(_.getLong(3) <= 64), "chunk over token budget")
+    // chunks of one doc all inherit the DOC's split — chunking after
+    // splitting is the train/eval-leakage guard
+    val splitsPerDoc = rows.groupBy(_.getLong(0)).map { case (_, rs) =>
+      rs.map(_.getString(4)).distinct.length
+    }
+    assert(splitsPerDoc.forall(_ == 1), "one doc's chunks landed in multiple splits")
+    // reassembly: chunks in chunk_id order rebuild the doc's word stream
+    val rebuilt = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+      .map(_.getString(2)).mkString(" ")
+    assert(rebuilt == textA.toLowerCase(java.util.Locale.ROOT))
+    // counts additive over the split
+    val total1 = rows.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum
+    val want1 = docs.filter(col("doc_id") === 1L)
+      .select(call_function("bpe_token_count", col("text"))).head.getLong(0)
+    assert(total1 == want1)
+  }
+
   test("RunCorpus CLI: dry-run plans, empty input fails, misuse exits 2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-runcorpus").toString
@@ -134,5 +167,11 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(RunCorpus.execute(spark,
       Array("--in", s"$tmp/docs", "--out", outDir)) == 0)
     assert(spark.read.parquet(outDir).count() == 1)
+    // --window-tokens flows through to the chunking stage
+    val outChunks = s"$tmp/out-chunks"
+    assert(RunCorpus.execute(spark,
+      Array("--in", s"$tmp/docs", "--out", outChunks, "--window-tokens", "4")) == 0)
+    val chunked = spark.read.parquet(outChunks)
+    assert(chunked.columns.contains("chunk_id") && chunked.count() > 1)
   }
 }
