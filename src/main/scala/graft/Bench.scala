@@ -131,9 +131,8 @@ object Bench {
       f.isDirectory &&
         (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
     }
-    var swept = 0
-    var bytes = 0L
-    candidates.foreach { d =>
+    // pass 1: find mtime-stale candidates (and their sizes)
+    val stale = candidates.flatMap { d =>
       var newest = d.lastModified()
       var size = 0L
       def walk(f: java.io.File): Unit =
@@ -142,7 +141,16 @@ object Bench {
           if (k.isDirectory) walk(k) else size += k.length()
         }
       walk(d)
-      if (newest < cutoff && !hasOpenFds(d)) {
+      if (newest < cutoff) Some(d -> size) else None
+    }
+    // pass 2: ONE /proc scan marks which stale candidates some live
+    // process still holds open (scanning per candidate would re-walk
+    // every pid's fd table once per dir)
+    val held = dirsWithOpenFds(stale.map(_._1.getAbsolutePath).toSet)
+    var swept = 0
+    var bytes = 0L
+    stale.foreach { case (d, size) =>
+      if (!held(d.getAbsolutePath)) {
         def del(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
           f.delete(); ()
@@ -157,22 +165,24 @@ object Bench {
         f"[bench] swept $swept stale spark-local dir(s), ${bytes / 1e9}%.1f GB freed")
   }
 
-  /** True when any live process holds an open file descriptor under
-    * `dir` (Linux /proc/<pid>/fd scan; unreadable entries — raced
-    * exits, permissions — count as no evidence). */
-  private def hasOpenFds(dir: java.io.File): Boolean = {
-    val target = dir.getAbsolutePath
-    val prefix = target + "/"
+  /** The subset of `dirs` under which some live process holds an open
+    * file descriptor — one walk of /proc/<pid>/fd for ALL dirs
+    * (unreadable entries — raced exits, permissions — count as no
+    * evidence). */
+  private def dirsWithOpenFds(dirs: Set[String]): Set[String] = {
+    if (dirs.isEmpty) return Set.empty
+    val found = scala.collection.mutable.Set.empty[String]
     val procs = Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
-    procs.exists { p =>
-      Option(new java.io.File(p, "fd").listFiles()).getOrElse(Array.empty).exists { fd =>
+    procs.foreach { p =>
+      Option(new java.io.File(p, "fd").listFiles()).getOrElse(Array.empty).foreach { fd =>
         try {
           val t = java.nio.file.Files.readSymbolicLink(fd.toPath).toString
-          t == target || t.startsWith(prefix)
-        } catch { case _: Throwable => false }
+          dirs.foreach { d => if (t == d || t.startsWith(d + "/")) found += d }
+        } catch { case _: Throwable => () }
       }
     }
+    found.toSet
   }
 
   /** Touch each scan/codegen path the measured queries rely on:

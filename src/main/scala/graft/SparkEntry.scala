@@ -1676,10 +1676,15 @@ object SparkEntry {
     // until the final sort; the oracle re-derives chunk boundaries
     // from the same vocab via a recursive greedy accumulate.
     "q85_token_chunks" -> ((s, dir) => {
+      // posexplode_OUTER + post-filter, not plain posexplode: the
+      // inner form makes the optimizer infer a `size(bpe_chunks(..))
+      // > 0` pre-filter that re-runs the whole byte scan a second
+      // time per doc (the ChunkDedup/Similarity generator discipline)
       Tables.documents(s, dir)
         .select(col("doc_id"),
-                posexplode(call_function("bpe_chunks", col("text"), lit(64)))
+                posexplode_outer(call_function("bpe_chunks", col("text"), lit(64)))
                   .as(Seq("chunk_id", "chunk_text")))
+        .filter(col("chunk_text").isNotNull)
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
                 col("chunk_text"),
                 call_function("bpe_token_count", col("chunk_text")).as("n_tokens"))

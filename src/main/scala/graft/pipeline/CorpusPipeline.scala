@@ -120,13 +120,19 @@ object CorpusPipeline {
     // over-budget single word gets its own chunk). Chunks INHERIT the
     // doc's split and passthrough columns — splitting before chunking
     // is deliberate, or two chunks of one document could land in
-    // train AND eval (leakage). Map-only: a projection + generate,
-    // no shuffle added.
+    // train AND eval (leakage). A doc with NO word content yields no
+    // chunks and is dropped here (it carries zero trainable tokens;
+    // with the quality gate on, such docs never reach this stage).
+    // posexplode_OUTER + post-filter so the generator runs once per
+    // doc (plain posexplode gets an optimizer-inferred size() filter
+    // that re-runs the byte scan — the ChunkDedup discipline).
+    // Map-only: a projection + generate, no shuffle added.
     val windowed =
       if (cfg.windowTokens > 0)
         split.select(col("*"),
-            posexplode(call_function("bpe_chunks", col("text"), lit(cfg.windowTokens)))
+            posexplode_outer(call_function("bpe_chunks", col("text"), lit(cfg.windowTokens)))
               .as(Seq("chunk_id", "chunk_text")))
+          .filter(col("chunk_text").isNotNull)
           .drop("text")
           .withColumnRenamed("chunk_text", "text")
           .withColumn("chunk_id", col("chunk_id").cast("long"))

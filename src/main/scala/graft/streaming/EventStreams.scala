@@ -299,42 +299,62 @@ object EventStreams {
   private val PartFileUuid =
     raw"part-\d+-([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})-.*".r
 
-  /** True iff `post` is `pre` plus ONLY the files THIS batch's write
+  /** STRUCTURAL check that `post` is `pre` plus ONLY files one write
     * job appended: no visible file deleted or mutated in place, every
     * new visible file a `part-*` data file sharing a single write-job
-    * UUID, and the delta's presence consistent with the observed
-    * appended row count — `appendedRows == 0` demands an EMPTY visible
-    * delta (a zero-row append writes no data file, so any new file is
-    * someone else's), while `appendedRows > 0` demands a non-empty one
-    * (our files must be in it, so a single foreign job can't pose as
+    * UUID, and — when rows were observed — a non-empty delta (our
+    * files must be in it, so a single foreign job cannot pose as
     * ours: two writers would show two UUIDs). This is what lets
     * [[foldCarries]] stamp the post-append fingerprint safely — the
     * validated listing provably contains no out-of-band file whose
     * rows the folded blob would be missing (rows the bloom lacks would
-    * probe definitively-new and admit duplicates forever). Hidden
-    * files (`_SUCCESS`, checksums) are ignored: the scans that define
-    * corpus content never read them. Conservative by design: any
-    * unexpected delta returns false and the caller drops the carry —
-    * one reseed scan, never staleness. */
+    * probe definitively-new and admit duplicates forever).
+    *
+    * The `appendedRows == 0` case accepts a single-UUID delta
+    * STRUCTURALLY because Spark commits one empty schema-only part
+    * file even for a zero-row append (verified against this repo's
+    * Spark 4.1.2) — an all-duplicate micro-batch must not cost the
+    * carries. The caller then confirms the delta is actually ROWLESS
+    * ([[deltaPaths]] + a one-file read): a rowless file is harmless
+    * whoever wrote it (no rows means nothing the blobs could be
+    * missing), while a foreign DATA file masquerading as ours fails
+    * the row check and drops the carry. Hidden files (`_SUCCESS`,
+    * checksums) are ignored: the scans that define corpus content
+    * never read them. Conservative by design: anything unexpected
+    * returns false and the caller drops the carry — one reseed scan,
+    * never staleness. */
   private[graft] def appendOnlyDelta(pre: Seq[String], post: Seq[String],
                                      appendedRows: Long): Boolean = {
     val preV = pre.filter(isVisible).toSet
     val postV = post.filter(isVisible).toSet
     preV.subsetOf(postV) && {
       val delta = (postV -- preV).toSeq
-      if (appendedRows == 0L) delta.isEmpty
-      else delta.nonEmpty && {
-        val uuids = delta.map { part =>
-          val p = partPath(part)
-          p.substring(p.lastIndexOf('/') + 1) match {
-            case PartFileUuid(u) => Some(u.toLowerCase)
-            case _ => None
-          }
+      val uuids = delta.map { part =>
+        val p = partPath(part)
+        p.substring(p.lastIndexOf('/') + 1) match {
+          case PartFileUuid(u) => Some(u.toLowerCase)
+          case _ => None
         }
-        uuids.forall(_.isDefined) && uuids.flatten.distinct.size == 1
       }
+      uuids.forall(_.isDefined) && uuids.flatten.distinct.size <= 1 &&
+        (appendedRows == 0L || delta.nonEmpty)
     }
   }
+
+  /** The visible delta's file paths (for the zero-row rowless read). */
+  private def deltaPaths(pre: Seq[String], post: Seq[String]): Seq[String] = {
+    val preV = pre.filter(isVisible).toSet
+    post.filter(isVisible).filterNot(preV).map(partPath)
+  }
+
+  /** True iff the delta files hold zero rows in total — the harmless
+    * shape a zero-row append leaves behind. Any read failure counts
+    * as rows (conservative: drop the carry, reseed next batch). */
+  private def deltaRowless(spark: SparkSession, paths: Seq[String]): Boolean =
+    paths.isEmpty || {
+      try spark.read.parquet(paths: _*).isEmpty
+      catch { case _: Throwable => false }
+    }
 
   /** Test seam: invoked after a batch's append returns and BEFORE the
     * fold re-lists the landing — the exact window the validated fold
@@ -355,7 +375,9 @@ object EventStreams {
                           bucketBloom: Option[Array[Byte]],
                           landedCount: Long): Unit = {
     val postParts = landingParts(spark, landingDir)
-    if (!appendOnlyDelta(preParts, postParts, appendedRows)) {
+    val clean = appendOnlyDelta(preParts, postParts, appendedRows) &&
+      (appendedRows > 0L || deltaRowless(spark, deltaPaths(preParts, postParts)))
+    if (!clean) {
       carriedBlooms.remove(landingDir)
       carriedBuckets.remove(landingDir)
       return
@@ -403,26 +425,41 @@ object EventStreams {
     Option(carriedBlooms.get(landingDir)).map(c =>
       call_function("bloom_agg", xxhash64(col(textCol)), lit(c.bits), lit(c.hashes)).as("bf"))
 
-  /** First batch only (no carry yet): seed the carry from the append
-    * itself — no corpus existed before it, so the append IS the
-    * corpus, and `fresh`'s first-batch plan reads no landing (the dir
-    * was absent), so re-running it here is landing-free batch-scale
-    * work (the caller persists `fresh`, so it is one cached pass).
-    * The stamped listing gets the SAME validation as the fold's: the
-    * landing must hold exactly this append's files (pre = nothing),
-    * else another writer raced the window and the seed is SKIPPED —
-    * no carry beats a carry missing the raced-in rows, and the next
-    * batch reseeds from the landing, which by then includes them. */
-  private def seedCarryFromAppend(spark: SparkSession, landingDir: String,
-                                  fresh: DataFrame, landedCount: Long,
-                                  textCol: String): Unit = {
+  /** First batch only (no carry yet): seed the requested carries from
+    * the append itself — no corpus existed before it, so the append
+    * IS the corpus, and `fresh`'s first-batch plan reads no landing
+    * (the dir was absent), so re-running it here is landing-free
+    * batch-scale work (the caller persists `fresh`, so it is one
+    * cached pass). ONE listing serves every seeded carry (two
+    * listings would open a window where the text bloom seeds against
+    * one landing state and the bucket bloom against another), and it
+    * gets the SAME validation as the fold's — structural plus the
+    * zero-row rowless rule: the landing must hold exactly this
+    * append's files, else another writer raced the window and ALL
+    * seeding is skipped (no carry beats a carry missing the raced-in
+    * rows; the next batch reseeds from the landing, which by then
+    * includes them). */
+  private def seedFromAppend(spark: SparkSession, landingDir: String,
+                             fresh: DataFrame, landedCount: Long,
+                             textCol: Option[String], buckets: Boolean): Unit = {
     val post = landingParts(spark, landingDir)
-    if (!appendOnlyDelta(Seq.empty, post, landedCount)) return
+    val clean = appendOnlyDelta(Seq.empty, post, landedCount) &&
+      (landedCount > 0L || deltaRowless(spark, deltaPaths(Seq.empty, post)))
+    if (!clean) return
+    val fp = fpOf(post)
     val cap = math.max(landedCount, 1L) * 4
-    val bits = graft.ops.IncrementalDedup.sizedBits(cap)
-    carriedBlooms.put(landingDir, CarriedBloom(
-      graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
-      bits, 3, cap, fpOf(post)))
+    textCol.foreach { tc =>
+      val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+      carriedBlooms.put(landingDir, CarriedBloom(
+        graft.ops.IncrementalDedup.buildBloom(fresh, tc, bits, 3),
+        bits, 3, cap, fp))
+    }
+    if (buckets) {
+      val bits = bucketBits(cap)
+      carriedBuckets.put(landingDir, CarriedBloom(
+        buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
+        bits, 3, cap, fp))
+    }
   }
 
   /** Two-phase cross-batch exact confirm over in-batch keepers
@@ -513,20 +550,6 @@ object EventStreams {
       graft.ops.IncrementalDedup.unionBloom(
         obs.get("bb1").asInstanceOf[Array[Byte]], obs.get("bb2").asInstanceOf[Array[Byte]])
     }
-
-  /** First batch only: seed the bucket carry from the append itself
-    * (landing-free, validated and skip-on-race — see
-    * [[seedCarryFromAppend]]). */
-  private def seedBucketsFromAppend(spark: SparkSession, landingDir: String,
-                                    fresh: DataFrame, landedCount: Long): Unit = {
-    val post = landingParts(spark, landingDir)
-    if (!appendOnlyDelta(Seq.empty, post, landedCount)) return
-    val cap = math.max(landedCount, 1L) * 4
-    val bits = bucketBits(cap)
-    carriedBuckets.put(landingDir, CarriedBloom(
-      buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
-      bits, 3, cap, fpOf(post)))
-  }
 
   /** Two-phase cross-batch near-dup confirm — the bucket-bloom twin of
     * [[exactStage]]: probe each kept row's two band buckets (batch-side
@@ -695,7 +718,8 @@ object EventStreams {
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
           if (firstBatch)
-            seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
+            seedFromAppend(spark, landingDir, fresh, landed.get(),
+              textCol = Some(textCol), buckets = false)
           else
             foldCarries(spark, landingDir, preParts, appended,
               bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
@@ -780,7 +804,8 @@ object EventStreams {
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
           if (firstBatch)
-            seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
+            seedFromAppend(spark, landingDir, fresh, landed.get(),
+              textCol = None, buckets = true)
           else
             foldCarries(spark, landingDir, preParts, appended,
               None, observedBucketBloom(landingDir, obs), landed.get())
@@ -884,10 +909,10 @@ object EventStreams {
           postAppendHook(landingDir, batchId)
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
-          if (firstBatch) {
-            seedCarryFromAppend(spark, landingDir, fresh, landed.get(), textCol)
-            seedBucketsFromAppend(spark, landingDir, fresh, landed.get())
-          } else
+          if (firstBatch)
+            seedFromAppend(spark, landingDir, fresh, landed.get(),
+              textCol = Some(textCol), buckets = true)
+          else
             foldCarries(spark, landingDir, preParts, appended,
               bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
               observedBucketBloom(landingDir, obs), landed.get())

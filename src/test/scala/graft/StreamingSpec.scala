@@ -720,13 +720,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(EventStreams.appendOnlyDelta(pre,
       pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"), f(s"part-00001-$u2-c000.snappy.parquet")),
       appendedRows = 2))
-    // zero-row batch wrote nothing: empty delta is the ONLY clean shape
+    // zero-row batch: empty delta is clean
     assert(EventStreams.appendOnlyDelta(pre, pre, appendedRows = 0))
-    // zero-row batch + a single FOREIGN job's file: without the row-count
-    // cross-check this validated (one uuid!) and poisoned the carry —
-    // the files can't be ours, so it must be refused
-    assert(!EventStreams.appendOnlyDelta(pre,
+    // zero-row batch + a single-uuid part delta passes the STRUCTURAL
+    // check (Spark commits one empty schema-only part file even for a
+    // zero-row append — an all-dup batch must not cost the carry);
+    // the caller then confirms the delta is actually rowless, which
+    // is what rejects a foreign DATA file posing as ours (pinned by
+    // the all-duplicate-batch integration case below)
+    assert(EventStreams.appendOnlyDelta(pre,
       pre :+ f(s"part-00000-$u2-c000.snappy.parquet"), appendedRows = 0))
+    // zero-row batch + TWO uuids: still structurally dirty
+    assert(!EventStreams.appendOnlyDelta(pre,
+      pre ++ Seq(f(s"part-00000-$u2-c000.snappy.parquet"),
+                 f(s"part-00000-9a8b7c6d-3333-4abc-9def-0123456789ab-c000.snappy.parquet")),
+      appendedRows = 0))
     // rows observed but no file appeared: inconsistent — refuse
     assert(!EventStreams.appendOnlyDelta(pre, pre, appendedRows = 2))
     // _SUCCESS rewritten in place (mtime moved): hidden files are
@@ -747,6 +755,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(!EventStreams.appendOnlyDelta(pre,
       Seq(part(s"/L/part-00000-$u1-c000.snappy.parquet", len = 11), part("/L/_SUCCESS")),
       appendedRows = 0))
+  }
+
+  test("all-duplicate micro-batch: the zero-row append keeps the carries") {
+    // Spark commits an empty schema-only part file even when the
+    // batch appends zero rows; the fold must recognize that shape as
+    // the batch's own (structural single-uuid + rowless delta) and
+    // KEEP the carry — dropping it would cost a full landing reseed
+    // on every repost-storm batch, exactly the O(corpus) pattern the
+    // carry exists to amortize.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-alldup").toString + "/corpus"
+    val key = EventStreams.landingKey(spark, landing)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-alldup-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(input.toDF().toDF("doc_id", "text"), landing, ckpt)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      assert(EventStreams.carriedBlooms.containsKey(key))
+      val before = EventStreams.carriedBlooms.get(key)
+      // batch 2: every row a cross-batch duplicate — appends 0 rows
+      input.addData((3L, "alpha"), (4L, "beta")); q.processAllAvailable()
+      assert(EventStreams.carriedBlooms.containsKey(key),
+        "carry dropped by an all-duplicate batch's empty append")
+      // the blob folded nothing but the fingerprint advanced with the
+      // (empty) part file — still the SAME filter content
+      assert(java.util.Arrays.equals(
+        EventStreams.carriedBlooms.get(key).blob, before.blob))
+      // and dedup continues exactly
+      input.addData((5L, "alpha"), (6L, "gamma")); q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(landed == Seq((1L, "alpha"), (2L, "beta"), (6L, "gamma")))
+    } finally q.stop()
   }
 
   test("landingKey: path spellings of one dir share one state key") {
