@@ -204,6 +204,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val exchanges = "Exchange \\(".r.findAllIn(p).length
     assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
     assert(!p.contains("Join"), s"unexpected join in a per-doc chunking pipeline:\n$p")
+    // the chunker must run ONCE per doc: plain (inner) posexplode
+    // gets an optimizer-inferred `size(bpe_chunks(..)) > 0` filter
+    // that evaluates the whole byte scan a second time — the
+    // posexplode_outer + post-filter form avoids it (ChunkDedup
+    // discipline), and the executed plan must show exactly one call
+    val df = SparkEntry.queries("q85_token_chunks")(spark, dir)
+    val calls = "bpe_chunks".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(calls == 1,
+      s"bpe_chunks evaluated $calls times in the physical plan (inferred filter re-run?)")
   }
 
   test("no WindowExec anywhere runs with an empty partition spec") {
