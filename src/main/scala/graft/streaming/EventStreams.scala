@@ -187,6 +187,17 @@ object EventStreams {
   // StreamingSpec's crash-retry case). Per-landing carried state
   // (counts + blooms) only ACCELERATES the confirm: dropping any of it
   // costs one reseed scan, never exactness.
+  //
+  // File-count hygiene: each append is repartitioned to `appendFiles`
+  // part files (default 4) before the write. Without it a micro-batch
+  // writes one file per shuffle partition (32 here), so a long-running
+  // ingest accretes batches×32 tiny files and every confirm/reseed
+  // scan pays per-file open cost that grows with STREAM AGE rather
+  // than data size — the soak probe (tools/IngestSoakProbe) measured
+  // that accretion dominating per-batch time within ~10 batches at
+  // test scale. The repartition is a batch-sized shuffle (bounded by
+  // the micro-batch, never the corpus); raise `appendFiles` for very
+  // large micro-batches.
   // =====================================================================
 
   /** Landed-corpus row counts carried across micro-batches, keyed by
@@ -645,13 +656,14 @@ object EventStreams {
     * leftovers) and appends only what is genuinely missing (pinned by
     * StreamingSpec's crash-retry case). */
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
-                  textCol: String = "text", idCol: String = "doc_id")
+                  textCol: String = "text", idCol: String = "doc_id",
+                  appendFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol)
+      checkpointDir, textCol, idCol, appendFiles)
 
   private def ingestDedupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                              textCol: String, idCol: String)
+                              textCol: String, idCol: String, appendFiles: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     // Landed row count carried across batches: seeded ONCE (first
@@ -711,7 +723,7 @@ object EventStreams {
           val bloomMetric = bloomMetricFor(landingDir, textCol)
           val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: bloomMetric.toSeq
-          fresh.observe(obs, metrics.head, metrics.tail: _*)
+          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
@@ -752,13 +764,14 @@ object EventStreams {
     * batch"; anything else fails the batch so the retry re-runs WITH
     * dedup. */
   def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
-                    textCol: String = "text", idCol: String = "doc_id")
+                    textCol: String = "text", idCol: String = "doc_id",
+                    appendFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol)
+      checkpointDir, textCol, idCol, appendFiles)
 
   private def ingestNearDupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                                textCol: String, idCol: String)
+                                textCol: String, idCol: String, appendFiles: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
@@ -797,7 +810,7 @@ object EventStreams {
           val bucketMetrics = bucketMetricsFor(landingDir)
           val obs = new org.apache.spark.sql.Observation(s"ingest_nd_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: bucketMetrics
-          fresh.observe(obs, metrics.head, metrics.tail: _*)
+          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
@@ -838,13 +851,14 @@ object EventStreams {
     * absent landing dir means "first batch"; any other failure fails
     * the batch so the retry re-runs WITH dedup. */
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
-                     textCol: String = "text", idCol: String = "doc_id")
+                     textCol: String = "text", idCol: String = "doc_id",
+                     appendFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol)
+      checkpointDir, textCol, idCol, appendFiles)
 
   private def ingestPipelineImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                                 textCol: String, idCol: String)
+                                 textCol: String, idCol: String, appendFiles: Int)
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
@@ -903,7 +917,7 @@ object EventStreams {
           val bucketMetrics = bucketMetricsFor(landingDir)
           val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: (bloomMetric.toSeq ++ bucketMetrics)
-          fresh.observe(obs, metrics.head, metrics.tail: _*)
+          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
             .write.options(graft.core.Committers.TaskCommitV2)
             .mode("append").parquet(landingDir)
           postAppendHook(landingDir, batchId)
