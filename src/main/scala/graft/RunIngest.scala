@@ -38,14 +38,24 @@ import graft.streaming.EventStreams
   * were never near-dup-checked). Pick the mode when the corpus is
   * created and keep it.
   *
-  * Exit codes: 0 ok, 1 stream failure, 2 usage. */
+  * `--compact` is the maintenance form: no stream, just
+  * [[graft.streaming.EventStreams.compactLanding]] on `--corpus` —
+  * rewrite the accreted per-batch part files down to `--target-files`
+  * (default 4) between stream sessions. Refused (exit 1) while an
+  * in-JVM ingest stream holds the landing.
+  *
+  * Exit codes: 0 ok, 1 stream/compaction failure, 2 usage. */
 object RunIngest {
   private val usage =
     """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
       |  [--mode exact|near|both]      which dedup stages (default both)
       |  [--once]                      drain everything present, then exit
       |  [--text-col NAME]             default text
-      |  [--id-col NAME]               default doc_id""".stripMargin
+      |  [--id-col NAME]               default doc_id
+      |   or: graft.RunIngest --compact --corpus DIR [--target-files N]
+      |                                rewrite an accreted landing to N
+      |                                part files (default 4); run between
+      |                                stream sessions""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-ingest")
@@ -64,6 +74,39 @@ object RunIngest {
           System.err.println(s"[ingest] ${e.getMessage}\n$usage")
           return 2
       }
+    if (opts.contains("compact")) {
+      if (!opts.contains("corpus")) {
+        System.err.println(s"[ingest] --compact needs --corpus\n$usage")
+        return 2
+      }
+      val target =
+        try opts.getOrElse("target-files", "4").toInt
+        catch {
+          case _: NumberFormatException =>
+            System.err.println(s"[ingest] --target-files must be an integer\n$usage")
+            return 2
+        }
+      return try {
+        val s = EventStreams.compactLanding(spark, opts("corpus"), target)
+        if (s.rows < 0L)
+          println(s"[ingest] compaction no-op: ${s.filesBefore} file(s) already <= $target")
+        else
+          println(s"[ingest] compacted ${opts("corpus")}: ${s.filesBefore} -> " +
+            s"${s.filesAfter} file(s), ${s.rows} rows, carries " +
+            (if (s.carriesKept) "kept" else "dropped (were stale)"))
+        0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+          1
+      }
+    }
+    if (opts.contains("target-files")) {
+      // only meaningful under --compact; ignoring it would silently
+      // run a full stream when the user meant a maintenance rewrite
+      System.err.println(s"[ingest] --target-files needs --compact\n$usage")
+      return 2
+    }
     val required = Seq("in", "corpus", "checkpoint")
     val missing = required.filterNot(opts.contains)
     if (missing.nonEmpty) {
@@ -117,13 +160,15 @@ object RunIngest {
     * not a silently-ignored entry that lets the run proceed with
     * defaults (e.g. `--textcol body` deduplicating the wrong column
     * and exiting 0). */
-  private val valueFlags = Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col")
+  private val valueFlags =
+    Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
       case Nil => acc
       case "--once" :: rest => parse(rest, acc + ("once" -> "true"))
+      case "--compact" :: rest => parse(rest, acc + ("compact" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
         val name = flag.drop(2)
         if (!valueFlags.contains(name))

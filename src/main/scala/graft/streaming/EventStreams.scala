@@ -598,14 +598,12 @@ object EventStreams {
   private[graft] val activeIngests =
     new java.util.concurrent.ConcurrentHashMap[String, IngestReg]()
 
-  /** Refuse to start a second active ingest stream on a landing dir
-    * (loud error, pinned by StreamingSpec) — the in-JVM half of the
-    * single-writer contract; cross-JVM writers are caught by the
-    * fingerprint/validated-fold discipline instead (reseed, never
-    * staleness). */
-  private def startGuarded(spark: SparkSession, landingDir: String)
-      (start: => org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+  /** Take the landing's single-writer slot or throw. A registration
+    * with `runId == null` counts as active — that is both a stream
+    * between registration and start, and a [[compactLanding]] run,
+    * which holds the slot for its whole duration. A registration
+    * whose stream is no longer active is stale and taken over. */
+  private def acquireLanding(spark: SparkSession, landingDir: String): IngestReg = {
     val mine = new IngestReg(spark)
     var placed = false
     while (!placed) {
@@ -616,12 +614,24 @@ object EventStreams {
           cur.owner.streams.active.exists(_.runId == cur.runId)
         if (stillActive)
           throw new IllegalStateException(
-            s"an ingest stream is already active on landing dir '$landingDir'; " +
+            s"an ingest stream or compaction is already active on landing dir '$landingDir'; " +
             "the carried dedup state (landed counts + blooms) is keyed by landing " +
-            "dir and tolerates exactly one writer — stop the existing stream first")
+            "dir and tolerates exactly one writer — stop the existing writer first")
         placed = activeIngests.replace(landingDir, cur, mine)
       }
     }
+    mine
+  }
+
+  /** Refuse to start a second active ingest stream on a landing dir
+    * (loud error, pinned by StreamingSpec) — the in-JVM half of the
+    * single-writer contract; cross-JVM writers are caught by the
+    * fingerprint/validated-fold discipline instead (reseed, never
+    * staleness). */
+  private def startGuarded(spark: SparkSession, landingDir: String)
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val mine = acquireLanding(spark, landingDir)
     try {
       val q = start
       mine.runId = q.runId
@@ -629,6 +639,110 @@ object EventStreams {
     } catch {
       case t: Throwable => activeIngests.remove(landingDir, mine); throw t
     }
+  }
+
+  // ---------- landing compaction ----------
+
+  /** What [[compactLanding]] did. `rows` is −1 on the no-op path (the
+    * landing was already at or under `targetFiles`; nothing was read).
+    * `carriesKept` is false iff a carried bloom existed and had to be
+    * dropped (stale fingerprint — it was due a reseed anyway). */
+  final case class CompactStats(
+    filesBefore: Int, filesAfter: Int, rows: Long, carriesKept: Boolean)
+
+  /** Test seam: invoked after the compacted copy is written and BEFORE
+    * the pre-swap listing check — the window an out-of-band writer
+    * would have to race to lose rows. No-op in production. */
+  @volatile private[graft] var preSwapHook: String => Unit = _ => ()
+
+  /** Maintenance: rewrite an accreted landing dir down to
+    * `targetFiles` part files. [[ingestDedup]]'s per-batch
+    * `appendFiles` cap bounds what each micro-batch adds, but a
+    * long-running stream still accretes files linearly with batch
+    * COUNT (a year of 5-minute batches is ~100k part files), and
+    * every confirm join and reseed scan pays a per-file open. This is
+    * the other half of that story: an offline rewrite, run between
+    * stream sessions, that restores O(targetFiles) listings.
+    *
+    * Shape: ONE corpus read, `coalesce` (narrow — no shuffle: at
+    * 100 TB a compaction must concatenate, not repartition by key),
+    * written to a sibling temp dir, then an atomic-rename swap. The
+    * swap only proceeds if the landing's listing is UNCHANGED since
+    * the read — any out-of-band change aborts with the landing
+    * untouched. The single-writer slot ([[activeIngests]]) is held
+    * throughout, so an ingest stream cannot start mid-compaction and
+    * compaction refuses while a stream is active.
+    *
+    * Carried state: compaction renames files but changes no row, so
+    * the carried blooms remain EXACTLY right — they are re-stamped
+    * with the compacted listing's fingerprint rather than dropped
+    * (a dropped carry would cost the next batch a full reseed scan,
+    * the very cost compaction exists to keep bounded). A carry whose
+    * fingerprint did not match the pre-compaction listing was already
+    * stale and is dropped as usual. `landedCounts` is row-based and
+    * unaffected.
+    *
+    * Crash window: a failure between the two renames leaves the
+    * corpus intact under `<dir>.compact-old-<uuid>` — restore by
+    * renaming it back. */
+  def compactLanding(spark: SparkSession, dir: String,
+                     targetFiles: Int = 4): CompactStats = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val landingDir = landingKey(spark, dir)
+    val mine = acquireLanding(spark, landingDir)
+    try {
+      val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+      val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+      val pre = landingParts(spark, landingDir)
+      val preVisible = pre.count(isVisible)
+      if (preVisible <= targetFiles)
+        return CompactStats(preVisible, preVisible, -1L, carriesKept = true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        landingDir + s".compact-tmp-${java.util.UUID.randomUUID()}")
+      try {
+        // one scan; rows counted by the write's own Observation, and
+        // the re-run-on-failure story is "overwrite the tmp dir" so
+        // the v2 task-side committer is safe here
+        val obs = new org.apache.spark.sql.Observation("compact_rows")
+        spark.read.parquet(landingDir)
+          .coalesce(targetFiles)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.options(graft.core.Committers.forRerun(overwrite = true))
+          .mode("overwrite").parquet(tmp.toString)
+        val rows = obs.get("n").asInstanceOf[Long]
+        preSwapHook(landingDir)
+        val now = landingParts(spark, landingDir)
+        if (now != pre)
+          throw new IllegalStateException(
+            s"landing dir '$landingDir' changed during compaction (out-of-band " +
+            "writer); aborted — the landing is untouched, re-run when quiet")
+        val old = new org.apache.hadoop.fs.Path(
+          landingDir + s".compact-old-${java.util.UUID.randomUUID()}")
+        if (!fs.rename(landingPath, old))
+          throw new IllegalStateException(
+            s"could not move '$landingDir' aside for the compaction swap")
+        if (!fs.rename(tmp, landingPath)) {
+          fs.rename(old, landingPath)
+          throw new IllegalStateException(
+            s"could not move compacted files into '$landingDir'; landing restored")
+        }
+        fs.delete(old, true)
+        val post = landingParts(spark, landingDir)
+        val preFp = fpOf(pre)
+        val postFp = fpOf(post)
+        var dropped = false
+        Seq(carriedBlooms, carriedBuckets).foreach { map =>
+          val cached = map.get(landingDir)
+          if (cached != null) {
+            if (cached.landingFp == preFp)
+              map.put(landingDir, cached.copy(landingFp = postFp))
+            else { map.remove(landingDir); dropped = true }
+          }
+        }
+        CompactStats(preVisible, post.count(isVisible), rows, carriesKept = !dropped)
+      } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
+    } finally { activeIngests.remove(landingDir, mine); () }
   }
 
   // ---------- the three ingest entries ----------

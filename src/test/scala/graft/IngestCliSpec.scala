@@ -51,4 +51,37 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       Array("--in", d + "/nope", "--corpus", d + "/c", "--checkpoint", d + "/k",
         "--once")) == 1)
   }
+
+  test("--compact: maintenance rewrite between --once runs, dedup state intact") {
+    val arrivals = Files.createTempDirectory("graft-cli-cpt-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-cpt").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-cpt-ckpt").toString
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt, "--once")
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .repartition(2).write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    Seq((3L, textC)).toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+
+    assert(RunIngest.execute(spark,
+      Array("--compact", "--corpus", corpus, "--target-files", "1")) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // post-compaction run still dedups exact + near against the corpus
+    Seq((4L, textA), (5L, "prefix tweak " + textC)).toDF("doc_id", "text")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // flag hygiene: --target-files without --compact, --compact
+    // without --corpus, and a non-integer target are usage errors
+    assert(RunIngest.execute(spark,
+      Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+        "--target-files", "3")) == 2)
+    assert(RunIngest.execute(spark, Array("--compact")) == 2)
+    assert(RunIngest.execute(spark,
+      Array("--compact", "--corpus", corpus, "--target-files", "many")) == 2)
+  }
 }
