@@ -694,6 +694,19 @@ object EventStreams {
       val landingPath = new org.apache.hadoop.fs.Path(landingDir)
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+      // ingest landings are flat; a PARTITIONED dir (hive-style
+      // key=value subdirs, e.g. the month-partitioned or z-order
+      // landings) would be silently flattened by the rewrite — its
+      // partition-pruning layout destroyed while the rows survive.
+      // Loud refusal beats that.
+      val partitionDirs = fs.listStatus(landingPath)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n.contains("=") && !n.startsWith(".") && !n.startsWith("_"))
+      if (partitionDirs.nonEmpty)
+        throw new IllegalArgumentException(
+          s"landing dir '$landingDir' is hive-partitioned (${partitionDirs.head}, …); " +
+          "compaction would flatten the layout and destroy partition pruning — " +
+          "compact a partitioned landing per-partition or rewrite it with partitionBy")
       val pre = landingParts(spark, landingDir)
       val preVisible = pre.count(isVisible)
       if (preVisible <= targetFiles)

@@ -122,6 +122,22 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     } finally EventStreams.activeIngests.remove(key, held)
   }
 
+  test("compactLanding refuses a hive-partitioned dir (would flatten the pruning layout)") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-part") + "/landing"
+    Seq((1L, "2026-01", "a"), (2L, "2026-02", "b"), (3L, "2026-02", "c"))
+      .toDF("id", "month", "text")
+      .write.partitionBy("month").parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.compactLanding(spark, dir, 1)
+    }
+    assert(err.getMessage.contains("hive-partitioned"))
+    // untouched: both partitions still present, rows intact
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(new java.io.File(dir).listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("month=")) == 2)
+  }
+
   test("compactLanding: an out-of-band append racing the swap aborts, landing untouched") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
