@@ -86,6 +86,10 @@ object RunIngest {
             System.err.println(s"[ingest] --target-files must be an integer\n$usage")
             return 2
         }
+      if (target <= 0) {
+        System.err.println(s"[ingest] --target-files must be positive, got $target\n$usage")
+        return 2
+      }
       return try {
         val s = EventStreams.compactLanding(spark, opts("corpus"), target)
         if (s.rows < 0L)

@@ -83,5 +83,7 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     assert(RunIngest.execute(spark, Array("--compact")) == 2)
     assert(RunIngest.execute(spark,
       Array("--compact", "--corpus", corpus, "--target-files", "many")) == 2)
+    assert(RunIngest.execute(spark,
+      Array("--compact", "--corpus", corpus, "--target-files", "0")) == 2)
   }
 }
