@@ -735,7 +735,12 @@ object EventStreams {
         if (!fs.rename(landingPath, old))
           throw new IllegalStateException(
             s"could not move '$landingDir' aside for the compaction swap")
-        if (!fs.rename(tmp, landingPath)) {
+        // restore on a false return AND on a thrown IOException — the
+        // landing must never stay renamed-aside when this call returns
+        val swapped =
+          try fs.rename(tmp, landingPath)
+          catch { case t: Throwable => fs.rename(old, landingPath); throw t }
+        if (!swapped) {
           fs.rename(old, landingPath)
           throw new IllegalStateException(
             s"could not move compacted files into '$landingDir'; landing restored")
