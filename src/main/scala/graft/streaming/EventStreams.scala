@@ -682,9 +682,23 @@ object EventStreams {
     * stale and is dropped as usual. `landedCounts` is row-based and
     * unaffected.
     *
-    * Crash window: a failure between the two renames leaves the
-    * corpus intact under `<dir>.compact-old-<uuid>` — restore by
-    * renaming it back. */
+    * Hive-partitioned landings (key=value subdirs — the
+    * month-partitioned or z-order layouts) are compacted PER LEAF
+    * partition directory: each leaf gets the same read → coalesce →
+    * checked-swap treatment with `targetFiles` as a per-leaf budget,
+    * and the directory tree itself is never rewritten, so partition
+    * pruning is untouched. A leaf read omits the partition columns
+    * (they live in the path, not the files) and the rewritten files
+    * land back in the same leaf, so rows round-trip exactly. Leaves
+    * are independent swaps: a failure part-way leaves every leaf
+    * either fully compacted or untouched, never flattened. A dir
+    * that mixes visible data files WITH partition subdirs at one
+    * level is structurally broken and refused loudly.
+    *
+    * Crash window: a failure between a swap's two renames leaves
+    * that dir's rows intact under a sibling `.compact-old-<uuid>` —
+    * restore by renaming it back. Temp and old dirs are dot-prefixed
+    * so partition discovery and file listings never see them. */
   def compactLanding(spark: SparkSession, dir: String,
                      targetFiles: Int = 4): CompactStats = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
@@ -694,73 +708,104 @@ object EventStreams {
       val landingPath = new org.apache.hadoop.fs.Path(landingDir)
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
-      // ingest landings are flat; a PARTITIONED dir (hive-style
-      // key=value subdirs, e.g. the month-partitioned or z-order
-      // landings) would be silently flattened by the rewrite — its
-      // partition-pruning layout destroyed while the rows survive.
-      // Loud refusal beats that.
-      val partitionDirs = fs.listStatus(landingPath)
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(n => n.contains("=") && !n.startsWith(".") && !n.startsWith("_"))
-      if (partitionDirs.nonEmpty)
-        throw new IllegalArgumentException(
-          s"landing dir '$landingDir' is hive-partitioned (${partitionDirs.head}, …); " +
-          "compaction would flatten the layout and destroy partition pruning — " +
-          "compact a partitioned landing per-partition or rewrite it with partitionBy")
       val pre = landingParts(spark, landingDir)
-      val preVisible = pre.count(isVisible)
-      if (preVisible <= targetFiles)
-        return CompactStats(preVisible, preVisible, -1L, carriesKept = true)
-      val tmp = new org.apache.hadoop.fs.Path(
-        landingDir + s".compact-tmp-${java.util.UUID.randomUUID()}")
-      try {
-        // one scan; rows counted by the write's own Observation, and
-        // the re-run-on-failure story is "overwrite the tmp dir" so
-        // the v2 task-side committer is safe here
-        val obs = new org.apache.spark.sql.Observation("compact_rows")
-        spark.read.parquet(landingDir)
-          .coalesce(targetFiles)
-          .observe(obs, count(lit(1)).as("n"))
-          .write.options(graft.core.Committers.forRerun(overwrite = true))
-          .mode("overwrite").parquet(tmp.toString)
-        val rows = obs.get("n").asInstanceOf[Long]
-        preSwapHook(landingDir)
-        val now = landingParts(spark, landingDir)
-        if (now != pre)
-          throw new IllegalStateException(
-            s"landing dir '$landingDir' changed during compaction (out-of-band " +
-            "writer); aborted — the landing is untouched, re-run when quiet")
-        val old = new org.apache.hadoop.fs.Path(
-          landingDir + s".compact-old-${java.util.UUID.randomUUID()}")
-        if (!fs.rename(landingPath, old))
-          throw new IllegalStateException(
-            s"could not move '$landingDir' aside for the compaction swap")
-        // restore on a false return AND on a thrown IOException — the
-        // landing must never stay renamed-aside when this call returns
-        val swapped =
-          try fs.rename(tmp, landingPath)
-          catch { case t: Throwable => fs.rename(old, landingPath); throw t }
-        if (!swapped) {
-          fs.rename(old, landingPath)
-          throw new IllegalStateException(
-            s"could not move compacted files into '$landingDir'; landing restored")
+      var before = 0
+      var after = 0
+      var rewritten = -1L
+      leafDataDirs(fs, landingPath).foreach { leaf =>
+        val (b, a, r) = compactOneDir(spark, fs, leaf, targetFiles)
+        before += b; after += a
+        if (r >= 0) rewritten = math.max(rewritten, 0L) + r
+      }
+      val post = landingParts(spark, landingDir)
+      val preFp = fpOf(pre)
+      val postFp = fpOf(post)
+      var dropped = false
+      Seq(carriedBlooms, carriedBuckets).foreach { map =>
+        val cached = map.get(landingDir)
+        if (cached != null) {
+          if (cached.landingFp == preFp)
+            map.put(landingDir, cached.copy(landingFp = postFp))
+          else { map.remove(landingDir); dropped = true }
         }
-        fs.delete(old, true)
-        val post = landingParts(spark, landingDir)
-        val preFp = fpOf(pre)
-        val postFp = fpOf(post)
-        var dropped = false
-        Seq(carriedBlooms, carriedBuckets).foreach { map =>
-          val cached = map.get(landingDir)
-          if (cached != null) {
-            if (cached.landingFp == preFp)
-              map.put(landingDir, cached.copy(landingFp = postFp))
-            else { map.remove(landingDir); dropped = true }
-          }
-        }
-        CompactStats(preVisible, post.count(isVisible), rows, carriesKept = !dropped)
-      } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
+      }
+      CompactStats(before, after, rewritten, carriesKept = !dropped)
     } finally { activeIngests.remove(landingDir, mine); () }
+  }
+
+  /** The data-bearing leaf dirs of a landing: the dir itself when
+    * flat, the leaf `key=value` dirs of a (possibly nested) hive
+    * layout otherwise. A level that mixes visible files with
+    * partition subdirs, or partition with non-partition subdirs, has
+    * no sound per-leaf rewrite and is refused. */
+  private def leafDataDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val visible = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      !(n.startsWith(".") || n.startsWith("_"))
+    }
+    val (dirs, files) = visible.partition(_.isDirectory)
+    val pdirs = dirs.filter(_.getPath.getName.contains("="))
+    if (pdirs.isEmpty) Seq(p)
+    else {
+      if (files.nonEmpty || pdirs.length != dirs.length)
+        throw new IllegalArgumentException(
+          s"dir '$p' mixes hive partition subdirs with " +
+          (if (files.nonEmpty) "data files" else "non-partition subdirs") +
+          " at one level; no per-leaf compaction is sound on a broken layout")
+      pdirs.toSeq.flatMap(d => leafDataDirs(fs, d.getPath))
+    }
+  }
+
+  /** One flat dir's read → coalesce → checked-swap rewrite. Returns
+    * (visible files before, after, rows rewritten — −1 on the no-op
+    * path where the dir was already at or under `targetFiles`). */
+  private def compactOneDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                            dirPath: org.apache.hadoop.fs.Path,
+                            targetFiles: Int): (Int, Int, Long) = {
+    val dirStr = dirPath.toString
+    val pre = landingParts(spark, dirStr)
+    val preVisible = pre.count(isVisible)
+    if (preVisible <= targetFiles)
+      return (preVisible, preVisible, -1L)
+    val parent = dirPath.getParent
+    val tmp = new org.apache.hadoop.fs.Path(
+      parent, s".compact-tmp-${java.util.UUID.randomUUID()}")
+    try {
+      // one scan; rows counted by the write's own Observation, and
+      // the re-run-on-failure story is "overwrite the tmp dir" so
+      // the v2 task-side committer is safe here
+      val obs = new org.apache.spark.sql.Observation("compact_rows")
+      spark.read.parquet(dirStr)
+        .coalesce(targetFiles)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.options(graft.core.Committers.forRerun(overwrite = true))
+        .mode("overwrite").parquet(tmp.toString)
+      val rows = obs.get("n").asInstanceOf[Long]
+      preSwapHook(dirStr)
+      val now = landingParts(spark, dirStr)
+      if (now != pre)
+        throw new IllegalStateException(
+          s"dir '$dirStr' changed during compaction (out-of-band " +
+          "writer); aborted — the dir is untouched, re-run when quiet")
+      val old = new org.apache.hadoop.fs.Path(
+        parent, s".compact-old-${java.util.UUID.randomUUID()}")
+      if (!fs.rename(dirPath, old))
+        throw new IllegalStateException(
+          s"could not move '$dirStr' aside for the compaction swap")
+      // restore on a false return AND on a thrown IOException — the
+      // dir must never stay renamed-aside when this call returns
+      val swapped =
+        try fs.rename(tmp, dirPath)
+        catch { case t: Throwable => fs.rename(old, dirPath); throw t }
+      if (!swapped) {
+        fs.rename(old, dirPath)
+        throw new IllegalStateException(
+          s"could not move compacted files into '$dirStr'; dir restored")
+      }
+      fs.delete(old, true)
+      (preVisible, landingParts(spark, dirStr).count(isVisible), rows)
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }
 
   // ---------- the three ingest entries ----------

@@ -122,20 +122,103 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     } finally EventStreams.activeIngests.remove(key, held)
   }
 
-  test("compactLanding refuses a hive-partitioned dir (would flatten the pruning layout)") {
+  test("compactLanding: hive-partitioned dir compacted per leaf, pruning layout intact") {
     import spark.implicits._
     val dir = tmpDir("graft-compact-part") + "/landing"
-    Seq((1L, "2026-01", "a"), (2L, "2026-02", "b"), (3L, "2026-02", "c"))
+    // nested two-level layout; two append writes guarantee >= 2 files
+    // in every leaf (each half covers all four (month, lang) combos)
+    val rows = (1L to 24L).map(i =>
+      (i, if (i % 2 == 0) "2026-01" else "2026-02", if (i % 3 == 0) "en" else "de", s"doc$i"))
+    rows.toDF("id", "month", "lang", "text").where($"id" <= 12)
+      .repartition(3).write.partitionBy("month", "lang").parquet(dir)
+    rows.toDF("id", "month", "lang", "text").where($"id" > 12)
+      .repartition(3).write.mode("append").partitionBy("month", "lang").parquet(dir)
+    def leafDirs(root: java.io.File): Seq[java.io.File] =
+      root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+        .flatMap { d =>
+          val sub = leafDirs(d)
+          if (sub.isEmpty) Seq(d) else sub
+        }.toSeq
+    val root = new java.io.File(dir)
+    val leavesBefore = leafDirs(root).map(_.getPath).sorted
+    assert(leavesBefore.size == 4, "fixture expects 2 months x 2 langs")
+    def leafFileCount(p: String): Int =
+      new java.io.File(p).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(leavesBefore.map(leafFileCount).forall(_ >= 2), "fixture must be accreted per leaf")
+    val before = spark.read.parquet(dir)
+      .select("id", "month", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+
+    val stats = EventStreams.compactLanding(spark, dir, targetFiles = 1)
+    assert(stats.rows == 24L && stats.filesAfter == 4 && stats.filesAfter < stats.filesBefore)
+    // the directory tree is untouched: same leaves, each at/under budget
+    assert(leafDirs(root).map(_.getPath).sorted == leavesBefore)
+    assert(leavesBefore.map(leafFileCount).forall(_ == 1))
+    // rows round-trip exactly, partition columns included
+    val after = spark.read.parquet(dir)
+      .select("id", "month", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+    assert(after == before, "per-leaf compaction must not change a row")
+    // and partition pruning still prunes: a one-leaf filter reads one dir
+    val pruned = spark.read.parquet(dir)
+      .where($"month" === "2026-01" && $"lang" === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the plan"))
+    assert(scan.metadata("PartitionFilters").contains("month"),
+      "month/lang predicates did not become partition filters")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"one-leaf filter must read 1 partition, read ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("compactLanding refuses a dir mixing data files with partition subdirs") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-mixed") + "/landing"
+    Seq((1L, "2026-01", "a"), (2L, "2026-02", "b"))
       .toDF("id", "month", "text")
       .write.partitionBy("month").parquet(dir)
+    // a stray visible data file at the partition level breaks the layout
+    Seq((3L, "c")).toDF("id", "text").coalesce(1)
+      .write.parquet(dir + "-stray")
+    val stray = new java.io.File(dir + "-stray").listFiles()
+      .find(f => f.getName.startsWith("part-")).get
+    java.nio.file.Files.copy(stray.toPath,
+      new java.io.File(dir, stray.getName).toPath)
     val err = intercept[IllegalArgumentException] {
       EventStreams.compactLanding(spark, dir, 1)
     }
-    assert(err.getMessage.contains("hive-partitioned"))
-    // untouched: both partitions still present, rows intact
-    assert(spark.read.parquet(dir).count() == 3)
+    assert(err.getMessage.contains("mixes hive partition subdirs"))
+    // untouched: both partitions still present
     assert(new java.io.File(dir).listFiles().count(f =>
       f.isDirectory && f.getName.startsWith("month=")) == 2)
+  }
+
+  test("compactLanding: an out-of-band append racing a LEAF swap aborts, rows all survive") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-leafrace") + "/landing"
+    (1L to 12L).map(i => (i, if (i % 2 == 0) "en" else "de", s"doc$i"))
+      .toDF("id", "lang", "text")
+      .repartition(4)
+      .write.partitionBy("lang").parquet(dir)
+    val racedLeaf = dir + "/lang=de"
+    EventStreams.preSwapHook = { d =>
+      if (d.endsWith("lang=de"))
+        Seq((99L, "raced")).toDF("id", "text")
+          .coalesce(1).write.mode("append").parquet(racedLeaf)
+    }
+    try {
+      val err = intercept[IllegalStateException] {
+        EventStreams.compactLanding(spark, dir, 1)
+      }
+      assert(err.getMessage.contains("changed during compaction"))
+    } finally EventStreams.preSwapHook = _ => ()
+    // every original row AND the raced-in row survive
+    val got = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((1L to 12L) :+ 99L).sorted)
+    // no temp debris from the aborted leaf
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .forall(!_.contains(".compact-tmp-")), "aborted leaf must clean its temp dir")
   }
 
   test("compactLanding: an out-of-band append racing the swap aborts, landing untouched") {
