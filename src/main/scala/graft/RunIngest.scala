@@ -44,7 +44,14 @@ import graft.streaming.EventStreams
   * (default 4) between stream sessions. Refused (exit 1) while an
   * in-JVM ingest stream holds the landing.
   *
-  * Exit codes: 0 ok, 1 stream/compaction failure, 2 usage. */
+  * `--expire` is the retention form:
+  * [[graft.streaming.EventStreams.expireLanding]] on `--corpus` —
+  * drop every `--partition-col NAME` partition dir whose value sorts
+  * strictly before `--before VALUE` (string compare; exact for ISO
+  * months/dates and zero-padded numerics). Same single-writer
+  * exclusion as `--compact`.
+  *
+  * Exit codes: 0 ok, 1 stream/maintenance failure, 2 usage. */
 object RunIngest {
   private val usage =
     """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
@@ -55,7 +62,12 @@ object RunIngest {
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N]
       |                                rewrite an accreted landing to N
       |                                part files (default 4); run between
-      |                                stream sessions""".stripMargin
+      |                                stream sessions
+      |   or: graft.RunIngest --expire --corpus DIR --partition-col NAME --before VALUE
+      |                                drop every NAME=value partition dir
+      |                                whose value sorts before VALUE
+      |                                (retention; run between stream
+      |                                sessions)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-ingest")
@@ -105,10 +117,41 @@ object RunIngest {
           1
       }
     }
+    if (opts.contains("expire")) {
+      val needed = Seq("corpus", "partition-col", "before").filterNot(opts.contains)
+      if (needed.nonEmpty) {
+        System.err.println(
+          s"[ingest] --expire needs ${needed.map("--" + _).mkString(", ")}\n$usage")
+        return 2
+      }
+      return try {
+        val s = EventStreams.expireLanding(
+          spark, opts("corpus"), opts("partition-col"), opts("before"))
+        if (s.dirsDropped == 0)
+          println(s"[ingest] expiry no-op: no ${opts("partition-col")}= dir sorts " +
+            s"before '${opts("before")}'")
+        else
+          println(s"[ingest] expired ${s.dirsDropped} partition dir(s), " +
+            s"${s.filesDropped} file(s) from ${opts("corpus")}, carries " +
+            (if (s.carriesKept) "kept" else "dropped (were stale)"))
+        0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+          1
+      }
+    }
     if (opts.contains("target-files")) {
       // only meaningful under --compact; ignoring it would silently
       // run a full stream when the user meant a maintenance rewrite
       System.err.println(s"[ingest] --target-files needs --compact\n$usage")
+      return 2
+    }
+    val expireOnly = Seq("partition-col", "before").filter(opts.contains)
+    if (expireOnly.nonEmpty) {
+      // only meaningful under --expire — same no-silent-default rule
+      System.err.println(
+        s"[ingest] ${expireOnly.map("--" + _).mkString(", ")} needs --expire\n$usage")
       return 2
     }
     val required = Seq("in", "corpus", "checkpoint")
@@ -165,7 +208,8 @@ object RunIngest {
     * defaults (e.g. `--textcol body` deduplicating the wrong column
     * and exiting 0). */
   private val valueFlags =
-    Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files")
+    Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files",
+        "partition-col", "before")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
@@ -173,6 +217,7 @@ object RunIngest {
       case Nil => acc
       case "--once" :: rest => parse(rest, acc + ("once" -> "true"))
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "true"))
+      case "--expire" :: rest => parse(rest, acc + ("expire" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
         val name = flag.drop(2)
         if (!valueFlags.contains(name))

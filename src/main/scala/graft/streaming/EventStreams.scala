@@ -808,6 +808,116 @@ object EventStreams {
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }
 
+  // ---------- landing expiry (retention) ----------
+
+  /** What [[expireLanding]] did. `carriesKept` is false iff a carried
+    * bloom existed and had to be dropped (stale fingerprint). */
+  final case class ExpireStats(
+    dirsDropped: Int, filesDropped: Int, carriesKept: Boolean)
+
+  /** Maintenance: DELETE every `partitionCol=value` subtree of a
+    * hive-partitioned landing whose unescaped value sorts strictly
+    * BEFORE `before` — the retention half of the landing lifecycle
+    * story ([[compactLanding]] is the file-count half). A
+    * month-partitioned landing at the 100 TB design point ages out
+    * data by dropping whole partition directories: pruning-aligned
+    * deletion, zero rows read or rewritten, cost proportional to the
+    * DIRECTORY count, not the data.
+    *
+    * The comparison is a plain string compare on the unescaped
+    * value — exact for ISO dates/months (`2026-01`) and zero-padded
+    * numerics, which is what time-partitioned landings use. The
+    * `partitionCol` may sit at any level of a nested layout (e.g.
+    * `source=…/month=…`): each matching dir's whole subtree goes, the
+    * rest of the tree is untouched, so partition pruning on the
+    * survivors is unaffected. A landing with NO `partitionCol=` dir
+    * anywhere (flat, or a different column) is refused loudly —
+    * expiry on the wrong column must not silently no-op. Spark's
+    * `__HIVE_DEFAULT_PARTITION__` (null-value) dirs never expire.
+    *
+    * Carried state: expiry REMOVES rows, which makes a carried bloom
+    * a SUPERSET of the landing — still sound, because a bloom
+    * positive is never trusted without the exact confirm join
+    * (an expired-then-reposted text probes positive, fails the
+    * confirm against the shrunken landing, and is correctly admitted
+    * as new). The carry is therefore re-stamped with the post-expiry
+    * fingerprint instead of dropped; the extra bits only cost confirm
+    * probes until the next natural reseed. `landedCounts` stays an
+    * overestimate, which only over-sizes the next bloom. The
+    * single-writer slot is held throughout, exactly as compaction. */
+  def expireLanding(spark: SparkSession, dir: String, partitionCol: String,
+                    before: String): ExpireStats = {
+    require(partitionCol.nonEmpty && !partitionCol.contains("="),
+      s"partitionCol must be a bare column name, got '$partitionCol'")
+    require(before.nonEmpty, "expiry cutoff must be non-empty")
+    val landingDir = landingKey(spark, dir)
+    val mine = acquireLanding(spark, landingDir)
+    try {
+      val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+      val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+      val prefix = partitionCol + "="
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).toSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && !(n.startsWith(".") || n.startsWith("_"))
+        }.flatMap { s =>
+          if (s.getPath.getName.startsWith(prefix)) Seq(s.getPath)
+          else walk(s.getPath)
+        }
+      val matched = walk(landingPath)
+      if (matched.isEmpty)
+        throw new IllegalArgumentException(
+          s"landing dir '$landingDir' has no '$prefix…' partition dir at any " +
+          "level; refusing to expire on a column the layout does not have")
+      val expired = matched.filter { p =>
+        val v = unescapePathName(p.getName.substring(prefix.length))
+        v != "__HIVE_DEFAULT_PARTITION__" && v < before
+      }
+      val pre = landingParts(spark, landingDir)
+      var files = 0
+      expired.foreach { p =>
+        files += landingParts(spark, p.toString).count(isVisible)
+        if (!fs.delete(p, true))
+          throw new IllegalStateException(s"could not delete expired dir '$p'")
+      }
+      val post = landingParts(spark, landingDir)
+      val preFp = fpOf(pre)
+      val postFp = fpOf(post)
+      var dropped = false
+      Seq(carriedBlooms, carriedBuckets).foreach { map =>
+        val cached = map.get(landingDir)
+        if (cached != null) {
+          if (cached.landingFp == preFp)
+            map.put(landingDir, cached.copy(landingFp = postFp))
+          else { map.remove(landingDir); dropped = true }
+        }
+      }
+      ExpireStats(expired.size, files, carriesKept = !dropped)
+    } finally { activeIngests.remove(landingDir, mine); () }
+  }
+
+  /** Hive partition-dir value unescape (`%2F` → `/` …) — the inverse
+    * of the `%xx` escaping Spark's dynamic-partition writer applies
+    * to special characters in partition VALUES. Plain values (ISO
+    * months, digits) pass through unchanged. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // ---------- the three ingest entries ----------
 
   /** Continuous corpus ingest with CROSS-BATCH exact dedup — the

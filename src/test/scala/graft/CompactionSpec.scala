@@ -252,4 +252,71 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(parent.listFiles().map(_.getName).forall(!_.contains(".compact-tmp-")),
       "aborted compaction must clean its temp dir")
   }
+
+  test("expireLanding: old month dirs dropped whole, survivors and pruning intact") {
+    import spark.implicits._
+    val dir = tmpDir("graft-expire") + "/landing"
+    val rows = Seq(
+      (1L, "2025-11", "old1"), (2L, "2025-12", "old2"), (3L, "2025-12", "old3"),
+      (4L, "2026-01", "keep1"), (5L, "2026-02", "keep2"))
+    rows.toDF("id", "month", "text").repartition(2)
+      .write.partitionBy("month").parquet(dir)
+
+    // seed a carry whose fingerprint matches the current listing — the
+    // restamp discipline must keep it (expiry makes the bloom a
+    // SUPERSET, which the exact confirm join tolerates)
+    val key = EventStreams.landingKey(spark, dir)
+    val preFp = graft.core.Tables.listing(spark, dir).mkString(";")
+    EventStreams.carriedBlooms.put(key,
+      EventStreams.CarriedBloom(new Array[Byte](32), 128, 2, 5L, preFp))
+    try {
+      val stats = EventStreams.expireLanding(spark, dir, "month", "2026-01")
+      assert(stats.dirsDropped == 2 && stats.filesDropped >= 2 && stats.carriesKept)
+      // expired dirs gone, survivors untouched
+      val monthDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("month=")).map(_.getName).sorted
+      assert(monthDirs.toSeq == Seq("month=2026-01", "month=2026-02"))
+      val kept = spark.read.parquet(dir).select("id", "month", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(kept == Seq((4L, "2026-01", "keep1"), (5L, "2026-02", "keep2")))
+      // the carry survived, restamped with the post-expiry listing
+      val carry = EventStreams.carriedBlooms.get(key)
+      assert(carry != null &&
+        carry.landingFp == graft.core.Tables.listing(spark, dir).mkString(";"))
+      // nothing sorts before the cutoff now: second run is a no-op
+      val again = EventStreams.expireLanding(spark, dir, "month", "2026-01")
+      assert(again.dirsDropped == 0 && again.filesDropped == 0 && again.carriesKept)
+    } finally EventStreams.carriedBlooms.remove(key)
+  }
+
+  test("expireLanding: nested layout expires the column at its level under every parent") {
+    import spark.implicits._
+    val dir = tmpDir("graft-expire-nested") + "/landing"
+    Seq(
+      (1L, "a", "2025-12", "x"), (2L, "a", "2026-01", "y"),
+      (3L, "b", "2025-12", "z"), (4L, "b", "2026-01", "w"))
+      .toDF("id", "source", "month", "text")
+      .write.partitionBy("source", "month").parquet(dir)
+    val stats = EventStreams.expireLanding(spark, dir, "month", "2026-01")
+    assert(stats.dirsDropped == 2)
+    val kept = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+    // both sources' trees survive with only the new month under each
+    for (src <- Seq("a", "b")) {
+      val months = new java.io.File(s"$dir/source=$src").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(months == Seq("month=2026-01"), s"source=$src kept $months")
+    }
+  }
+
+  test("expireLanding refuses a landing without the partition column") {
+    import spark.implicits._
+    val dir = tmpDir("graft-expire-flat") + "/landing"
+    Seq((1L, "a")).toDF("id", "text").write.parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.expireLanding(spark, dir, "month", "2026-01")
+    }
+    assert(err.getMessage.contains("no 'month="))
+    assert(spark.read.parquet(dir).count() == 1, "refusal must not touch the landing")
+  }
 }

@@ -86,4 +86,22 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     assert(RunIngest.execute(spark,
       Array("--compact", "--corpus", corpus, "--target-files", "0")) == 2)
   }
+
+  test("--expire: retention drop of old partition dirs; flag hygiene") {
+    val dir = Files.createTempDirectory("graft-cli-expire").toString + "/corpus"
+    Seq((1L, "2025-12", textA), (2L, "2026-01", textB))
+      .toDF("doc_id", "month", "text")
+      .write.partitionBy("month").parquet(dir)
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir,
+      "--partition-col", "month", "--before", "2026-01")) == 0)
+    assert(spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // --expire without its companions, and the companions without
+    // --expire, are usage errors; wrong column is a run failure
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir)) == 2)
+    assert(RunIngest.execute(spark, Array("--corpus", dir,
+      "--partition-col", "month", "--before", "2026-01")) == 2)
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir,
+      "--partition-col", "day", "--before", "2026-01")) == 1)
+  }
 }
