@@ -86,6 +86,36 @@ object RunIngest {
           System.err.println(s"[ingest] ${e.getMessage}\n$usage")
           return 2
       }
+    // maintenance forms take ONLY their own flags: a co-passed
+    // streaming flag means the user expected a stream to run too, and
+    // silently skipping it would exit 0 on work never done
+    if (opts.contains("compact") || opts.contains("expire")) {
+      val streamFlags = Seq("in", "checkpoint", "once", "mode", "text-col", "id-col")
+        .filter(opts.contains)
+      if (streamFlags.nonEmpty) {
+        val form = if (opts.contains("compact")) "--compact" else "--expire"
+        System.err.println(
+          s"[ingest] ${streamFlags.map("--" + _).mkString(", ")} cannot be " +
+          s"combined with $form (maintenance runs no stream)\n$usage")
+        return 2
+      }
+    }
+    if (opts.contains("compact") && opts.contains("expire")) {
+      System.err.println(
+        s"[ingest] --compact and --expire are separate maintenance runs; " +
+        s"pass one at a time\n$usage")
+      return 2
+    }
+    val crossForm =
+      (if (opts.contains("expire")) Seq("target-files") else Nil) ++
+      (if (opts.contains("compact")) Seq("partition-col", "before") else Nil)
+    val crossed = crossForm.filter(opts.contains)
+    if (crossed.nonEmpty) {
+      System.err.println(
+        s"[ingest] ${crossed.map("--" + _).mkString(", ")} belongs to the other " +
+        s"maintenance form\n$usage")
+      return 2
+    }
     if (opts.contains("compact")) {
       if (!opts.contains("corpus")) {
         System.err.println(s"[ingest] --compact needs --corpus\n$usage")

@@ -81,6 +81,49 @@ object BpeVocab {
     best
   }
 
+  /** Receiver for [[scanWords]] — primitive arguments so the shared
+    * scan stays allocation-free (a Function3 would box per word). */
+  trait WordSink {
+    /** One maximal `[a-zA-Z0-9]+` run: `bytes[start, end)` counting
+      * `tokens` greedy vocabulary tokens. */
+    def word(bytes: Array[Byte], start: Int, end: Int, tokens: Long): Unit
+  }
+
+  /** THE word-boundary + trie-count scan both expressions share: find
+    * each maximal `[a-zA-Z0-9]+` run of `bytes`, greedily count its
+    * vocabulary tokens (longest-match walk, unknown byte = one token),
+    * and hand (start, end, count) to `sink`. Keeping this loop in one
+    * place is what makes `bpe_token_count(chunk) = Σ word counts`
+    * un-breakable: counter and chunker cannot drift. */
+  def scanWords(bytes: Array[Byte], sink: WordSink): Unit = {
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9')
+      if (alnum) {
+        var e = i
+        var go = true
+        while (go && e < len) {
+          val c = bytes(e)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9')) e += 1
+          else go = false
+        }
+        var t = 0L
+        var p = i
+        while (p < e) {
+          val m = longestMatch(bytes, p, e)
+          p += (if (m == 0) 1 else m)
+          t += 1
+        }
+        sink.word(bytes, i, e, t)
+        i = e
+      } else i += 1
+    }
+  }
+
   /** Greedy tokenization of one word — the reference semantics the
     * expression's byte scan implements, used by TextSpec for parity
     * and available to callers that want the token strings. */
@@ -129,34 +172,20 @@ case class BpeTokenCount(child: Expression)
       s"bpe_token_count needs STRING input, got ${other.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  // one mutable sink per expression copy (tasks deserialize their
+  // own), reset per row — the scan itself lives in
+  // BpeVocab.scanWords, shared with BpeChunks
+  private final class CountSink extends BpeVocab.WordSink {
     var count = 0L
-    var i = 0
-    val len = bytes.length
-    while (i < len) {
-      val b = bytes(i)
-      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9')
-      if (alnum) {
-        var e = i
-        var go = true
-        while (go && e < len) {
-          val c = bytes(e)
-          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-              (c >= '0' && c <= '9')) e += 1
-          else go = false
-        }
-        var p = i
-        while (p < e) {
-          val m = BpeVocab.longestMatch(bytes, p, e)
-          p += (if (m == 0) 1 else m)
-          count += 1
-        }
-        i = e
-      } else i += 1
-    }
-    count
+    override def word(bytes: Array[Byte], start: Int, end: Int, tokens: Long): Unit =
+      count += tokens
+  }
+  @transient private lazy val sink = new CountSink
+
+  override protected def nullSafeEval(input: Any): Any = {
+    sink.count = 0L
+    BpeVocab.scanWords(input.asInstanceOf[UTF8String].getBytes, sink)
+    sink.count
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
@@ -209,11 +238,15 @@ case class BpeChunks(left: Expression, right: Expression)
 
   @transient private lazy val budget: Int = right.eval().asInstanceOf[Int]
 
-  override protected def nullSafeEval(textAny: Any, budgetAny: Any): Any = {
-    val bytes = textAny.asInstanceOf[UTF8String].getBytes
+  // greedy whole-word packer fed by the SAME scan the counter uses
+  // (BpeVocab.scanWords) — per-word token counts cannot drift between
+  // counting and chunking
+  private final class ChunkSink extends BpeVocab.WordSink {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
     val cur = new java.io.ByteArrayOutputStream()
     var curTokens = 0L
+    var maxTokens = 0
+    def reset(b: Int): Unit = { chunks.clear(); cur.reset(); curTokens = 0L; maxTokens = b }
     def emit(): Unit = {
       if (curTokens > 0) {
         chunks += UTF8String.fromBytes(cur.toByteArray)
@@ -221,42 +254,25 @@ case class BpeChunks(left: Expression, right: Expression)
         curTokens = 0L
       }
     }
-    var i = 0
-    val len = bytes.length
-    while (i < len) {
-      val b = bytes(i)
-      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9')
-      if (alnum) {
-        var e = i
-        var go = true
-        while (go && e < len) {
-          val c = bytes(e)
-          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-              (c >= '0' && c <= '9')) e += 1
-          else go = false
-        }
-        var t = 0L
-        var p = i
-        while (p < e) {
-          val m = BpeVocab.longestMatch(bytes, p, e)
-          p += (if (m == 0) 1 else m)
-          t += 1
-        }
-        if (curTokens > 0 && curTokens + t > budget) emit()
-        if (curTokens > 0) cur.write(' ')
-        var j = i
-        while (j < e) {
-          val c = bytes(j)
-          cur.write(if (c >= 'A' && c <= 'Z') c + 32 else c)
-          j += 1
-        }
-        curTokens += t
-        i = e
-      } else i += 1
+    override def word(bytes: Array[Byte], start: Int, end: Int, tokens: Long): Unit = {
+      if (curTokens > 0 && curTokens + tokens > maxTokens) emit()
+      if (curTokens > 0) cur.write(' ')
+      var j = start
+      while (j < end) {
+        val c = bytes(j)
+        cur.write(if (c >= 'A' && c <= 'Z') c + 32 else c)
+        j += 1
+      }
+      curTokens += tokens
     }
-    emit()
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks.toArray)
+  }
+  @transient private lazy val sink = new ChunkSink
+
+  override protected def nullSafeEval(textAny: Any, budgetAny: Any): Any = {
+    sink.reset(budget)
+    BpeVocab.scanWords(textAny.asInstanceOf[UTF8String].getBytes, sink)
+    sink.emit()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sink.chunks.toArray)
   }
 
   override protected def withNewChildrenInternal(

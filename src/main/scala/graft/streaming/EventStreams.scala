@@ -491,8 +491,13 @@ object EventStreams {
       // exact confirmation for the bloom-positive minority only; the
       // corpus side is column-pruned to the text column, and AQE's
       // runtime size check broadcasts whichever side is small
+      // no distinct on the corpus side: a left_semi join is already
+      // duplicate-insensitive on its right input, and the landed texts
+      // are unique by the dedup invariant anyway — a distinct here
+      // would add a full-corpus hash aggregation to every
+      // bloom-positive batch for nothing
       val dupIds = probed.filter(col("maybe_dup"))
-        .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_semi")
+        .join(corpus.select(col(textCol)), Seq(textCol), "left_semi")
         .select(col(idCol))
       probed.join(dupIds, Seq(idCol), "left_anti").drop("maybe_dup")
     }
@@ -655,6 +660,13 @@ object EventStreams {
     * would have to race to lose rows. No-op in production. */
   @volatile private[graft] var preSwapHook: String => Unit = _ => ()
 
+  /** Test seam: invoked after a dir's successful swap (its post
+    * listing taken) and before the parent collects the global post
+    * listing — the window a foreign append must hit to invalidate a
+    * carry re-stamp without aborting the compaction. No-op in
+    * production. */
+  @volatile private[graft] var postSwapHook: String => Unit = _ => ()
+
   /** Maintenance: rewrite an accreted landing dir down to
     * `targetFiles` part files. [[ingestDedup]]'s per-batch
     * `appendFiles` cap bounds what each micro-batch adds, but a
@@ -677,10 +689,16 @@ object EventStreams {
     * the carried blooms remain EXACTLY right — they are re-stamped
     * with the compacted listing's fingerprint rather than dropped
     * (a dropped carry would cost the next batch a full reseed scan,
-    * the very cost compaction exists to keep bounded). A carry whose
-    * fingerprint did not match the pre-compaction listing was already
-    * stale and is dropped as usual. `landedCounts` is row-based and
-    * unaffected.
+    * the very cost compaction exists to keep bounded). The re-stamp
+    * is VALIDATED, not assumed: every rewritten dir's own listing
+    * must have been part of the global pre listing, and the global
+    * post listing must be exactly pre with the rewritten dirs' files
+    * swapped — any other delta means a foreign writer landed rows the
+    * blob does not contain, and the carry is dropped so the next
+    * batch reseeds (same discipline as the ingest fold's
+    * append-delta validation). A carry whose fingerprint did not
+    * match the pre-compaction listing was already stale and is
+    * dropped as usual. `landedCounts` is row-based and unaffected.
     *
     * Hive-partitioned landings (key=value subdirs — the
     * month-partitioned or z-order layouts) are compacted PER LEAF
@@ -709,28 +727,53 @@ object EventStreams {
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
       val pre = landingParts(spark, landingDir)
-      var before = 0
-      var after = 0
-      var rewritten = -1L
-      leafDataDirs(fs, landingPath).foreach { leaf =>
-        val (b, a, r) = compactOneDir(spark, fs, leaf, targetFiles)
-        before += b; after += a
-        if (r >= 0) rewritten = math.max(rewritten, 0L) + r
-      }
+      val results = leafDataDirs(fs, landingPath).map(compactOneDir(spark, fs, _, targetFiles))
       val post = landingParts(spark, landingDir)
-      val preFp = fpOf(pre)
-      val postFp = fpOf(post)
-      var dropped = false
-      Seq(carriedBlooms, carriedBuckets).foreach { map =>
-        val cached = map.get(landingDir)
-        if (cached != null) {
-          if (cached.landingFp == preFp)
-            map.put(landingDir, cached.copy(landingFp = postFp))
-          else { map.remove(landingDir); dropped = true }
-        }
+      // Re-stamping the carried blooms asserts "the landing holds
+      // exactly the texts the blob was built from, just in different
+      // files" — which is only true if NOTHING out-of-band landed in
+      // the pre→post window. Validate, don't assume: every rewritten
+      // leaf's own pre listing must have been part of the global pre
+      // listing (nothing snuck in between the two listings and got
+      // rewritten into the compacted files), and the global post must
+      // be exactly pre minus the rewritten leaves' old files plus
+      // their new ones. Any other delta → the carry is dropped (next
+      // batch reseeds from the landing, which self-heals), never
+      // trusted with texts missing from the blob.
+      val preSet = pre.toSet
+      val rewrote = results.filter(_.rewrote)
+      val valid = rewrote.forall(_.preParts.forall(preSet.contains)) && {
+        val expected =
+          (preSet -- rewrote.flatMap(_.preParts) ++ rewrote.flatMap(_.postParts))
+        post.toSet == expected && post.size == expected.size
       }
-      CompactStats(before, after, rewritten, carriesKept = !dropped)
+      val rewrittenRows =
+        if (rewrote.isEmpty) -1L else rewrote.map(_.rows).sum
+      CompactStats(
+        results.map(_.preParts.count(isVisible)).sum,
+        results.map(r => (if (r.rewrote) r.postParts else r.preParts).count(isVisible)).sum,
+        rewrittenRows,
+        carriesKept = restampCarries(landingDir, fpOf(pre), fpOf(post), valid))
     } finally { activeIngests.remove(landingDir, mine); () }
+  }
+
+  /** Re-stamp the carried blooms with the post-maintenance listing
+    * fingerprint — but ONLY when the caller proved the maintenance
+    * pass was the sole writer (`valid`) and the carry matched the
+    * pre listing; anything else drops the carry so the next batch
+    * reseeds. Returns false iff a carry had to be dropped. */
+  private def restampCarries(landingDir: String, preFp: String, postFp: String,
+                             valid: Boolean): Boolean = {
+    var dropped = false
+    Seq(carriedBlooms, carriedBuckets).foreach { map =>
+      val cached = map.get(landingDir)
+      if (cached != null) {
+        if (valid && cached.landingFp == preFp)
+          map.put(landingDir, cached.copy(landingFp = postFp))
+        else { map.remove(landingDir); dropped = true }
+      }
+    }
+    !dropped
   }
 
   /** The data-bearing leaf dirs of a landing: the dir itself when
@@ -757,17 +800,40 @@ object EventStreams {
     }
   }
 
-  /** One flat dir's read → coalesce → checked-swap rewrite. Returns
-    * (visible files before, after, rows rewritten — −1 on the no-op
-    * path where the dir was already at or under `targetFiles`). */
+  /** One dir's compaction outcome: its listing before, its listing
+    * after (== before on the no-op path), rewritten row count, and
+    * whether a rewrite actually happened. */
+  private final case class LeafCompact(
+    preParts: Seq[String], postParts: Seq[String], rows: Long, rewrote: Boolean)
+
+  /** The listing relativized to its base dir (`path:len:mtime` with
+    * the dir prefix stripped) — lets a dir's content identity be
+    * compared across a rename (a rename moves files without touching
+    * their lengths or mtimes). */
+  private def relParts(base: org.apache.hadoop.fs.Path, parts: Seq[String]): Seq[String] = {
+    val prefix = base.toUri.getPath
+    parts.map(_.stripPrefix(prefix))
+  }
+
+  /** One flat dir's read → coalesce → checked-swap rewrite. The swap
+    * is verified AFTER the aside rename: the moved-aside dir must
+    * hold exactly the files the rewrite read (rename preserves
+    * lengths and mtimes), so any file a foreign writer committed
+    * since the pre listing is caught while it is still restorable —
+    * the aside dir is renamed back and the compaction aborts with
+    * every committed row intact. A pre-rename listing check could
+    * never close that window (a commit could always land between the
+    * check and the rename); checking the moved dir itself can,
+    * because after the rename a foreign commit lands in the fresh
+    * target path, which the swap preserves. */
   private def compactOneDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                             dirPath: org.apache.hadoop.fs.Path,
-                            targetFiles: Int): (Int, Int, Long) = {
+                            targetFiles: Int): LeafCompact = {
     val dirStr = dirPath.toString
     val pre = landingParts(spark, dirStr)
     val preVisible = pre.count(isVisible)
     if (preVisible <= targetFiles)
-      return (preVisible, preVisible, -1L)
+      return LeafCompact(pre, pre, -1L, rewrote = false)
     val parent = dirPath.getParent
     val tmp = new org.apache.hadoop.fs.Path(
       parent, s".compact-tmp-${java.util.UUID.randomUUID()}")
@@ -783,37 +849,55 @@ object EventStreams {
         .mode("overwrite").parquet(tmp.toString)
       val rows = obs.get("n").asInstanceOf[Long]
       preSwapHook(dirStr)
-      val now = landingParts(spark, dirStr)
-      if (now != pre)
-        throw new IllegalStateException(
-          s"dir '$dirStr' changed during compaction (out-of-band " +
-          "writer); aborted — the dir is untouched, re-run when quiet")
       val old = new org.apache.hadoop.fs.Path(
         parent, s".compact-old-${java.util.UUID.randomUUID()}")
       if (!fs.rename(dirPath, old))
         throw new IllegalStateException(
           s"could not move '$dirStr' aside for the compaction swap")
+      if (relParts(old, landingParts(spark, old.toString)) != relParts(dirPath, pre)) {
+        // a foreign commit landed since the rewrite's listing — it
+        // rode into the aside dir; put everything back and abort
+        if (!fs.rename(old, dirPath))
+          throw new IllegalStateException(
+            s"dir '$dirStr' changed during compaction AND the restore rename " +
+            s"failed; all rows are intact under '$old' — rename it back")
+        throw new IllegalStateException(
+          s"dir '$dirStr' changed during compaction (out-of-band " +
+          "writer); aborted — the dir is untouched, re-run when quiet")
+      }
       // restore on a false return AND on a thrown IOException — the
       // dir must never stay renamed-aside when this call returns
       val swapped =
         try fs.rename(tmp, dirPath)
         catch { case t: Throwable => fs.rename(old, dirPath); throw t }
       if (!swapped) {
-        fs.rename(old, dirPath)
+        if (!fs.rename(old, dirPath))
+          throw new IllegalStateException(
+            s"could not move compacted files into '$dirStr' AND the restore " +
+            s"rename failed; all rows are intact under '$old' — rename it back")
         throw new IllegalStateException(
           s"could not move compacted files into '$dirStr'; dir restored")
       }
       fs.delete(old, true)
-      (preVisible, landingParts(spark, dirStr).count(isVisible), rows)
+      val post = landingParts(spark, dirStr)
+      postSwapHook(dirStr)
+      LeafCompact(pre, post, rows, rewrote = true)
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }
 
   // ---------- landing expiry (retention) ----------
 
   /** What [[expireLanding]] did. `carriesKept` is false iff a carried
-    * bloom existed and had to be dropped (stale fingerprint). */
+    * bloom existed and had to be dropped (stale fingerprint, or the
+    * pre→post listing delta was not exactly the expired subtrees). */
   final case class ExpireStats(
     dirsDropped: Int, filesDropped: Int, carriesKept: Boolean)
+
+  /** Test seam: invoked after [[expireLanding]]'s pre listing and
+    * before the deletes — the window a foreign append to a surviving
+    * dir must hit to invalidate the carry re-stamp. No-op in
+    * production. */
+  @volatile private[graft] var expireHook: String => Unit = _ => ()
 
   /** Maintenance: DELETE every `partitionCol=value` subtree of a
     * hive-partitioned landing whose unescaped value sorts strictly
@@ -841,10 +925,15 @@ object EventStreams {
     * (an expired-then-reposted text probes positive, fails the
     * confirm against the shrunken landing, and is correctly admitted
     * as new). The carry is therefore re-stamped with the post-expiry
-    * fingerprint instead of dropped; the extra bits only cost confirm
-    * probes until the next natural reseed. `landedCounts` stays an
-    * overestimate, which only over-sizes the next bloom. The
-    * single-writer slot is held throughout, exactly as compaction. */
+    * fingerprint instead of dropped — but only after VALIDATING that
+    * the pre→post listing delta is exactly the expired subtrees: a
+    * foreign append in the window would make the bloom a SUBSET
+    * (false negatives → admitted duplicates), so any unexplained
+    * delta drops the carry and the next batch reseeds. The extra
+    * superset bits only cost confirm probes until the next natural
+    * reseed. `landedCounts` stays an overestimate, which only
+    * over-sizes the next bloom. The single-writer slot is held
+    * throughout, exactly as compaction. */
   def expireLanding(spark: SparkSession, dir: String, partitionCol: String,
                     before: String): ExpireStats = {
     require(partitionCol.nonEmpty && !partitionCol.contains("="),
@@ -871,51 +960,36 @@ object EventStreams {
           s"landing dir '$landingDir' has no '$prefix…' partition dir at any " +
           "level; refusing to expire on a column the layout does not have")
       val expired = matched.filter { p =>
-        val v = unescapePathName(p.getName.substring(prefix.length))
+        // Spark's own unescape (the inverse of the %xx escaping its
+        // dynamic-partition writer applies to partition VALUES), so
+        // the comparison stays in lockstep with the writer's rules
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(p.getName.substring(prefix.length))
         v != "__HIVE_DEFAULT_PARTITION__" && v < before
       }
       val pre = landingParts(spark, landingDir)
-      var files = 0
+      expireHook(landingDir)
+      val expiredPrefixes = expired.map(_.toUri.getPath + "/")
+      def isExpired(part: String): Boolean = {
+        val p = partPath(part)
+        expiredPrefixes.exists(p.startsWith)
+      }
+      val files = pre.count(p => isVisible(p) && isExpired(p))
       expired.foreach { p =>
-        files += landingParts(spark, p.toString).count(isVisible)
         if (!fs.delete(p, true))
           throw new IllegalStateException(s"could not delete expired dir '$p'")
       }
       val post = landingParts(spark, landingDir)
-      val preFp = fpOf(pre)
-      val postFp = fpOf(post)
-      var dropped = false
-      Seq(carriedBlooms, carriedBuckets).foreach { map =>
-        val cached = map.get(landingDir)
-        if (cached != null) {
-          if (cached.landingFp == preFp)
-            map.put(landingDir, cached.copy(landingFp = postFp))
-          else { map.remove(landingDir); dropped = true }
-        }
-      }
-      ExpireStats(expired.size, files, carriesKept = !dropped)
+      // The re-stamp asserts "the landing is exactly the pre listing
+      // minus the expired subtrees" — validate it. A foreign append to
+      // a SURVIVING dir in this window would make the carried bloom a
+      // subset (false negatives → admitted duplicates), so any
+      // unexplained delta drops the carry instead; a foreign append to
+      // an EXPIRED dir was deleted with it and cannot appear in post.
+      val valid = post == pre.filterNot(isExpired)
+      ExpireStats(expired.size, files,
+        carriesKept = restampCarries(landingDir, fpOf(pre), fpOf(post), valid))
     } finally { activeIngests.remove(landingDir, mine); () }
-  }
-
-  /** Hive partition-dir value unescape (`%2F` → `/` …) — the inverse
-    * of the `%xx` escaping Spark's dynamic-partition writer applies
-    * to special characters in partition VALUES. Plain values (ISO
-    * months, digits) pass through unchanged. */
-  private def unescapePathName(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val code =
-          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
-          catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
   }
 
   // ---------- the three ingest entries ----------
@@ -945,9 +1019,11 @@ object EventStreams {
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id",
                   appendFiles: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
     ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles)
+  }
 
   private def ingestDedupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
                               textCol: String, idCol: String, appendFiles: Int)
@@ -1053,9 +1129,11 @@ object EventStreams {
   def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
                     textCol: String = "text", idCol: String = "doc_id",
                     appendFiles: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
     ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles)
+  }
 
   private def ingestNearDupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
                                 textCol: String, idCol: String, appendFiles: Int)
@@ -1140,9 +1218,11 @@ object EventStreams {
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
                      appendFiles: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles)
+  }
 
   private def ingestPipelineImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
                                  textCol: String, idCol: String, appendFiles: Int)

@@ -253,6 +253,50 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
       "aborted compaction must clean its temp dir")
   }
 
+  test("compactLanding: a foreign append AFTER a swap drops the carry instead of trusting it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = tmpDir("graft-compact-postswap") + "/corpus"
+    val key = EventStreams.landingKey(spark, landing)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, tmpDir("graft-compact-postswap-ck"))
+    try {
+      input.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      input.addData((3L, "gamma"), (4L, "delta")); q.processAllAvailable()
+      input.addData((5L, "epsilon")); q.processAllAvailable()
+    } finally q.stop()
+    assert(EventStreams.carriedBlooms.containsKey(key))
+    // a foreign writer lands 'sneaky' between the swap and the global
+    // post listing: the compaction itself succeeds (those rows are
+    // safe in the new dir), but the post listing now contains a file
+    // whose texts the carried blob does NOT — re-stamping would admit
+    // every future duplicate of 'sneaky'
+    EventStreams.postSwapHook = { _ =>
+      Seq((99L, "sneaky")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    val stats =
+      try EventStreams.compactLanding(spark, landing, targetFiles = 1)
+      finally EventStreams.postSwapHook = _ => ()
+    assert(!stats.carriesKept, "unexplained post-listing delta must drop the carry")
+    assert(!EventStreams.carriedBlooms.containsKey(key))
+    // every row survived — the compacted five plus the foreign one
+    assert(landedTexts(landing).map(_._2).sorted ==
+      Seq("alpha", "beta", "delta", "epsilon", "gamma", "sneaky"))
+    // and the next stream reseeds from the landing, so 'sneaky' IS
+    // deduplicated rather than silently admitted forever
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.ingestDedup(
+      in2.toDF().toDF("doc_id", "text"), landing, tmpDir("graft-compact-postswap-ck2"))
+    try {
+      in2.addData((100L, "sneaky"), (101L, "zeta")); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(landedTexts(landing).count(_._2 == "sneaky") == 1,
+      "reseeded stream must reject the duplicate of the foreign row")
+    assert(landedTexts(landing).exists(_._2 == "zeta"))
+  }
+
   test("expireLanding: old month dirs dropped whole, survivors and pruning intact") {
     import spark.implicits._
     val dir = tmpDir("graft-expire") + "/landing"
@@ -306,6 +350,36 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
       val months = new java.io.File(s"$dir/source=$src").listFiles()
         .filter(_.isDirectory).map(_.getName).toSeq
       assert(months == Seq("month=2026-01"), s"source=$src kept $months")
+    }
+  }
+
+  test("expireLanding: a foreign append to a SURVIVING dir drops the carry") {
+    import spark.implicits._
+    val dir = tmpDir("graft-expire-race") + "/landing"
+    Seq((1L, "2025-12", "old"), (2L, "2026-01", "keep"))
+      .toDF("id", "month", "text")
+      .write.partitionBy("month").parquet(dir)
+    val key = EventStreams.landingKey(spark, dir)
+    val preFp = graft.core.Tables.listing(spark, dir).mkString(";")
+    EventStreams.carriedBlooms.put(key,
+      EventStreams.CarriedBloom(new Array[Byte](32), 128, 2, 2L, preFp))
+    // foreign rows land in the surviving month between the pre listing
+    // and the deletes — the carried blob lacks their texts, so a
+    // re-stamp would admit their duplicates; the carry must drop
+    EventStreams.expireHook = { _ =>
+      Seq((99L, "2026-01", "raced")).toDF("id", "month", "text")
+        .write.mode("append").partitionBy("month").parquet(dir)
+    }
+    try {
+      val stats = EventStreams.expireLanding(spark, dir, "month", "2026-01")
+      assert(stats.dirsDropped == 1 && !stats.carriesKept)
+      assert(!EventStreams.carriedBlooms.containsKey(key))
+      // the raced-in row and the surviving month are both intact
+      val kept = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(2L, 99L))
+    } finally {
+      EventStreams.expireHook = _ => ()
+      EventStreams.carriedBlooms.remove(key)
     }
   }
 

@@ -103,5 +103,17 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       "--partition-col", "month", "--before", "2026-01")) == 2)
     assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir,
       "--partition-col", "day", "--before", "2026-01")) == 1)
+    // maintenance forms refuse co-passed streaming flags (a silently
+    // skipped stream would exit 0 on work never done), each other,
+    // and the other form's flags
+    assert(RunIngest.execute(spark, Array("--compact", "--corpus", dir,
+      "--in", dir, "--checkpoint", dir, "--once")) == 2)
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir,
+      "--partition-col", "month", "--before", "2026-01", "--mode", "both")) == 2)
+    assert(RunIngest.execute(spark, Array("--compact", "--expire", "--corpus", dir)) == 2)
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", dir,
+      "--partition-col", "month", "--before", "2026-01", "--target-files", "2")) == 2)
+    assert(RunIngest.execute(spark, Array("--compact", "--corpus", dir,
+      "--before", "2026-01")) == 2)
   }
 }

@@ -791,6 +791,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("ingest entries reject a non-positive appendFiles upfront, not in the first batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val landing = java.nio.file.Files.createTempDirectory("graft-af").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-af-ck").toString
+    for (bad <- Seq(0, -1)) {
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestDedup(docs, landing, ckpt, appendFiles = bad)
+      }.getMessage.contains("appendFiles"))
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestNearDup(docs, landing, ckpt, appendFiles = bad)
+      }.getMessage.contains("appendFiles"))
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestPipeline(docs, landing, ckpt, appendFiles = bad)
+      }.getMessage.contains("appendFiles"))
+    }
+    // the refused starts must not leave the landing's writer slot held
+    val key = EventStreams.landingKey(spark, landing)
+    assert(!EventStreams.activeIngests.containsKey(key),
+      "a rejected start must not hold the single-writer slot")
+  }
+
   test("landingKey: path spellings of one dir share one state key") {
     val raw = java.nio.file.Files.createTempDirectory("graft-lk").toString + "/corpus"
     val k1 = EventStreams.landingKey(spark, raw)
