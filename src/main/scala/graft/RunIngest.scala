@@ -44,6 +44,13 @@ import graft.streaming.EventStreams
   * (default 4) between stream sessions. Refused (exit 1) while an
   * in-JVM ingest stream holds the landing.
   *
+  * `--repair` is the crash-recovery form:
+  * [[graft.streaming.EventStreams.repairLanding]] on `--corpus` —
+  * finish or roll back compaction swaps a crash left half-done
+  * (restore aside dirs whose target vanished, finish manifest-proven
+  * completed swaps, sweep tmp debris). Exit 1 when an aside dir needs
+  * a human decision (its target exists without a matching manifest).
+  *
   * `--expire` is the retention form:
   * [[graft.streaming.EventStreams.expireLanding]] on `--corpus` —
   * drop every `--partition-col NAME` partition dir whose value sorts
@@ -67,7 +74,11 @@ object RunIngest {
       |                                drop every NAME=value partition dir
       |                                whose value sorts before VALUE
       |                                (retention; run between stream
-      |                                sessions)""".stripMargin
+      |                                sessions)
+      |   or: graft.RunIngest --repair --corpus DIR
+      |                                finish or roll back compaction swaps
+      |                                a crash left half-done (restore
+      |                                aside dirs, sweep debris)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-ingest")
@@ -89,30 +100,31 @@ object RunIngest {
     // maintenance forms take ONLY their own flags: a co-passed
     // streaming flag means the user expected a stream to run too, and
     // silently skipping it would exit 0 on work never done
-    if (opts.contains("compact") || opts.contains("expire")) {
+    val forms = Seq("compact", "expire", "repair").filter(opts.contains)
+    if (forms.nonEmpty) {
       val streamFlags = Seq("in", "checkpoint", "once", "mode", "text-col", "id-col")
         .filter(opts.contains)
       if (streamFlags.nonEmpty) {
-        val form = if (opts.contains("compact")) "--compact" else "--expire"
         System.err.println(
           s"[ingest] ${streamFlags.map("--" + _).mkString(", ")} cannot be " +
-          s"combined with $form (maintenance runs no stream)\n$usage")
+          s"combined with --${forms.head} (maintenance runs no stream)\n$usage")
         return 2
       }
     }
-    if (opts.contains("compact") && opts.contains("expire")) {
+    if (forms.length > 1) {
       System.err.println(
-        s"[ingest] --compact and --expire are separate maintenance runs; " +
-        s"pass one at a time\n$usage")
+        s"[ingest] ${forms.map("--" + _).mkString(", ")} are separate maintenance " +
+        s"runs; pass one at a time\n$usage")
       return 2
     }
     val crossForm =
-      (if (opts.contains("expire")) Seq("target-files") else Nil) ++
-      (if (opts.contains("compact")) Seq("partition-col", "before") else Nil)
+      (if (opts.contains("expire") || opts.contains("repair")) Seq("target-files") else Nil) ++
+      (if (opts.contains("compact") || opts.contains("repair"))
+         Seq("partition-col", "before") else Nil)
     val crossed = crossForm.filter(opts.contains)
     if (crossed.nonEmpty) {
       System.err.println(
-        s"[ingest] ${crossed.map("--" + _).mkString(", ")} belongs to the other " +
+        s"[ingest] ${crossed.map("--" + _).mkString(", ")} belongs to another " +
         s"maintenance form\n$usage")
       return 2
     }
@@ -141,6 +153,29 @@ object RunIngest {
             s"${s.filesAfter} file(s), ${s.rows} rows, carries " +
             (if (s.carriesKept) "kept" else "dropped (were stale)"))
         0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+          1
+      }
+    }
+    if (opts.contains("repair")) {
+      if (!opts.contains("corpus")) {
+        System.err.println(s"[ingest] --repair needs --corpus\n$usage")
+        return 2
+      }
+      return try {
+        val s = EventStreams.repairLanding(spark, opts("corpus"))
+        println(s"[ingest] repair of ${opts("corpus")}: ${s.oldsRestored} aside " +
+          s"dir(s) restored, ${s.oldsDeleted} completed swap(s) finished, " +
+          s"${s.tmpsDeleted} tmp dir(s) and ${s.manifestsCleaned} manifest(s) swept")
+        if (s.unresolved.nonEmpty) {
+          System.err.println(
+            s"[ingest] ${s.unresolved.size} aside dir(s) need a human decision " +
+            "(target exists without a matching manifest — both sides hold rows):")
+          s.unresolved.foreach(p => System.err.println(s"[ingest]   $p"))
+          1
+        } else 0
       } catch {
         case e: Exception =>
           System.err.println(s"[ingest] FAILED: ${e.getMessage}")
@@ -248,6 +283,7 @@ object RunIngest {
       case "--once" :: rest => parse(rest, acc + ("once" -> "true"))
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "true"))
       case "--expire" :: rest => parse(rest, acc + ("expire" -> "true"))
+      case "--repair" :: rest => parse(rest, acc + ("repair" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
         val name = flag.drop(2)
         if (!valueFlags.contains(name))

@@ -714,8 +714,9 @@ object EventStreams {
     * level is structurally broken and refused loudly.
     *
     * Crash window: a failure between a swap's two renames leaves
-    * that dir's rows intact under a sibling `.compact-old-<uuid>` —
-    * restore by renaming it back. Temp and old dirs are dot-prefixed
+    * that dir's rows intact under a sibling `.compact-old-<dir>-<uuid>`
+    * — [[repairLanding]] restores it (and finishes or sweeps every
+    * other crash artifact). Temp and old dirs are dot-prefixed
     * so partition discovery and file listings never see them. */
   def compactLanding(spark: SparkSession, dir: String,
                      targetFiles: Int = 4): CompactStats = {
@@ -835,8 +836,12 @@ object EventStreams {
     if (preVisible <= targetFiles)
       return LeafCompact(pre, pre, -1L, rewrote = false)
     val parent = dirPath.getParent
+    // tmp carries its source dir's name too (same reason as the aside
+    // dir below): [[repairLanding]] must be able to attribute a
+    // crashed rewrite's debris at the landing's PARENT level, where
+    // unrelated siblings may keep their own artifacts
     val tmp = new org.apache.hadoop.fs.Path(
-      parent, s".compact-tmp-${java.util.UUID.randomUUID()}")
+      parent, s".compact-tmp-${dirPath.getName}-${java.util.UUID.randomUUID()}")
     try {
       // one scan; rows counted by the write's own Observation, and
       // the re-run-on-failure story is "overwrite the tmp dir" so
@@ -849,8 +854,16 @@ object EventStreams {
         .mode("overwrite").parquet(tmp.toString)
       val rows = obs.get("n").asInstanceOf[Long]
       preSwapHook(dirStr)
+      // breadcrumbs for [[repairLanding]]: the aside dir's NAME carries
+      // the dir it came from, and the compacted output carries a
+      // manifest naming the aside dir it replaces — so a crash between
+      // the swap and the aside delete is mechanically distinguishable
+      // from a landing recreated by a new stream after a crash
       val old = new org.apache.hadoop.fs.Path(
-        parent, s".compact-old-${java.util.UUID.randomUUID()}")
+        parent, s".compact-old-${dirPath.getName}-${java.util.UUID.randomUUID()}")
+      val manifest = new org.apache.hadoop.fs.Path(tmp, SwapManifest)
+      val mfOut = fs.create(manifest, true)
+      try mfOut.write(old.getName.getBytes("UTF-8")) finally mfOut.close()
       if (!fs.rename(dirPath, old))
         throw new IllegalStateException(
           s"could not move '$dirStr' aside for the compaction swap")
@@ -879,6 +892,9 @@ object EventStreams {
           s"could not move compacted files into '$dirStr'; dir restored")
       }
       fs.delete(old, true)
+      // the manifest's job ends with the aside dir; drop it BEFORE the
+      // post listing so the landing fingerprint never contains it
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, SwapManifest), false)
       val post = landingParts(spark, dirStr)
       postSwapHook(dirStr)
       LeafCompact(pre, post, rows, rewrote = true)
@@ -989,6 +1005,153 @@ object EventStreams {
       val valid = post == pre.filterNot(isExpired)
       ExpireStats(expired.size, files,
         carriesKept = restampCarries(landingDir, fpOf(pre), fpOf(post), valid))
+    } finally { activeIngests.remove(landingDir, mine); () }
+  }
+
+  // ---------- landing repair (crash recovery) ----------
+
+  /** Name of the breadcrumb file a compaction swap plants in its
+    * output (deleted again on success): its content is the aside
+    * dir's name, proving which `.compact-old-*` dir the swapped-in
+    * files replaced. */
+  private[graft] val SwapManifest = ".swap-manifest"
+
+  /** What [[repairLanding]] did. `unresolved` lists aside dirs it
+    * refused to touch (their target exists but carries no manifest
+    * naming them — e.g. a new stream recreated the landing after a
+    * crash; merging is a human decision because both dirs hold rows). */
+  final case class RepairStats(
+    tmpsDeleted: Int, oldsRestored: Int, oldsDeleted: Int,
+    manifestsCleaned: Int, unresolved: Seq[String])
+
+  /** Maintenance: finish or roll back compaction swaps a crash left
+    * half-done — the automated form of the scaladoc's "rename it
+    * back". Walks the landing tree (flat or hive-partitioned) and for
+    * each crash artifact applies the one provably-safe action:
+    *
+    *   - `.compact-tmp-*` dirs: always deleted — a rewrite output
+    *     never referenced by anything.
+    *   - `.compact-old-<dir>-<uuid>` with its source dir MISSING: the
+    *     crash hit between the two swap renames; the aside dir IS the
+    *     landing — renamed back (restore).
+    *   - `.compact-old-<dir>-<uuid>` with the source dir present AND
+    *     the source carrying a [[SwapManifest]] naming this aside dir:
+    *     the crash hit after the swap, before the aside delete; the
+    *     landing is the compacted copy — aside + manifest deleted.
+    *   - the same WITHOUT a matching manifest: refused and reported
+    *     (`unresolved`) — a new stream may have recreated the landing
+    *     with rows the aside dir does not have; deleting or restoring
+    *     either side would lose data, so neither happens.
+    *   - stray [[SwapManifest]] files whose named aside dir is gone
+    *     (crash between the aside delete and the manifest delete):
+    *     deleted.
+    *
+    * Carried state is intentionally untouched: a restore changes the
+    * landing listing, so the fingerprint discipline already forces
+    * the next batch to reseed — exactly the self-heal the carries
+    * were designed around. Holds the single-writer slot: repair never
+    * races a stream or another maintenance run in-JVM. */
+  def repairLanding(spark: SparkSession, dir: String): RepairStats = {
+    val landingDir = landingKey(spark, dir)
+    val mine = acquireLanding(spark, landingDir)
+    try {
+      val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+      val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var tmps = 0; var restored = 0; var oldsDeleted = 0; var manifests = 0
+      val unresolved = scala.collection.mutable.ArrayBuffer.empty[String]
+      def readManifest(dataDir: org.apache.hadoop.fs.Path): Option[String] = {
+        val mf = new org.apache.hadoop.fs.Path(dataDir, SwapManifest)
+        if (!fs.exists(mf)) None
+        else {
+          val in = fs.open(mf)
+          try {
+            val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+            in.readFully(bytes)
+            Some(new String(bytes, "UTF-8"))
+          } finally in.close()
+        }
+      }
+      // `.compact-{tmp,old}-<source>-<uuid>`: the uuid suffix is
+      // fixed-width (36 chars + the joining dash), so the embedded
+      // source name parses unambiguously even when it contains dashes
+      def sourceNameOf(name: String, prefix: String): Option[String] =
+        if (name.length > prefix.length + 37 && name.startsWith(prefix))
+          Some(name.substring(prefix.length, name.length - 37))
+        else None
+      def handleOld(oldPath: org.apache.hadoop.fs.Path,
+                    target: org.apache.hadoop.fs.Path): Unit = {
+        if (!fs.exists(target)) {
+          if (!fs.rename(oldPath, target))
+            throw new IllegalStateException(
+              s"could not restore '$oldPath' to '$target'")
+          restored += 1
+        } else if (readManifest(target).contains(oldPath.getName)) {
+          fs.delete(oldPath, true); oldsDeleted += 1
+          fs.delete(new org.apache.hadoop.fs.Path(target, SwapManifest), false)
+          manifests += 1
+        } else unresolved += oldPath.toString
+      }
+      // a manifest whose aside dir is gone: the crash hit between the
+      // aside delete and the manifest delete — remove the breadcrumb
+      // (but keep it as evidence while its pair sits unresolved)
+      def sweepManifest(dataDir: org.apache.hadoop.fs.Path,
+                        level: org.apache.hadoop.fs.Path): Unit =
+        readManifest(dataDir).foreach { named =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(level, named)) &&
+              !unresolved.exists(_.endsWith("/" + named))) {
+            fs.delete(new org.apache.hadoop.fs.Path(dataDir, SwapManifest), false)
+            manifests += 1
+          }
+        }
+      // ROOT-level artifacts first: a FLAT landing's swap debris are
+      // SIBLINGS of the landing (crash between the two renames even
+      // leaves the landing dir itself missing), attributed by the
+      // source name embedded in the artifact names — unrelated
+      // siblings of the landing are never touched
+      val parent = landingPath.getParent
+      val rootName = landingPath.getName
+      if (parent != null && fs.exists(parent)) {
+        fs.listStatus(parent).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && sourceNameOf(n, ".compact-tmp-").contains(rootName)) {
+            fs.delete(s.getPath, true); tmps += 1
+          } else if (s.isDirectory &&
+                     sourceNameOf(n, ".compact-old-").contains(rootName)) {
+            handleOld(s.getPath, landingPath)
+          }
+        }
+      }
+      if (!fs.exists(landingPath))
+        throw new IllegalStateException(
+          s"landing dir '$landingDir' does not exist and no aside dir restored " +
+          "it — nothing to repair")
+      // INNER artifacts (partitioned landings): every artifact under
+      // the landing belongs to it — the single-writer slot guarantees
+      // no other owner
+      def walk(p: org.apache.hadoop.fs.Path): Unit = {
+        val entries = fs.listStatus(p)
+        entries.foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && n.startsWith(".compact-tmp-")) {
+            fs.delete(s.getPath, true); tmps += 1
+          } else if (s.isDirectory && n.startsWith(".compact-old-")) {
+            sourceNameOf(n, ".compact-old-") match {
+              case None => unresolved += s.getPath.toString
+              case Some(src) => handleOld(s.getPath, new org.apache.hadoop.fs.Path(p, src))
+            }
+          } else if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
+            walk(s.getPath)
+          }
+        }
+        entries.foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+            sweepManifest(s.getPath, p)
+        }
+      }
+      walk(landingPath)
+      sweepManifest(landingPath, parent)
+      RepairStats(tmps, restored, oldsDeleted, manifests, unresolved.toSeq)
     } finally { activeIngests.remove(landingDir, mine); () }
   }
 

@@ -297,6 +297,89 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(landedTexts(landing).exists(_._2 == "zeta"))
   }
 
+  test("repairLanding: restores a flat landing a crash left renamed-aside; sweeps tmp debris") {
+    import spark.implicits._
+    val base = tmpDir("graft-repair-flat")
+    val landing = base + "/corpus"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text").write.parquet(landing)
+    val rows = spark.read.parquet(landing).collect().map(_.getLong(0)).sorted.toSeq
+    // simulate a crash between the two swap renames: landing moved
+    // aside, compacted tmp written but never swapped in
+    val uuid = java.util.UUID.randomUUID().toString
+    val old = new java.io.File(base, s".compact-old-corpus-$uuid")
+    assert(new java.io.File(landing).renameTo(old))
+    val tmp = new java.io.File(base, s".compact-tmp-corpus-${java.util.UUID.randomUUID()}")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(tmp.toPath.resolve("junk"), "partial")
+
+    val stats = EventStreams.repairLanding(spark, landing)
+    assert(stats.oldsRestored == 1 && stats.tmpsDeleted == 1 &&
+      stats.oldsDeleted == 0 && stats.unresolved.isEmpty)
+    assert(spark.read.parquet(landing).collect().map(_.getLong(0)).sorted.toSeq == rows)
+    assert(!old.exists() && !tmp.exists())
+    // second run: nothing left to do
+    val again = EventStreams.repairLanding(spark, landing)
+    assert(again == EventStreams.RepairStats(0, 0, 0, 0, Nil))
+  }
+
+  test("repairLanding: finishes a manifest-proven completed swap; refuses an unproven one") {
+    import spark.implicits._
+    val base = tmpDir("graft-repair-done")
+    val landing = base + "/corpus"
+    // the landing holds the COMPACTED copy with its swap manifest
+    // still present (crash after the swap, before the aside delete)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(landing)
+    val uuid = java.util.UUID.randomUUID().toString
+    val oldName = s".compact-old-corpus-$uuid"
+    java.nio.file.Files.writeString(
+      new java.io.File(landing, ".swap-manifest").toPath, oldName)
+    val old = new java.io.File(base, oldName)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .repartition(4).write.parquet(old.getPath)
+
+    val stats = EventStreams.repairLanding(spark, landing)
+    assert(stats.oldsDeleted == 1 && stats.manifestsCleaned == 1 &&
+      stats.oldsRestored == 0 && stats.unresolved.isEmpty)
+    assert(!old.exists())
+    assert(!new java.io.File(landing, ".swap-manifest").exists())
+    assert(spark.read.parquet(landing).count() == 2)
+
+    // an aside dir whose target exists WITHOUT a matching manifest
+    // (e.g. a new stream recreated the landing after a crash): both
+    // sides hold rows, so repair must touch neither
+    val old2 = new java.io.File(base, s".compact-old-corpus-${java.util.UUID.randomUUID()}")
+    Seq((9L, "gamma")).toDF("doc_id", "text").coalesce(1).write.parquet(old2.getPath)
+    val stats2 = EventStreams.repairLanding(spark, landing)
+    assert(stats2.unresolved.map(_.stripPrefix("file:")) == Seq(old2.getPath) &&
+      stats2.oldsDeleted == 0)
+    assert(old2.exists() && spark.read.parquet(landing).count() == 2)
+  }
+
+  test("repairLanding: partitioned landing — leaf aside restored, stray manifest swept") {
+    import spark.implicits._
+    val dir = tmpDir("graft-repair-part") + "/landing"
+    Seq((1L, "2026-01", "a"), (2L, "2026-02", "b"))
+      .toDF("id", "month", "text")
+      .write.partitionBy("month").parquet(dir)
+    // crash point 1 on one leaf: the leaf is renamed aside
+    val leaf = new java.io.File(dir, "month=2026-01")
+    val oldLeaf = new java.io.File(dir,
+      s".compact-old-month=2026-01-${java.util.UUID.randomUUID()}")
+    assert(leaf.renameTo(oldLeaf))
+    // crash point 3 on the other: aside already deleted, manifest left
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "month=2026-02/.swap-manifest").toPath,
+      s".compact-old-month=2026-02-${java.util.UUID.randomUUID()}")
+
+    val stats = EventStreams.repairLanding(spark, dir)
+    assert(stats.oldsRestored == 1 && stats.manifestsCleaned == 1 &&
+      stats.unresolved.isEmpty)
+    assert(leaf.exists() && !oldLeaf.exists())
+    val got = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("expireLanding: old month dirs dropped whole, survivors and pruning intact") {
     import spark.implicits._
     val dir = tmpDir("graft-expire") + "/landing"

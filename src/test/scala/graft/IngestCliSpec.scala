@@ -116,4 +116,27 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     assert(RunIngest.execute(spark, Array("--compact", "--corpus", dir,
       "--before", "2026-01")) == 2)
   }
+
+  test("--repair: restores a crashed swap; flag hygiene") {
+    val base = Files.createTempDirectory("graft-cli-repair").toString
+    val corpus = base + "/corpus"
+    Seq((1L, textA)).toDF("doc_id", "text").write.parquet(corpus)
+    val old = new java.io.File(base,
+      s".compact-old-corpus-${java.util.UUID.randomUUID()}")
+    assert(new java.io.File(corpus).renameTo(old))
+    assert(RunIngest.execute(spark, Array("--repair", "--corpus", corpus)) == 0)
+    assert(spark.read.parquet(corpus).count() == 1)
+    // an unresolved aside dir exits 1 so a cron run alarms
+    val old2 = new java.io.File(base,
+      s".compact-old-corpus-${java.util.UUID.randomUUID()}")
+    Seq((2L, textB)).toDF("doc_id", "text").coalesce(1).write.parquet(old2.getPath)
+    assert(RunIngest.execute(spark, Array("--repair", "--corpus", corpus)) == 1)
+    assert(old2.exists(), "unresolved aside dir must be left intact")
+    // flag hygiene
+    assert(RunIngest.execute(spark, Array("--repair")) == 2)
+    assert(RunIngest.execute(spark, Array("--repair", "--corpus", corpus,
+      "--target-files", "2")) == 2)
+    assert(RunIngest.execute(spark, Array("--repair", "--compact", "--corpus", corpus)) == 2)
+    assert(RunIngest.execute(spark, Array("--repair", "--corpus", corpus, "--once")) == 2)
+  }
 }
