@@ -66,10 +66,11 @@ object RunIngest {
       |  [--once]                      drain everything present, then exit
       |  [--text-col NAME]             default text
       |  [--id-col NAME]               default doc_id
-      |   or: graft.RunIngest --compact --corpus DIR [--target-files N]
+      |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
-      |                                part files (default 4); run between
-      |                                stream sessions
+      |                                part files (default 4; per leaf on a
+      |                                partitioned landing, P leaves at a
+      |                                time); run between stream sessions
       |   or: graft.RunIngest --expire --corpus DIR --partition-col NAME --before VALUE
       |                                drop every NAME=value partition dir
       |                                whose value sorts before VALUE
@@ -118,7 +119,8 @@ object RunIngest {
       return 2
     }
     val crossForm =
-      (if (opts.contains("expire") || opts.contains("repair")) Seq("target-files") else Nil) ++
+      (if (opts.contains("expire") || opts.contains("repair"))
+         Seq("target-files", "leaf-parallel") else Nil) ++
       (if (opts.contains("compact") || opts.contains("repair"))
          Seq("partition-col", "before") else Nil)
     val crossed = crossForm.filter(opts.contains)
@@ -144,8 +146,19 @@ object RunIngest {
         System.err.println(s"[ingest] --target-files must be positive, got $target\n$usage")
         return 2
       }
+      val leafPar =
+        try opts.getOrElse("leaf-parallel", "4").toInt
+        catch {
+          case _: NumberFormatException =>
+            System.err.println(s"[ingest] --leaf-parallel must be an integer\n$usage")
+            return 2
+        }
+      if (leafPar <= 0) {
+        System.err.println(s"[ingest] --leaf-parallel must be positive, got $leafPar\n$usage")
+        return 2
+      }
       return try {
-        val s = EventStreams.compactLanding(spark, opts("corpus"), target)
+        val s = EventStreams.compactLanding(spark, opts("corpus"), target, leafPar)
         if (s.rows < 0L)
           println(s"[ingest] compaction no-op: ${s.filesBefore} file(s) already <= $target")
         else
@@ -206,10 +219,12 @@ object RunIngest {
           1
       }
     }
-    if (opts.contains("target-files")) {
+    val compactOnly = Seq("target-files", "leaf-parallel").filter(opts.contains)
+    if (compactOnly.nonEmpty) {
       // only meaningful under --compact; ignoring it would silently
       // run a full stream when the user meant a maintenance rewrite
-      System.err.println(s"[ingest] --target-files needs --compact\n$usage")
+      System.err.println(
+        s"[ingest] ${compactOnly.map("--" + _).mkString(", ")} needs --compact\n$usage")
       return 2
     }
     val expireOnly = Seq("partition-col", "before").filter(opts.contains)
@@ -274,7 +289,7 @@ object RunIngest {
     * and exiting 0). */
   private val valueFlags =
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files",
-        "partition-col", "before")
+        "leaf-parallel", "partition-col", "before")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

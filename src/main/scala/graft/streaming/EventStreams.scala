@@ -708,7 +708,9 @@ object EventStreams {
     * pruning is untouched. A leaf read omits the partition columns
     * (they live in the path, not the files) and the rewritten files
     * land back in the same leaf, so rows round-trip exactly. Leaves
-    * are independent swaps: a failure part-way leaves every leaf
+    * are independent swaps, rewritten `leafParallelism` at a time (a
+    * big layout's maintenance window must scale with data, not leaf
+    * count): a failure part-way leaves every leaf
     * either fully compacted or untouched, never flattened. A dir
     * that mixes visible data files WITH partition subdirs at one
     * level is structurally broken and refused loudly.
@@ -719,8 +721,11 @@ object EventStreams {
     * other crash artifact). Temp and old dirs are dot-prefixed
     * so partition discovery and file listings never see them. */
   def compactLanding(spark: SparkSession, dir: String,
-                     targetFiles: Int = 4): CompactStats = {
+                     targetFiles: Int = 4,
+                     leafParallelism: Int = 4): CompactStats = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(leafParallelism > 0,
+      s"leafParallelism must be positive, got $leafParallelism")
     val landingDir = landingKey(spark, dir)
     val mine = acquireLanding(spark, landingDir)
     try {
@@ -728,7 +733,33 @@ object EventStreams {
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
       val pre = landingParts(spark, landingDir)
-      val results = leafDataDirs(fs, landingPath).map(compactOneDir(spark, fs, _, targetFiles))
+      // Leaves rewrite CONCURRENTLY (bounded pool): each leaf is an
+      // independent read→write→swap with no shared mutable state, and
+      // at the 100 TB design point a month×source layout has
+      // thousands of leaves — a serial driver loop would make the
+      // maintenance window scale with leaf COUNT instead of data.
+      // Every future is awaited (success or failure) BEFORE the slot
+      // releases, so no straggler ever mutates the landing after this
+      // call returns; the first failure then propagates, and the
+      // other leaves are each fully compacted or untouched, as the
+      // swap contract promises.
+      val leaves = leafDataDirs(fs, landingPath)
+      val results =
+        if (leaves.lengthCompare(1) <= 0 || leafParallelism <= 1)
+          leaves.map(compactOneDir(spark, fs, _, targetFiles))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(leafParallelism, leaves.size))
+          try {
+            val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val futures = leaves.map(l =>
+              scala.concurrent.Future(compactOneDir(spark, fs, l, targetFiles))(ec))
+            val tries = futures.map(f => scala.util.Try(
+              scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+            tries.collectFirst { case scala.util.Failure(t) => throw t }
+            tries.map(_.get)
+          } finally { pool.shutdown(); () }
+        }
       val post = landingParts(spark, landingDir)
       // Re-stamping the carried blooms asserts "the landing holds
       // exactly the texts the blob was built from, just in different

@@ -172,6 +172,44 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
       s"one-leaf filter must read 1 partition, read ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("compactLanding: concurrent and serial leaf rewrites produce the same landing") {
+    import spark.implicits._
+    def build(dir: String): Unit = {
+      val rows = (1L to 24L).map(i =>
+        (i, if (i % 2 == 0) "2026-01" else "2026-02", if (i % 3 == 0) "en" else "de", s"doc$i"))
+      rows.toDF("id", "month", "lang", "text").where($"id" <= 12)
+        .repartition(3).write.partitionBy("month", "lang").parquet(dir)
+      rows.toDF("id", "month", "lang", "text").where($"id" > 12)
+        .repartition(3).write.mode("append").partitionBy("month", "lang").parquet(dir)
+    }
+    def shape(dir: String): (Seq[(Long, String, String, String)], Seq[String]) = {
+      val rows = spark.read.parquet(dir).select("id", "month", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+      def files(f: java.io.File): Seq[String] = f.listFiles().toSeq.flatMap { c =>
+        if (c.isDirectory) files(c).map(c.getName + "/" + _)
+        else if (!c.getName.startsWith(".") && !c.getName.startsWith("_")) Seq("f")
+        else Nil
+      }
+      (rows, files(new java.io.File(dir)).sorted)
+    }
+    val serial = tmpDir("graft-compact-ser") + "/landing"
+    val par = tmpDir("graft-compact-par") + "/landing"
+    build(serial); build(par)
+    val s1 = EventStreams.compactLanding(spark, serial, targetFiles = 1, leafParallelism = 1)
+    val s2 = EventStreams.compactLanding(spark, par, targetFiles = 1, leafParallelism = 4)
+    assert(s1.rows == 24L && s2.rows == 24L)
+    assert(s1.filesBefore == s2.filesBefore && s1.filesAfter == s2.filesAfter)
+    assert(s2.carriesKept, "a clean concurrent run must re-stamp, not drop")
+    // same rows, same per-leaf file counts (file NAMES differ by job uuid)
+    val (rowsS, filesS) = shape(serial)
+    val (rowsP, filesP) = shape(par)
+    assert(rowsS.map(t => (t._1, t._4)) == rowsP.map(t => (t._1, t._4)))
+    assert(filesS.map(_.replaceAll("/[^/]*$", "")) == filesP.map(_.replaceAll("/[^/]*$", "")))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.compactLanding(spark, par, 1, leafParallelism = 0)
+    }.getMessage.contains("leafParallelism"))
+  }
+
   test("compactLanding refuses a dir mixing data files with partition subdirs") {
     import spark.implicits._
     val dir = tmpDir("graft-compact-mixed") + "/landing"

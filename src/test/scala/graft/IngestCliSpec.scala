@@ -85,6 +85,11 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       Array("--compact", "--corpus", corpus, "--target-files", "many")) == 2)
     assert(RunIngest.execute(spark,
       Array("--compact", "--corpus", corpus, "--target-files", "0")) == 2)
+    assert(RunIngest.execute(spark,
+      Array("--compact", "--corpus", corpus, "--leaf-parallel", "0")) == 2)
+    assert(RunIngest.execute(spark,
+      Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+        "--leaf-parallel", "2")) == 2)
   }
 
   test("--expire: retention drop of old partition dirs; flag hygiene") {
