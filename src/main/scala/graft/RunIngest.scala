@@ -164,7 +164,7 @@ object RunIngest {
         else
           println(s"[ingest] compacted ${opts("corpus")}: ${s.filesBefore} -> " +
             s"${s.filesAfter} file(s), ${s.rows} rows, carries " +
-            (if (s.carriesKept) "kept" else "dropped (were stale)"))
+            (if (s.carriesKept) "kept" else "DROPPED (stale carry, or a foreign write detected in the window — next batch reseeds)"))
         0
       } catch {
         case e: Exception =>
@@ -211,7 +211,7 @@ object RunIngest {
         else
           println(s"[ingest] expired ${s.dirsDropped} partition dir(s), " +
             s"${s.filesDropped} file(s) from ${opts("corpus")}, carries " +
-            (if (s.carriesKept) "kept" else "dropped (were stale)"))
+            (if (s.carriesKept) "kept" else "DROPPED (stale carry, or a foreign write detected in the window — next batch reseeds)"))
         0
       } catch {
         case e: Exception =>

@@ -655,6 +655,43 @@ object EventStreams {
   final case class CompactStats(
     filesBefore: Int, filesAfter: Int, rows: Long, carriesKept: Boolean)
 
+  /** Cross-JVM maintenance exclusion: an exclusive lock FILE beside
+    * the landing (`.maintenance-lock-<name>` in its parent dir). The
+    * in-JVM single-writer slot cannot see another PROCESS — a cron'd
+    * `--repair` overlapping a live `--compact` would otherwise delete
+    * the compactor's tmp dirs or restore an aside mid-swap. Taken
+    * create-exclusive, deleted on the way out; a crash leaves the
+    * file and every later maintenance run refuses LOUDLY, naming it —
+    * deleting the file after confirming the crashed run is dead is
+    * the operator's acknowledgment (repair must not guess at
+    * staleness: it is exactly the tool that runs after a crash).
+    * Streams do not take the file lock; cross-JVM stream-vs-
+    * maintenance safety rests on the content-verified swaps and the
+    * carry fingerprint discipline instead. */
+  private def withMaintenanceLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                     landingPath: org.apache.hadoop.fs.Path)
+                                    (body: => A): A = {
+    val parent = landingPath.getParent
+    require(parent != null && fs.exists(parent),
+      s"parent dir of landing '$landingPath' does not exist")
+    val lock = new org.apache.hadoop.fs.Path(
+      parent, s".maintenance-lock-${landingPath.getName}")
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"maintenance lock '$lock' exists — another maintenance run (possibly " +
+            "in another JVM) owns this landing, or a previous one crashed; after " +
+            "confirming nothing is running, delete the lock file and re-run")
+      }
+    try {
+      out.write(s"${java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
+      out.close()
+      body
+    } finally { fs.delete(lock, false); () }
+  }
+
   /** Test seam: invoked after the compacted copy is written and BEFORE
     * the pre-swap listing check — the window an out-of-band writer
     * would have to race to lose rows. No-op in production. */
@@ -666,6 +703,12 @@ object EventStreams {
     * carry re-stamp without aborting the compaction. No-op in
     * production. */
   @volatile private[graft] var postSwapHook: String => Unit = _ => ()
+
+  /** Test seam: invoked after the aside rename verified and BEFORE
+    * the swap rename — the window where a foreign writer recreating
+    * the target dir makes Hadoop's rename NEST the compacted output
+    * instead of failing. No-op in production. */
+  @volatile private[graft] var preCommitSwapHook: String => Unit = _ => ()
 
   /** Maintenance: rewrite an accreted landing dir down to
     * `targetFiles` part files. [[ingestDedup]]'s per-batch
@@ -732,6 +775,7 @@ object EventStreams {
       val landingPath = new org.apache.hadoop.fs.Path(landingDir)
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+      withMaintenanceLock(fs, landingPath) {
       val pre = landingParts(spark, landingDir)
       // Leaves rewrite CONCURRENTLY (bounded pool): each leaf is an
       // independent read→write→swap with no shared mutable state, and
@@ -754,10 +798,18 @@ object EventStreams {
             val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
             val futures = leaves.map(l =>
               scala.concurrent.Future(compactOneDir(spark, fs, l, targetFiles))(ec))
-            val tries = futures.map(f => scala.util.Try(
-              scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
-            tries.collectFirst { case scala.util.Failure(t) => throw t }
-            tries.map(_.get)
+            // catch EVERYTHING per await (Try would let an
+            // InterruptedException escape mid-loop) — every future
+            // must be awaited before the writer slot releases, or a
+            // straggler could still be swapping when a new stream
+            // acquires the landing
+            val outcomes = futures.map { f =>
+              try Right(scala.concurrent.Await.result(
+                f, scala.concurrent.duration.Duration.Inf))
+              catch { case t: Throwable => Left(t) }
+            }
+            outcomes.collectFirst { case Left(t) => throw t }
+            outcomes.collect { case Right(r) => r }
           } finally { pool.shutdown(); () }
         }
       val post = landingParts(spark, landingDir)
@@ -786,6 +838,7 @@ object EventStreams {
         results.map(r => (if (r.rewrote) r.postParts else r.preParts).count(isVisible)).sum,
         rewrittenRows,
         carriesKept = restampCarries(landingDir, fpOf(pre), fpOf(post), valid))
+      }
     } finally { activeIngests.remove(landingDir, mine); () }
   }
 
@@ -895,32 +948,56 @@ object EventStreams {
       val manifest = new org.apache.hadoop.fs.Path(tmp, SwapManifest)
       val mfOut = fs.create(manifest, true)
       try mfOut.write(old.getName.getBytes("UTF-8")) finally mfOut.close()
+      // Hadoop rename(src, existing-dir) NESTS src inside the target
+      // instead of failing, so a rename's boolean can lie when a
+      // foreign writer recreates the destination in a gap. Every
+      // rename below is therefore VERIFIED by content afterwards, and
+      // a restore never renames into an existing dir (nesting would
+      // make the original rows invisible to every reader).
+      def restoreOrDie(context: String): Nothing = {
+        // verify against old's CURRENT content — on the aborted-race
+        // path it legitimately holds the foreign file that rode in
+        val oldParts = landingParts(spark, old.toString)
+        val back =
+          !fs.exists(dirPath) && fs.rename(old, dirPath) &&
+          relParts(dirPath, landingParts(spark, dirStr)) == relParts(old, oldParts)
+        if (back)
+          throw new IllegalStateException(
+            s"$context; dir restored — re-run when quiet")
+        throw new IllegalStateException(
+          s"$context AND the restore was not possible (a foreign writer " +
+          s"recreated '$dirStr'?); all original rows are intact under '$old' — " +
+          "resolve with repairLanding (--repair)")
+      }
+      // the compacted output's listing, captured before the swap so
+      // the swap itself can be verified by content (rename preserves
+      // lengths and mtimes)
+      val tmpParts = landingParts(spark, tmp.toString)
       if (!fs.rename(dirPath, old))
         throw new IllegalStateException(
           s"could not move '$dirStr' aside for the compaction swap")
       if (relParts(old, landingParts(spark, old.toString)) != relParts(dirPath, pre)) {
         // a foreign commit landed since the rewrite's listing — it
         // rode into the aside dir; put everything back and abort
-        if (!fs.rename(old, dirPath))
-          throw new IllegalStateException(
-            s"dir '$dirStr' changed during compaction AND the restore rename " +
-            s"failed; all rows are intact under '$old' — rename it back")
-        throw new IllegalStateException(
-          s"dir '$dirStr' changed during compaction (out-of-band " +
-          "writer); aborted — the dir is untouched, re-run when quiet")
+        restoreOrDie(s"dir '$dirStr' changed during compaction (out-of-band writer)")
       }
-      // restore on a false return AND on a thrown IOException — the
-      // dir must never stay renamed-aside when this call returns
+      preCommitSwapHook(dirStr)
       val swapped =
         try fs.rename(tmp, dirPath)
-        catch { case t: Throwable => fs.rename(old, dirPath); throw t }
-      if (!swapped) {
-        if (!fs.rename(old, dirPath))
-          throw new IllegalStateException(
-            s"could not move compacted files into '$dirStr' AND the restore " +
-            s"rename failed; all rows are intact under '$old' — rename it back")
+        catch { case t: Throwable =>
+          restoreOrDie(s"compaction swap into '$dirStr' failed (${t.getMessage})")
+        }
+      if (!swapped)
+        restoreOrDie(s"could not move compacted files into '$dirStr'")
+      if (relParts(dirPath, landingParts(spark, dirStr)) != relParts(tmp, tmpParts)) {
+        // the rename 'succeeded' but the target does not hold the
+        // compacted files — a foreign writer recreated the dir in the
+        // gap and the output nested inside it as a dot-dir. The
+        // original rows are safe in the aside dir; never delete it.
         throw new IllegalStateException(
-          s"could not move compacted files into '$dirStr'; dir restored")
+          s"a foreign writer recreated '$dirStr' during the compaction swap; " +
+          s"all original rows are intact under '$old' — resolve with " +
+          "repairLanding (--repair); the nested rewrite debris is swept by it too")
       }
       fs.delete(old, true)
       // the manifest's job ends with the aside dir; drop it BEFORE the
@@ -992,6 +1069,7 @@ object EventStreams {
       val landingPath = new org.apache.hadoop.fs.Path(landingDir)
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+      withMaintenanceLock(fs, landingPath) {
       val prefix = partitionCol + "="
       def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
         fs.listStatus(p).toSeq.filter { s =>
@@ -1036,6 +1114,7 @@ object EventStreams {
       val valid = post == pre.filterNot(isExpired)
       ExpireStats(expired.size, files,
         carriesKept = restampCarries(landingDir, fpOf(pre), fpOf(post), valid))
+      }
     } finally { activeIngests.remove(landingDir, mine); () }
   }
 
@@ -1088,6 +1167,7 @@ object EventStreams {
     try {
       val landingPath = new org.apache.hadoop.fs.Path(landingDir)
       val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      withMaintenanceLock(fs, landingPath) {
       var tmps = 0; var restored = 0; var oldsDeleted = 0; var manifests = 0
       val unresolved = scala.collection.mutable.ArrayBuffer.empty[String]
       def readManifest(dataDir: org.apache.hadoop.fs.Path): Option[String] = {
@@ -1152,10 +1232,22 @@ object EventStreams {
           }
         }
       }
-      if (!fs.exists(landingPath))
+      if (!fs.exists(landingPath)) {
+        // name any aside-LOOKING siblings repair could not attribute
+        // (e.g. the pre-breadcrumb `.compact-old-<uuid>` format) so
+        // the operator knows where the rows may be instead of reading
+        // "nothing to repair" while they sit in an unparsed dir
+        val candidates =
+          if (parent == null || !fs.exists(parent)) Seq.empty[String]
+          else fs.listStatus(parent).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact-old-"))
+            .map(_.getPath.toString)
         throw new IllegalStateException(
-          s"landing dir '$landingDir' does not exist and no aside dir restored " +
-          "it — nothing to repair")
+          s"landing dir '$landingDir' does not exist and no aside dir restored it" +
+          (if (candidates.isEmpty) " — nothing to repair"
+           else s" — possibly-related aside dirs repair could not attribute " +
+                s"(inspect and rename back by hand): ${candidates.mkString(", ")}"))
+      }
       // INNER artifacts (partitioned landings): every artifact under
       // the landing belongs to it — the single-writer slot guarantees
       // no other owner
@@ -1183,6 +1275,7 @@ object EventStreams {
       walk(landingPath)
       sweepManifest(landingPath, parent)
       RepairStats(tmps, restored, oldsDeleted, manifests, unresolved.toSeq)
+      }
     } finally { activeIngests.remove(landingDir, mine); () }
   }
 

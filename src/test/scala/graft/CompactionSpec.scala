@@ -335,6 +335,69 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(landedTexts(landing).exists(_._2 == "zeta"))
   }
 
+  test("compactLanding: a foreign writer RECREATING the dir mid-swap never loses a row") {
+    import spark.implicits._
+    val dir = tmpDir("graft-compact-recreate") + "/landing"
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+      .repartition(3).write.parquet(dir)
+    // between the aside rename and the swap, a foreign writer
+    // recreates the target dir — Hadoop's rename then NESTS the
+    // compacted output inside it instead of failing, so a blind
+    // delete of the aside dir would destroy every original row
+    EventStreams.preCommitSwapHook = { _ =>
+      Seq((99L, "foreign")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val err =
+      try intercept[IllegalStateException] {
+        EventStreams.compactLanding(spark, dir, targetFiles = 1)
+      }
+      finally EventStreams.preCommitSwapHook = _ => ()
+    assert(err.getMessage.contains("recreated") || err.getMessage.contains("restore"),
+      s"unexpected message: ${err.getMessage}")
+    // the original rows survive in SOME readable place: either the
+    // landing (restored) or the aside dir the message points at
+    val base = new java.io.File(dir).getParentFile
+    val asides = base.listFiles().filter(_.getName.startsWith(".compact-old-"))
+    val visible = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val recovered =
+      if (asides.isEmpty) visible
+      else visible ++ spark.read.parquet(asides.head.getPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(recovered),
+      s"original rows must be recoverable, saw $recovered")
+    // and repair makes the aside case an explicit human decision
+    if (asides.nonEmpty) {
+      val stats = EventStreams.repairLanding(spark, dir)
+      assert(stats.unresolved.nonEmpty, "recreated-target aside must be unresolved")
+      assert(asides.head.exists(), "unresolved aside must be left intact")
+    }
+  }
+
+  test("maintenance lock: a crashed run's lock file blocks the next run loudly") {
+    import spark.implicits._
+    val base = tmpDir("graft-lock")
+    val dir = base + "/landing"
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.parquet(dir)
+    // a successful run takes and releases the lock
+    EventStreams.compactLanding(spark, dir, targetFiles = 8)
+    assert(!new java.io.File(base, ".maintenance-lock-landing").exists())
+    // a crashed run's leftover lock blocks every maintenance form
+    java.nio.file.Files.writeString(
+      new java.io.File(base, ".maintenance-lock-landing").toPath, "12345")
+    for (run <- Seq(
+        () => EventStreams.compactLanding(spark, dir, 1),
+        () => EventStreams.repairLanding(spark, dir))) {
+      val err = intercept[IllegalStateException](run())
+      assert(err.getMessage.contains("maintenance lock"))
+    }
+    // operator deletes the file after confirming nothing runs → works
+    assert(new java.io.File(base, ".maintenance-lock-landing").delete())
+    assert(EventStreams.repairLanding(spark, dir) ==
+      EventStreams.RepairStats(0, 0, 0, 0, Nil))
+  }
+
   test("repairLanding: restores a flat landing a crash left renamed-aside; sweeps tmp debris") {
     import spark.implicits._
     val base = tmpDir("graft-repair-flat")
