@@ -79,7 +79,11 @@ object RunIngest {
       |   or: graft.RunIngest --repair --corpus DIR
       |                                finish or roll back compaction swaps
       |                                a crash left half-done (restore
-      |                                aside dirs, sweep debris)""".stripMargin
+      |                                aside dirs, sweep debris)
+      |   or: graft.RunIngest --stats --corpus DIR
+      |                                read-only: per-leaf file counts and
+      |                                bytes, crash debris, lock state —
+      |                                safe while a stream runs""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-ingest")
@@ -101,7 +105,7 @@ object RunIngest {
     // maintenance forms take ONLY their own flags: a co-passed
     // streaming flag means the user expected a stream to run too, and
     // silently skipping it would exit 0 on work never done
-    val forms = Seq("compact", "expire", "repair").filter(opts.contains)
+    val forms = Seq("compact", "expire", "repair", "stats").filter(opts.contains)
     if (forms.nonEmpty) {
       val streamFlags = Seq("in", "checkpoint", "once", "mode", "text-col", "id-col")
         .filter(opts.contains)
@@ -119,9 +123,9 @@ object RunIngest {
       return 2
     }
     val crossForm =
-      (if (opts.contains("expire") || opts.contains("repair"))
+      (if (opts.contains("expire") || opts.contains("repair") || opts.contains("stats"))
          Seq("target-files", "leaf-parallel") else Nil) ++
-      (if (opts.contains("compact") || opts.contains("repair"))
+      (if (opts.contains("compact") || opts.contains("repair") || opts.contains("stats"))
          Seq("partition-col", "before") else Nil)
     val crossed = crossForm.filter(opts.contains)
     if (crossed.nonEmpty) {
@@ -165,6 +169,30 @@ object RunIngest {
           println(s"[ingest] compacted ${opts("corpus")}: ${s.filesBefore} -> " +
             s"${s.filesAfter} file(s), ${s.rows} rows, carries " +
             (if (s.carriesKept) "kept" else "DROPPED (stale carry, or a foreign write detected in the window — next batch reseeds)"))
+        0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+          1
+      }
+    }
+    if (opts.contains("stats")) {
+      if (!opts.contains("corpus")) {
+        System.err.println(s"[ingest] --stats needs --corpus\n$usage")
+        return 2
+      }
+      return try {
+        val s = EventStreams.landingStats(spark, opts("corpus"))
+        println(f"[ingest] ${opts("corpus")}: ${s.totalFiles} visible file(s), " +
+          f"${s.totalBytes / 1e6}%.1f MB across ${s.leaves.size} dir(s)" +
+          (if (s.lockHeld) " — MAINTENANCE LOCK HELD" else ""))
+        s.leaves.foreach { case (leaf, files, bytes) =>
+          println(f"[ingest]   $leaf: $files file(s), ${bytes / 1e6}%.1f MB")
+        }
+        if (s.debris.nonEmpty) {
+          println(s"[ingest] ${s.debris.size} crash artifact(s) — run --repair:")
+          s.debris.foreach(d => println(s"[ingest]   $d"))
+        }
         0
       } catch {
         case e: Exception =>
@@ -299,6 +327,7 @@ object RunIngest {
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "true"))
       case "--expire" :: rest => parse(rest, acc + ("expire" -> "true"))
       case "--repair" :: rest => parse(rest, acc + ("repair" -> "true"))
+      case "--stats" :: rest => parse(rest, acc + ("stats" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
         val name = flag.drop(2)
         if (!valueFlags.contains(name))

@@ -1279,6 +1279,80 @@ object EventStreams {
     } finally { activeIngests.remove(landingDir, mine); () }
   }
 
+  // ---------- landing stats (observability) ----------
+
+  /** What [[landingStats]] saw. `leaves` is (leaf dir, visible file
+    * count, visible bytes) — one row per data-bearing dir; `debris`
+    * lists crash artifacts ([[repairLanding]]'s input) and `lockHeld`
+    * whether a maintenance lock file currently exists. */
+  final case class LandingStats(
+    leaves: Seq[(String, Int, Long)], totalFiles: Int, totalBytes: Long,
+    debris: Seq[String], lockHeld: Boolean)
+
+  /** Read-only landing observability — the numbers an operator needs
+    * to DECIDE on maintenance: per-leaf visible file counts and bytes
+    * (is the landing accreted enough that a compaction pays for
+    * itself?), crash debris (`.compact-tmp/old-*`, stray manifests —
+    * is a repair due?), and whether a maintenance lock is held.
+    * Deliberately takes NO slot and NO lock: it must be safe to run
+    * while a stream or a maintenance pass is active, and a pure
+    * listing cannot corrupt anything — at worst it reports a
+    * transient mid-swap state. Listing cost only; no file contents
+    * are read. */
+  def landingStats(spark: SparkSession, dir: String): LandingStats = {
+    val landingDir = landingKey(spark, dir)
+    val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
+    val debris = scala.collection.mutable.ArrayBuffer.empty[String]
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    def visibleFilesOf(p: org.apache.hadoop.fs.Path): (Int, Long) = {
+      var n = 0; var bytes = 0L
+      fs.listStatus(p).foreach { s =>
+        val nm = s.getPath.getName
+        if (s.isFile && !nm.startsWith(".") && !nm.startsWith("_")) {
+          n += 1; bytes += s.getLen
+        }
+      }
+      (n, bytes)
+    }
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(p)
+      val dataDirs = entries.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.startsWith(".") && !n.startsWith("_")
+      }
+      entries.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && (n.startsWith(".compact-tmp-") || n.startsWith(".compact-old-")))
+          debris += s.getPath.toString
+        else if (s.isFile && n == SwapManifest)
+          debris += s.getPath.toString
+      }
+      val (files, bytes) = visibleFilesOf(p)
+      if (files > 0) leaves += ((p.toString, files, bytes))
+      dataDirs.foreach(s => walk(s.getPath))
+    }
+    walk(landingPath)
+    // root-level artifacts attributed to THIS landing (flat-layout
+    // swaps leave them in the parent)
+    val parent = landingPath.getParent
+    var lock = false
+    if (parent != null && fs.exists(parent)) {
+      val rootName = landingPath.getName
+      fs.listStatus(parent).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory &&
+            (n.startsWith(s".compact-tmp-$rootName-") ||
+             n.startsWith(s".compact-old-$rootName-")))
+          debris += s.getPath.toString
+        if (s.isFile && n == s".maintenance-lock-$rootName") lock = true
+      }
+    }
+    LandingStats(leaves.toSeq.sortBy(_._1), leaves.map(_._2).sum,
+      leaves.map(_._3).sum, debris.toSeq.sorted, lock)
+  }
+
   // ---------- the three ingest entries ----------
 
   /** Continuous corpus ingest with CROSS-BATCH exact dedup — the

@@ -481,6 +481,30 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(1L, 2L))
   }
 
+  test("landingStats: per-leaf counts, debris and lock visibility, read-only") {
+    import spark.implicits._
+    val base = tmpDir("graft-stats")
+    val dir = base + "/landing"
+    Seq((1L, "2026-01", "a"), (2L, "2026-02", "b")).toDF("id", "month", "text")
+      .repartition(2).write.partitionBy("month").parquet(dir)
+    val clean = EventStreams.landingStats(spark, dir)
+    assert(clean.leaves.size == 2 && clean.totalFiles == clean.leaves.map(_._2).sum)
+    assert(clean.totalBytes > 0 && clean.debris.isEmpty && !clean.lockHeld)
+    // debris + lock become visible; the landing itself is untouched
+    assert(new java.io.File(dir,
+      s".compact-old-month=2026-01-${java.util.UUID.randomUUID()}").mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "month=2026-02/.swap-manifest").toPath, "x")
+    java.nio.file.Files.writeString(
+      new java.io.File(base, ".maintenance-lock-landing").toPath, "1")
+    val dirty = EventStreams.landingStats(spark, dir)
+    assert(dirty.debris.size == 2 && dirty.lockHeld)
+    assert(dirty.totalFiles == clean.totalFiles, "stats must not mutate anything")
+    // stats takes neither the slot nor the lock: it ran fine with the
+    // lock file present, and the slot is free afterwards
+    assert(!EventStreams.activeIngests.containsKey(EventStreams.landingKey(spark, dir)))
+  }
+
   test("expireLanding: old month dirs dropped whole, survivors and pruning intact") {
     import spark.implicits._
     val dir = tmpDir("graft-expire") + "/landing"

@@ -122,6 +122,16 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       "--before", "2026-01")) == 2)
   }
 
+  test("--stats: read-only report; flag hygiene") {
+    val dir = Files.createTempDirectory("graft-cli-stats").toString + "/corpus"
+    Seq((1L, textA)).toDF("doc_id", "text").write.parquet(dir)
+    assert(RunIngest.execute(spark, Array("--stats", "--corpus", dir)) == 0)
+    assert(RunIngest.execute(spark, Array("--stats")) == 2)
+    assert(RunIngest.execute(spark, Array("--stats", "--corpus", dir, "--once")) == 2)
+    assert(RunIngest.execute(spark, Array("--stats", "--compact", "--corpus", dir)) == 2)
+    assert(RunIngest.execute(spark, Array("--stats", "--corpus", dir + "/nope")) == 1)
+  }
+
   test("--repair: restores a crashed swap; flag hygiene") {
     val base = Files.createTempDirectory("graft-cli-repair").toString
     val corpus = base + "/corpus"
