@@ -66,6 +66,9 @@ object RunIngest {
       |  [--once]                      drain everything present, then exit
       |  [--text-col NAME]             default text
       |  [--id-col NAME]               default doc_id
+      |  [--partition-by COL[,COL]]    land hive-partitioned by COL (e.g. an
+      |                                ingest month) — enables --expire
+      |                                retention and per-leaf --compact
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
       |                                part files (default 4; per leaf on a
@@ -107,8 +110,9 @@ object RunIngest {
     // silently skipping it would exit 0 on work never done
     val forms = Seq("compact", "expire", "repair", "stats").filter(opts.contains)
     if (forms.nonEmpty) {
-      val streamFlags = Seq("in", "checkpoint", "once", "mode", "text-col", "id-col")
-        .filter(opts.contains)
+      val streamFlags =
+        Seq("in", "checkpoint", "once", "mode", "text-col", "id-col", "partition-by")
+          .filter(opts.contains)
       if (streamFlags.nonEmpty) {
         System.err.println(
           s"[ingest] ${streamFlags.map("--" + _).mkString(", ")} cannot be " +
@@ -276,6 +280,15 @@ object RunIngest {
     }
     val textCol = opts.getOrElse("text-col", "text")
     val idCol = opts.getOrElse("id-col", "doc_id")
+    // landing layout: comma-separated partition columns (e.g. an
+    // ingest month) — the layout retention/per-leaf compaction works on
+    val partCols = opts.get("partition-by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    if (opts.contains("partition-by") && partCols.isEmpty) {
+      System.err.println(s"[ingest] --partition-by needs at least one column\n$usage")
+      return 2
+    }
 
     try {
       // schema bootstrap: the file source needs a fixed schema, taken
@@ -285,9 +298,9 @@ object RunIngest {
         s"input schema must contain '$textCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
       val docs = spark.readStream.schema(schema).parquet(opts("in"))
       val q = mode match {
-        case "exact" => EventStreams.ingestDedup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
-        case "near"  => EventStreams.ingestNearDup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
-        case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol)
+        case "exact" => EventStreams.ingestDedup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
+        case "near"  => EventStreams.ingestNearDup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
+        case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
         // AvailableNow is a writeStream option; the ingest entry
@@ -317,7 +330,7 @@ object RunIngest {
     * and exiting 0). */
   private val valueFlags =
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files",
-        "leaf-parallel", "partition-col", "before")
+        "leaf-parallel", "partition-col", "before", "partition-by")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

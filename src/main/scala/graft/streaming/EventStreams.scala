@@ -1355,6 +1355,48 @@ object EventStreams {
 
   // ---------- the three ingest entries ----------
 
+  /** The one shared append shape all three ingest entries land with.
+    * Flat (default): `appendFiles` part files per batch. Partitioned
+    * (`partitionCols` nonempty — e.g. an ingest month): rows
+    * hash-repartition ON the partition columns first, so each touched
+    * `key=value` leaf receives exactly ONE file per batch (without
+    * this, files per batch = tasks × touched leaves — the small-files
+    * problem squared), and the landing becomes the layout the
+    * maintenance surface is built for: retention by [[expireLanding]],
+    * per-leaf [[compactLanding]], partition-pruned time-sliced reads.
+    * The dedup state machine is layout-agnostic — carries fold from
+    * the write's own Observation and fingerprints are recursive
+    * listings, so nothing else changes. */
+  private def appendToLanding(fresh: DataFrame, landingDir: String,
+                              appendFiles: Int, partitionCols: Seq[String],
+                              obs: org.apache.spark.sql.Observation,
+                              metrics: Seq[Column]): Unit = {
+    val shaped =
+      if (partitionCols.isEmpty) fresh.repartition(appendFiles)
+      else fresh.repartition(appendFiles, partitionCols.map(col): _*)
+    val writer = shaped.observe(obs, metrics.head, metrics.tail: _*)
+      .write.options(graft.core.Committers.TaskCommitV2)
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .mode("append").parquet(landingDir)
+  }
+
+  /** Shared validation for the ingest entries' partition layout
+    * option: the columns must exist in the stream schema (a write-time
+    * failure would kill the first micro-batch instead of the start),
+    * and must not collide with the dedup-bearing columns. */
+  private def requirePartitionCols(docs: DataFrame, partitionCols: Seq[String],
+                                   textCol: String, idCol: String): Unit = {
+    val fields = docs.schema.fieldNames.toSet
+    val missing = partitionCols.filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the stream schema " +
+      s"(${docs.schema.fieldNames.mkString(", ")})")
+    val clash = partitionCols.filter(c => c == textCol || c == idCol)
+    require(clash.isEmpty,
+      s"partition column(s) ${clash.mkString(", ")} collide with the text/id " +
+      "columns — a landing partitioned by its dedup key is never what you want")
+  }
+
   /** Continuous corpus ingest with CROSS-BATCH exact dedup — the
     * streaming face of [[graft.ops.IncrementalDedup]] (q74) and the
     * contract a training-data pipeline actually needs: a document is
@@ -1379,15 +1421,18 @@ object EventStreams {
     * StreamingSpec's crash-retry case). */
   def ingestDedup(docs: DataFrame, landingDir: String, checkpointDir: String,
                   textCol: String = "text", idCol: String = "doc_id",
-                  appendFiles: Int = 4)
+                  appendFiles: Int = 4,
+                  partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    requirePartitionCols(docs, partitionCols, textCol, idCol)
     ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol, appendFiles)
+      checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }
 
   private def ingestDedupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                              textCol: String, idCol: String, appendFiles: Int)
+                              textCol: String, idCol: String, appendFiles: Int,
+                              partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     // Landed row count carried across batches: seeded ONCE (first
@@ -1447,9 +1492,7 @@ object EventStreams {
           val bloomMetric = bloomMetricFor(landingDir, textCol)
           val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: bloomMetric.toSeq
-          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
-            .write.options(graft.core.Committers.TaskCommitV2)
-            .mode("append").parquet(landingDir)
+          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
           postAppendHook(landingDir, batchId)
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
@@ -1489,15 +1532,18 @@ object EventStreams {
     * dedup. */
   def ingestNearDup(docs: DataFrame, landingDir: String, checkpointDir: String,
                     textCol: String = "text", idCol: String = "doc_id",
-                    appendFiles: Int = 4)
+                    appendFiles: Int = 4,
+                    partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    requirePartitionCols(docs, partitionCols, textCol, idCol)
     ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol, appendFiles)
+      checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }
 
   private def ingestNearDupImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                                textCol: String, idCol: String, appendFiles: Int)
+                                textCol: String, idCol: String, appendFiles: Int,
+                                partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
@@ -1536,9 +1582,7 @@ object EventStreams {
           val bucketMetrics = bucketMetricsFor(landingDir)
           val obs = new org.apache.spark.sql.Observation(s"ingest_nd_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: bucketMetrics
-          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
-            .write.options(graft.core.Committers.TaskCommitV2)
-            .mode("append").parquet(landingDir)
+          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
           postAppendHook(landingDir, batchId)
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
@@ -1578,15 +1622,18 @@ object EventStreams {
     * the batch so the retry re-runs WITH dedup. */
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
-                     appendFiles: Int = 4)
+                     appendFiles: Int = 4,
+                     partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    requirePartitionCols(docs, partitionCols, textCol, idCol)
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol, appendFiles)
+      checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }
 
   private def ingestPipelineImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
-                                 textCol: String, idCol: String, appendFiles: Int)
+                                 textCol: String, idCol: String, appendFiles: Int,
+                                 partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
     import graft.ops.NearDupIncremental
@@ -1645,9 +1692,7 @@ object EventStreams {
           val bucketMetrics = bucketMetricsFor(landingDir)
           val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
           val metrics = count(lit(1)).as("n") +: (bloomMetric.toSeq ++ bucketMetrics)
-          fresh.repartition(appendFiles).observe(obs, metrics.head, metrics.tail: _*)
-            .write.options(graft.core.Committers.TaskCommitV2)
-            .mode("append").parquet(landingDir)
+          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
           postAppendHook(landingDir, batchId)
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)

@@ -122,6 +122,44 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       "--before", "2026-01")) == 2)
   }
 
+  test("full landing lifecycle: partitioned ingest -> stats -> compact -> expire") {
+    val arrivals = Files.createTempDirectory("graft-cli-life-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-life").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-life-ckpt").toString
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--partition-by", "month")
+    // two ingest runs across two months, with a cross-run duplicate
+    Seq((1L, "2025-12", textA), (2L, "2025-12", textB))
+      .toDF("doc_id", "month", "text").repartition(2)
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    Seq((3L, "2026-01", textC), (4L, "2026-01", textA))
+      .toDF("doc_id", "month", "text")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "cross-run duplicate must be dropped, months landed")
+    // observe, compact per leaf, expire the old month
+    assert(RunIngest.execute(spark, Array("--stats", "--corpus", corpus)) == 0)
+    assert(RunIngest.execute(spark,
+      Array("--compact", "--corpus", corpus, "--target-files", "1")) == 0)
+    assert(RunIngest.execute(spark, Array("--expire", "--corpus", corpus,
+      "--partition-col", "month", "--before", "2026-01")) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L),
+      "retention must drop exactly the 2025-12 rows")
+    // the stream still runs against the compacted+expired landing —
+    // and an expired-then-reposted text is correctly RE-admitted
+    Seq((5L, "2026-01", textB), (6L, "2026-01", textC))
+      .toDF("doc_id", "month", "text")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L),
+      "expired text re-admitted, landed text still deduplicated")
+  }
+
   test("--stats: read-only report; flag hygiene") {
     val dir = Files.createTempDirectory("graft-cli-stats").toString + "/corpus"
     Seq((1L, textA)).toDF("doc_id", "text").write.parquet(dir)

@@ -791,6 +791,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("partitioned ingest landing: hive layout, cross-batch dedup, one file per touched leaf") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-part-ingest")
+      .toString + "/corpus"
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "month", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-part-ingest-ck").toString,
+      partitionCols = Seq("month"))
+    try {
+      input.addData((1L, "2026-01", "alpha"), (2L, "2026-01", "beta"),
+        (3L, "2026-02", "gamma"))
+      q.processAllAvailable()
+      // cross-batch exact dup (alpha, even in a NEW month) dropped;
+      // fresh text admitted into its month
+      input.addData((4L, "2026-02", "alpha"), (5L, "2026-02", "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(landing)
+      .select("doc_id", "month", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(landed == Seq((1L, "2026-01", "alpha"), (2L, "2026-01", "beta"),
+      (3L, "2026-02", "gamma"), (5L, "2026-02", "delta")).sorted)
+    // hive layout on disk, one file per touched leaf per batch
+    val root = new java.io.File(landing)
+    val months = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("month="))
+      .map(_.getName).sorted.toSeq
+    assert(months == Seq("month=2026-01", "month=2026-02"))
+    def leafFiles(m: String): Int = new java.io.File(root, m).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(leafFiles("month=2026-01") == 1, "batch 1 touched 2026-01 once")
+    assert(leafFiles("month=2026-02") == 2, "each batch landed ONE file in 2026-02")
+    // partition pruning works on the landed corpus
+    val pruned = spark.read.parquet(landing).where($"month" === "2026-01")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1)
+    // bad layouts are refused at START, not in the first batch
+    val in2 = MemoryStream[(Long, String, String)]
+    val d2 = in2.toDF().toDF("doc_id", "month", "text")
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(d2, landing + "x", landing + "ck",
+        partitionCols = Seq("nope"))
+    }.getMessage.contains("not in the stream schema"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(d2, landing + "y", landing + "ck2",
+        partitionCols = Seq("text"))
+    }.getMessage.contains("collide"))
+  }
+
   test("ingest entries reject a non-positive appendFiles upfront, not in the first batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
