@@ -1126,6 +1126,16 @@ object EventStreams {
     * files replaced. */
   private[graft] val SwapManifest = ".swap-manifest"
 
+  /** `.compact-{tmp,old}-<source>-<uuid>` → the embedded source dir
+    * name. The uuid suffix is fixed-width (36 chars + the joining
+    * dash), so the parse is exact even when the source name contains
+    * dashes — a loose prefix match would misattribute a sibling
+    * landing's artifacts (`corpus` vs `corpus-backup`). */
+  private def artifactSourceOf(name: String, prefix: String): Option[String] =
+    if (name.length > prefix.length + 37 && name.startsWith(prefix))
+      Some(name.substring(prefix.length, name.length - 37))
+    else None
+
   /** What [[repairLanding]] did. `unresolved` lists aside dirs it
     * refused to touch (their target exists but carries no manifest
     * naming them — e.g. a new stream recreated the landing after a
@@ -1182,13 +1192,6 @@ object EventStreams {
           } finally in.close()
         }
       }
-      // `.compact-{tmp,old}-<source>-<uuid>`: the uuid suffix is
-      // fixed-width (36 chars + the joining dash), so the embedded
-      // source name parses unambiguously even when it contains dashes
-      def sourceNameOf(name: String, prefix: String): Option[String] =
-        if (name.length > prefix.length + 37 && name.startsWith(prefix))
-          Some(name.substring(prefix.length, name.length - 37))
-        else None
       def handleOld(oldPath: org.apache.hadoop.fs.Path,
                     target: org.apache.hadoop.fs.Path): Unit = {
         if (!fs.exists(target)) {
@@ -1224,10 +1227,10 @@ object EventStreams {
       if (parent != null && fs.exists(parent)) {
         fs.listStatus(parent).foreach { s =>
           val n = s.getPath.getName
-          if (s.isDirectory && sourceNameOf(n, ".compact-tmp-").contains(rootName)) {
+          if (s.isDirectory && artifactSourceOf(n, ".compact-tmp-").contains(rootName)) {
             fs.delete(s.getPath, true); tmps += 1
           } else if (s.isDirectory &&
-                     sourceNameOf(n, ".compact-old-").contains(rootName)) {
+                     artifactSourceOf(n, ".compact-old-").contains(rootName)) {
             handleOld(s.getPath, landingPath)
           }
         }
@@ -1258,7 +1261,7 @@ object EventStreams {
           if (s.isDirectory && n.startsWith(".compact-tmp-")) {
             fs.delete(s.getPath, true); tmps += 1
           } else if (s.isDirectory && n.startsWith(".compact-old-")) {
-            sourceNameOf(n, ".compact-old-") match {
+            artifactSourceOf(n, ".compact-old-") match {
               case None => unresolved += s.getPath.toString
               case Some(src) => handleOld(s.getPath, new org.apache.hadoop.fs.Path(p, src))
             }
@@ -1303,39 +1306,14 @@ object EventStreams {
     val landingDir = landingKey(spark, dir)
     val landingPath = new org.apache.hadoop.fs.Path(landingDir)
     val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(landingPath), s"landing dir '$landingDir' does not exist")
     val debris = scala.collection.mutable.ArrayBuffer.empty[String]
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
-    def visibleFilesOf(p: org.apache.hadoop.fs.Path): (Int, Long) = {
-      var n = 0; var bytes = 0L
-      fs.listStatus(p).foreach { s =>
-        val nm = s.getPath.getName
-        if (s.isFile && !nm.startsWith(".") && !nm.startsWith("_")) {
-          n += 1; bytes += s.getLen
-        }
-      }
-      (n, bytes)
-    }
-    def walk(p: org.apache.hadoop.fs.Path): Unit = {
-      val entries = fs.listStatus(p)
-      val dataDirs = entries.filter { s =>
-        val n = s.getPath.getName
-        s.isDirectory && !n.startsWith(".") && !n.startsWith("_")
-      }
-      entries.foreach { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory && (n.startsWith(".compact-tmp-") || n.startsWith(".compact-old-")))
-          debris += s.getPath.toString
-        else if (s.isFile && n == SwapManifest)
-          debris += s.getPath.toString
-      }
-      val (files, bytes) = visibleFilesOf(p)
-      if (files > 0) leaves += ((p.toString, files, bytes))
-      dataDirs.foreach(s => walk(s.getPath))
-    }
-    walk(landingPath)
-    // root-level artifacts attributed to THIS landing (flat-layout
-    // swaps leave them in the parent)
+    // ROOT-level artifacts first (flat-layout swaps leave them in the
+    // parent, attributed by the EXACT source-name parse repair uses —
+    // a loose prefix would claim a `corpus-backup` sibling's debris
+    // for `corpus`). Scanned BEFORE the existence check: the state
+    // where the landing root is missing but an aside dir holds it is
+    // exactly when the operator most needs the 'run --repair' report.
     val parent = landingPath.getParent
     var lock = false
     if (parent != null && fs.exists(parent)) {
@@ -1343,12 +1321,41 @@ object EventStreams {
       fs.listStatus(parent).foreach { s =>
         val n = s.getPath.getName
         if (s.isDirectory &&
-            (n.startsWith(s".compact-tmp-$rootName-") ||
-             n.startsWith(s".compact-old-$rootName-")))
+            (artifactSourceOf(n, ".compact-tmp-").contains(rootName) ||
+             artifactSourceOf(n, ".compact-old-").contains(rootName)))
           debris += s.getPath.toString
         if (s.isFile && n == s".maintenance-lock-$rootName") lock = true
       }
     }
+    if (!fs.exists(landingPath)) {
+      require(debris.nonEmpty,
+        s"landing dir '$landingDir' does not exist and no crash artifact " +
+        "references it")
+      // the landing IS the debris — report it instead of erroring
+      return LandingStats(Nil, 0, 0L, debris.toSeq.sorted, lock)
+    }
+    // one listing per dir serves both the debris scan and the file
+    // counts — the promised cost really is one LIST per directory
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(p)
+      var files = 0; var bytes = 0L
+      entries.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && (n.startsWith(".compact-tmp-") || n.startsWith(".compact-old-")))
+          debris += s.getPath.toString
+        else if (s.isFile && n == SwapManifest)
+          debris += s.getPath.toString
+        else if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) {
+          files += 1; bytes += s.getLen
+        }
+      }
+      if (files > 0) leaves += ((p.toString, files, bytes))
+      entries.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+      }
+    }
+    walk(landingPath)
     LandingStats(leaves.toSeq.sortBy(_._1), leaves.map(_._2).sum,
       leaves.map(_._3).sum, debris.toSeq.sorted, lock)
   }
@@ -1395,6 +1402,16 @@ object EventStreams {
     require(clash.isEmpty,
       s"partition column(s) ${clash.mkString(", ")} collide with the text/id " +
       "columns — a landing partitioned by its dedup key is never what you want")
+    // a `_`/`.`-prefixed column makes every `col=value` dir HIDDEN to
+    // Spark's path filter: the landing would accept writes that no
+    // read (reseed, stats, compaction) can see — silent dedup loss
+    val hidden = partitionCols.filter(c => c.startsWith("_") || c.startsWith("."))
+    require(hidden.isEmpty,
+      s"partition column(s) ${hidden.mkString(", ")} start with '_'/'.' — their " +
+      "hive dirs would be invisible to every parquet read, including this " +
+      "stream's own dedup reseed")
+    require(partitionCols.distinct.size == partitionCols.size,
+      s"duplicate partition column(s): ${partitionCols.mkString(", ")}")
   }
 
   /** Continuous corpus ingest with CROSS-BATCH exact dedup — the

@@ -96,10 +96,14 @@ object CompactProbe {
       .createTempDirectory("graft-cprobe-ser").toString + "/corpus"
     val parDir = java.nio.file.Files
       .createTempDirectory("graft-cprobe-par").toString + "/corpus"
-    build(serialDir); build(parDir)
-    // interleave order effects: parallel first on one landing, serial
-    // first on the other would need two more dirs — report one of
-    // each and let the reader min over re-runs
+    val warmDir = java.nio.file.Files
+      .createTempDirectory("graft-cprobe-warm").toString + "/corpus"
+    build(serialDir); build(parDir); build(warmDir)
+    // a throwaway compact first: codegen compilation, FileSystem
+    // client init and scheduler warmup must not land in whichever
+    // timed measurement happens to run first (serial ran first and
+    // was systematically flattered before this)
+    timedCompact(warmDir, 2)
     val serialSec = timedCompact(serialDir, 1)
     val parSec = timedCompact(parDir, 4)
     println(f"""{"leaves":$nLeaves,"files_per_leaf":$filesPerLeaf,"rows":$rows,""" +

@@ -505,6 +505,33 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(!EventStreams.activeIngests.containsKey(EventStreams.landingKey(spark, dir)))
   }
 
+  test("landingStats: missing landing with an aside dir reports the debris, not an error") {
+    import spark.implicits._
+    val base = tmpDir("graft-stats-crash")
+    val dir = base + "/corpus"
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(dir)
+    // a dash-named SIBLING landing's debris must never be attributed here
+    val sibling = new java.io.File(base,
+      s".compact-old-corpus-backup-${java.util.UUID.randomUUID()}")
+    assert(sibling.mkdirs())
+    val healthy = EventStreams.landingStats(spark, dir)
+    assert(healthy.debris.isEmpty, s"sibling debris misattributed: ${healthy.debris}")
+    // crash point 1: the landing renamed aside — stats must point at
+    // the debris (the operator's cue to run --repair), not error out
+    val old = new java.io.File(base, s".compact-old-corpus-${java.util.UUID.randomUUID()}")
+    assert(new java.io.File(dir).renameTo(old))
+    val crashed = EventStreams.landingStats(spark, dir)
+    assert(crashed.leaves.isEmpty && crashed.totalFiles == 0)
+    assert(crashed.debris.exists(_.contains(old.getName)))
+    // a missing landing with NO attributable artifact is still an error
+    assert(old.renameTo(new java.io.File(dir)))
+    assert(sibling.delete())
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.landingStats(spark, base + "/nope")
+    }
+    assert(err.getMessage.contains("does not exist"))
+  }
+
   test("expireLanding: old month dirs dropped whole, survivors and pruning intact") {
     import spark.implicits._
     val dir = tmpDir("graft-expire") + "/landing"

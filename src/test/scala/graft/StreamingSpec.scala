@@ -841,6 +841,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       EventStreams.ingestDedup(d2, landing + "y", landing + "ck2",
         partitionCols = Seq("text"))
     }.getMessage.contains("collide"))
+    // a hidden-prefix column's hive dirs would be invisible to every
+    // parquet read (incl. the dedup reseed); duplicates would kill
+    // the first micro-batch instead of the start
+    val in3 = MemoryStream[(Long, String, String)]
+    val d3 = in3.toDF().toDF("doc_id", "_month", "text")
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(d3, landing + "z", landing + "ck3",
+        partitionCols = Seq("_month"))
+    }.getMessage.contains("invisible"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(d2, landing + "w", landing + "ck4",
+        partitionCols = Seq("month", "month"))
+    }.getMessage.contains("duplicate"))
   }
 
   test("ingest entries reject a non-positive appendFiles upfront, not in the first batch") {
