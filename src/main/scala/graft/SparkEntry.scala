@@ -1689,6 +1689,43 @@ object SparkEntry {
                 col("chunk_text"),
                 call_function("bpe_token_count", col("chunk_text")).as("n_tokens"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- incremental SEMANTIC dedup (embedding space) ----
+    // The q83 construction transplanted to vector space: corpus =
+    // every 20th embedding, landed; batch = the rest, with %7==1 rows
+    // carrying an EXACT copy of their base corpus vector and %7==2 a
+    // one-coordinate perturbation (+0.25 on dim 0 — IEEE-exact in
+    // both engines). A batch doc is a dup iff some corpus doc shares
+    // a hyperplane band bucket AND scores cosine >= 0.4 — unlike the
+    // MinHash twin (q82), a hyperplane collision alone proves
+    // nothing, so every candidate is cosine-confirmed (q47's rule
+    // across the corpus/batch boundary). Candidates come from the
+    // slim (id, band, bucket) equi-join; vectors are fetched only for
+    // distinct candidate pairs.
+    "q86_semantic_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // only multiples of 20 can be bases — the broadcast side is
+      // 1/20th of the corpus (the q83 sizing discipline)
+      val base = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("base_id"),
+                col("embedding").cast("array<double>").as("base_v"))
+      val corpus = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"))
+      // localCheckpoint: the constructed batch has three consumers in
+      // newDocs (codes, vectors, final flag join) — materialize once
+      val batch = e.filter(col("vec_id") % 20 =!= 0)
+        .join(base, col("base_id") === col("vec_id") - (col("vec_id") % 20))
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 1, col("base_v"))
+            .when(col("vec_id") % 7 === 2,
+              transform(col("base_v"),
+                (x, i) => when(i === 0, x + lit(0.25)).otherwise(x)))
+            .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .localCheckpoint()
+      ops.SemanticIncremental.newDocs(corpus, batch, tau = 0.4,
+          bits = AnnBits, bands = AnnBands)
+        .orderBy("vec_id")
     })
   )
 
@@ -3303,7 +3340,47 @@ object SparkEntry {
         |       CAST(SUM(w.t) AS BIGINT) AS n_tokens
         |FROM chunk c JOIN wt w USING (doc_id, wi)
         |GROUP BY c.doc_id, c.chunk_id
-        |ORDER BY c.doc_id, c.chunk_id""".stripMargin
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    // Incremental semantic dedup: the q83 corpus/batch construction in
+    // vector space (exact vector copy at %7==1, +0.25 on dim 0 at
+    // %7==2 — both IEEE-exact), hyperplane codes from the SAME
+    // sqlLshCode integer formulas as the native expression, candidates
+    // from the cross-side (band, bucket) join, dup iff a candidate
+    // corpus partner reaches cosine >= 0.4 (list_dot_product — the
+    // q47-proven parity form of the native array_dot cosine).
+    "q86_semantic_incremental" ->
+      s"""WITH base AS (
+        |  SELECT vec_id AS base_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |b AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN e.vec_id % 7 = 1 THEN o.bv
+        |         WHEN e.vec_id % 7 = 2 THEN list_transform(range(len(o.bv)),
+        |           d -> CASE WHEN d = 0 THEN o.bv[d+1] + 0.25 ELSE o.bv[d+1] END)
+        |         ELSE CAST(e.embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings e JOIN base o ON o.base_id = e.vec_id - (e.vec_id % 20)
+        |  WHERE e.vec_id % 20 <> 0),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id, v FROM b),
+        |bk AS (
+        |$sqlBandedBuckets),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS batch_id, r.vec_id AS corpus_id
+        |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+        |  WHERE l.vec_id % 20 <> 0 AND r.vec_id % 20 = 0),
+        |dup AS (
+        |  SELECT DISTINCT c.batch_id AS vec_id
+        |  FROM cand c JOIN v x ON x.vec_id = c.batch_id
+        |              JOIN v y ON y.vec_id = c.corpus_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        |SELECT b.vec_id, (dup.vec_id IS NULL) AS is_new
+        |FROM b LEFT JOIN dup ON dup.vec_id = b.vec_id
+        |ORDER BY b.vec_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

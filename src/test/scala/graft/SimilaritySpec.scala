@@ -246,4 +246,87 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).toSet
     assert(all == Set(0L, 1L, 2L, 3L, 4L), "nprobe=2 must cover both clusters")
   }
+
+  // ---------- incremental semantic dedup ----------
+
+  test("SemanticIncremental: copies and scalings drop, opposites and strangers survive") {
+    import graft.ops.SemanticIncremental
+    val v = Seq.tabulate(32)(d => math.sin(d * 1.7 + 1))
+    val u = Seq.tabulate(32)(d => math.cos(d * 2.3 + 5)) // unrelated direction
+    val corpus = vecs(100L -> v)
+    val batch = vecs(
+      1L -> v,             // exact copy: collides in every band, cosine 1
+      2L -> v.map(_ * 2),  // positive scaling: same sign pattern, cosine 1
+      3L -> v.map(-_),     // negation: complement code in EVERY band — never a candidate
+      4L -> u)             // unrelated: survives (cosine far below tau even on collision)
+    val got = SemanticIncremental.newDocs(corpus, batch, tau = 0.9, bits = 6, bands = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("SemanticIncremental: a null batch vector cannot collide and stays new") {
+    import spark.implicits._
+    import graft.ops.SemanticIncremental
+    val corpus = vecs(100L -> Seq.tabulate(8)(_.toDouble + 1))
+    val batch = Seq(
+      (1L, Some(Seq.tabulate(8)(_.toDouble + 1))),
+      (2L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding")
+    val got = SemanticIncremental.newDocs(corpus, batch, tau = 0.5, bits = 4, bands = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true))
+  }
+
+  test("SemanticIncremental.newDocs matches a driver-side reference on seeded vectors") {
+    import graft.ops.SemanticIncremental
+    import graft.functions.HyperplaneLSH
+    val rnd = new scala.util.Random(0x5EEDCL)
+    val dim = 16; val bits = 4; val bands = 2; val tau = 0.3
+    def rv() = Seq.fill(dim)(rnd.nextGaussian())
+    val corpusVecs = (0L until 40L).map(i => i -> rv())
+    // plant real dups: every 10th batch vector copies a corpus vector
+    val batchVecs = (1000L until 1120L).map { i =>
+      if (i % 10 == 0) i -> corpusVecs(((i / 10) % 40).toInt)._2 else i -> rv()
+    }
+    // reference: same left-to-right float discipline as the native ops
+    def code(v: Seq[Double], band: Int): Int = {
+      var out = 0
+      for (k <- 0 until bits) {
+        val j = band * bits + k
+        var dot = 0.0
+        for (d <- 0 until dim) dot += v(d) * HyperplaneLSH.plane(j, d)
+        if (dot >= 0.0) out |= (1 << k)
+      }
+      out
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dt(x: Seq[Double], y: Seq[Double]) = {
+        var s = 0.0; for (d <- 0 until dim) s += x(d) * y(d); s
+      }
+      dt(a, b) / (math.sqrt(dt(a, a)) * math.sqrt(dt(b, b)))
+    }
+    val expected = batchVecs.map { case (id, bv) =>
+      val dup = corpusVecs.exists { case (_, cv) =>
+        (0 until bands).exists(t => code(bv, t) == code(cv, t)) && cos(bv, cv) >= tau
+      }
+      id -> !dup
+    }.toMap
+    assert(expected.values.exists(!_), "seed must plant at least one dup")
+    assert(expected.values.exists(identity), "seed must leave some new docs")
+    val got = SemanticIncremental.newDocs(
+        vecs(corpusVecs: _*), vecs(batchVecs: _*), tau, bits = bits, bands = bands)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected)
+  }
+
+  test("keepSemanticMins: greedy in-batch keeper needs collision AND cosine") {
+    import graft.ops.SemanticIncremental
+    val v = Seq.tabulate(32)(d => math.sin(d * 1.7 + 1))
+    val u = Seq.tabulate(32)(d => math.cos(d * 2.3 + 5))
+    val coded = SemanticIncremental.withCodes(
+      vecs(5L -> v, 9L -> v, 7L -> v.map(_ * 3), 8L -> u), bits = 6, bands = 2)
+    val kept = SemanticIncremental.keepSemanticMins(coded, tau = 0.9, bands = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 5 is the min of the {5, 7, 9} cosine-1 group; 8 is unrelated
+    assert(kept == Set(5L, 8L))
+  }
 }
