@@ -62,10 +62,15 @@ import graft.streaming.EventStreams
 object RunIngest {
   private val usage =
     """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
-      |  [--mode exact|near|both]      which dedup stages (default both)
+      |  [--mode exact|near|both|semantic]  which dedup stages (default both)
       |  [--once]                      drain everything present, then exit
-      |  [--text-col NAME]             default text
+      |  [--text-col NAME]             default text (text modes)
       |  [--id-col NAME]               default doc_id
+      |  [--vec-col NAME]              default embedding (semantic mode:
+      |                                embedding-cosine dedup — drop when a
+      |                                landed doc shares an LSH band bucket
+      |                                AND cosine >= tau)
+      |  [--tau X]                     semantic cosine threshold, default 0.9
       |  [--partition-by COL[,COL]]    land hive-partitioned by COL (e.g. an
       |                                ingest month) — enables --expire
       |                                retention and per-leaf --compact
@@ -111,7 +116,8 @@ object RunIngest {
     val forms = Seq("compact", "expire", "repair", "stats").filter(opts.contains)
     if (forms.nonEmpty) {
       val streamFlags =
-        Seq("in", "checkpoint", "once", "mode", "text-col", "id-col", "partition-by")
+        Seq("in", "checkpoint", "once", "mode", "text-col", "id-col",
+            "vec-col", "tau", "partition-by")
           .filter(opts.contains)
       if (streamFlags.nonEmpty) {
         System.err.println(
@@ -274,12 +280,31 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
+      return 2
+    }
+    // a dedup-relevant flag the chosen mode would silently ignore is
+    // the same bug class as a co-passed stream flag on --compact
+    val wrongModeFlags =
+      if (mode == "semantic") Seq("text-col").filter(opts.contains)
+      else Seq("vec-col", "tau").filter(opts.contains)
+    if (wrongModeFlags.nonEmpty) {
+      System.err.println(
+        s"[ingest] ${wrongModeFlags.map("--" + _).mkString(", ")} " +
+        s"not applicable to mode=$mode\n$usage")
       return 2
     }
     val textCol = opts.getOrElse("text-col", "text")
     val idCol = opts.getOrElse("id-col", "doc_id")
+    val vecCol = opts.getOrElse("vec-col", "embedding")
+    val tau = opts.get("tau").map(_.toDoubleOption) match {
+      case Some(None) =>
+        System.err.println(s"[ingest] --tau needs a number\n$usage")
+        return 2
+      case Some(Some(t)) => t
+      case None => 0.9
+    }
     // landing layout: comma-separated partition columns (e.g. an
     // ingest month) — the layout retention/per-leaf compaction works on
     val partCols = opts.get("partition-by")
@@ -294,12 +319,14 @@ object RunIngest {
       // schema bootstrap: the file source needs a fixed schema, taken
       // from whatever is already in --in (the seed batch)
       val schema = spark.read.parquet(opts("in")).schema
-      require(schema.fieldNames.contains(textCol) && schema.fieldNames.contains(idCol),
-        s"input schema must contain '$textCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
+      val keyCol = if (mode == "semantic") vecCol else textCol
+      require(schema.fieldNames.contains(keyCol) && schema.fieldNames.contains(idCol),
+        s"input schema must contain '$keyCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
       val docs = spark.readStream.schema(schema).parquet(opts("in"))
       val q = mode match {
         case "exact" => EventStreams.ingestDedup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
         case "near"  => EventStreams.ingestNearDup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
+        case "semantic" => EventStreams.ingestSemantic(docs, opts("corpus"), opts("checkpoint"), tau, vecCol, idCol, partitionCols = partCols)
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
@@ -329,7 +356,7 @@ object RunIngest {
     * defaults (e.g. `--textcol body` deduplicating the wrong column
     * and exiting 0). */
   private val valueFlags =
-    Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "target-files",
+    Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "vec-col", "tau", "target-files",
         "leaf-parallel", "partition-col", "before", "partition-by")
 
   @annotation.tailrec

@@ -273,6 +273,15 @@ object EventStreams {
   private[graft] val carriedBuckets =
     new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
 
+  /** Semantic-stage carry ([[ingestSemantic]]): bloom over the landed
+    * corpus's hyperplane band-bucket hashes (one bucket per band per
+    * doc, hashed as xxhash64(band, code)). Same soundness argument as
+    * [[carriedBuckets]]: a collision only nominates a confirm
+    * candidate — the exact cosine join decides — so a bloom can carry
+    * the bucket set without ever admitting a duplicate it shouldn't. */
+  private[graft] val carriedSemBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, CarriedBloom]()
+
   /** One canonical form per physical landing dir — `makeQualified`
     * resolves scheme/authority/trailing-slash spellings ('/a/b/',
     * 'file:/a/b') to one string, so the per-landing state maps and the
@@ -384,13 +393,15 @@ object EventStreams {
                           preParts: Seq[String], appendedRows: Long,
                           textBloom: Option[Array[Byte]],
                           bucketBloom: Option[Array[Byte]],
-                          landedCount: Long): Unit = {
+                          landedCount: Long,
+                          semBloom: Option[Array[Byte]] = None): Unit = {
     val postParts = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(preParts, postParts, appendedRows) &&
       (appendedRows > 0L || deltaRowless(spark, deltaPaths(preParts, postParts)))
     if (!clean) {
       carriedBlooms.remove(landingDir)
       carriedBuckets.remove(landingDir)
+      carriedSemBuckets.remove(landingDir)
       return
     }
     val fp = fpOf(postParts)
@@ -405,6 +416,7 @@ object EventStreams {
     }
     foldOne(carriedBlooms, textBloom)
     foldOne(carriedBuckets, bucketBloom)
+    foldOne(carriedSemBuckets, semBloom)
   }
 
   // ---------- exact-stage carry ----------
@@ -452,7 +464,8 @@ object EventStreams {
     * includes them). */
   private def seedFromAppend(spark: SparkSession, landingDir: String,
                              fresh: DataFrame, landedCount: Long,
-                             textCol: Option[String], buckets: Boolean): Unit = {
+                             textCol: Option[String], buckets: Boolean,
+                             semBands: Option[Int] = None): Unit = {
     val post = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(Seq.empty, post, landedCount) &&
       (landedCount > 0L || deltaRowless(spark, deltaPaths(Seq.empty, post)))
@@ -470,6 +483,11 @@ object EventStreams {
       carriedBuckets.put(landingDir, CarriedBloom(
         buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
         bits, 3, cap, fp))
+    }
+    semBands.foreach { bands =>
+      val bits = semBucketBits(cap, bands)
+      carriedSemBuckets.put(landingDir, CarriedBloom(
+        buildSemBucketBloom(fresh, bands, bits, 3), bits, 3, cap, fp))
     }
   }
 
@@ -585,6 +603,101 @@ object EventStreams {
           .filter(col("is_new")).select(col(idCol)),
         Seq(idCol), "left_semi")
       probed.filter(!col("maybe_nd")).drop("maybe_nd").unionByName(confirmedNew)
+    }
+  }
+
+  // ---------- semantic-stage carry (hyperplane bucket bloom) ----------
+
+  /** 64-bit key of a hyperplane band bucket: the `sb<band>` code
+    * columns [[graft.ops.SemanticIncremental.withCodes]] lands. Null
+    * code (null vector) → null hash, which [[semBucketProbe]] treats
+    * as not-a-candidate and `bloom_agg` skips. */
+  private def semBucketHash(band: Int, code: Column): Column =
+    xxhash64(lit(band), code)
+
+  /** `maybe_sem`: any of the row's band buckets possibly present in
+    * the carried bucket bloom. All-negative is DEFINITIVE absence of
+    * any landed bucket-mate; a null-vector row can never collide. */
+  private def semBucketProbe(blob: Array[Byte], bands: Int): Column =
+    (0 until bands).map { t =>
+      coalesce(call_function("bloom_might_contain",
+        lit(blob), semBucketHash(t, col(s"sb$t"))), lit(false))
+    }.reduce(_ || _)
+
+  /** Per-band bucket-bloom aggregates (one scan; blobs unioned
+    * driver-side — no explode in the write path). */
+  private def semBucketAggs(bits: Int, hashes: Int, bands: Int): Seq[Column] =
+    (0 until bands).map { t =>
+      call_function("bloom_agg", semBucketHash(t, col(s"sb$t")),
+        lit(bits), lit(hashes)).as(s"sbb$t")
+    }
+
+  /** Bits for a bucket bloom covering `cap` docs at `bands` buckets
+    * each, overflow-clamped. */
+  private def semBucketBits(cap: Long, bands: Int): Int =
+    graft.ops.IncrementalDedup.sizedBits(
+      math.min(cap, Long.MaxValue / bands) * bands)
+
+  private def buildSemBucketBloom(coded: DataFrame, bands: Int,
+                                  bits: Int, hashes: Int): Array[Byte] = {
+    val aggs = semBucketAggs(bits, hashes, bands)
+    val r = coded.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (0 until bands).map(t => r.getAs[Array[Byte]](s"sbb$t"))
+      .reduce(graft.ops.IncrementalDedup.unionBloom)
+  }
+
+  /** The carried semantic bucket bloom for `landingDir`, seeding with
+    * ONE column-pruned (`sb*`, one int per band per row) corpus scan
+    * when absent, stale, or outgrown. */
+  private def ensureCarriedSemBuckets(landingDir: String, corpusCodes: DataFrame,
+                                      bands: Int, landedCount: Long,
+                                      fp: String): CarriedBloom = {
+    val cached = carriedSemBuckets.get(landingDir)
+    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
+    else {
+      val cap = math.max(landedCount, 1L) * 4
+      val bits = semBucketBits(cap, bands)
+      val c = CarriedBloom(
+        buildSemBucketBloom(corpusCodes, bands, bits, 3), bits, 3, cap, fp)
+      carriedSemBuckets.put(landingDir, c)
+      c
+    }
+  }
+
+  private def semBucketMetricsFor(landingDir: String, bands: Int): Seq[Column] =
+    Option(carriedSemBuckets.get(landingDir)).toSeq
+      .flatMap(c => semBucketAggs(c.bits, c.hashes, bands))
+
+  private def observedSemBucketBloom(landingDir: String, bands: Int,
+                                     obs: org.apache.spark.sql.Observation)
+      : Option[Array[Byte]] =
+    Option(carriedSemBuckets.get(landingDir)).map { _ =>
+      (0 until bands).map(t => obs.get(s"sbb$t").asInstanceOf[Array[Byte]])
+        .reduce(graft.ops.IncrementalDedup.unionBloom)
+    }
+
+  /** Two-phase cross-batch SEMANTIC confirm — the cosine-confirming
+    * sibling of [[nearStage]]: probe each kept row's band buckets
+    * against the carried bloom (batch-side map, no landing I/O); only
+    * if some row probed positive, run the exact bucket join + cosine
+    * confirm ([[graft.ops.SemanticIncremental.newDocsCoded]]) for the
+    * candidates. The corpus side contributes its landed `sb*` codes
+    * to the candidate join (one int per band per row — codes are
+    * READ, never recomputed from vectors) and its vectors only for
+    * distinct candidate pairs. `probed` must be persisted by the
+    * caller. */
+  private def semStage(probed: DataFrame, corpusCoded: DataFrame, tau: Double,
+                       idCol: String, vecCol: String, bands: Int): DataFrame = {
+    val nCandidates = probed.filter(col("maybe_sem")).count()
+    if (nCandidates == 0L) probed.drop("maybe_sem")
+    else {
+      val candidates = probed.filter(col("maybe_sem")).drop("maybe_sem")
+      val confirmedNew = candidates.join(
+        graft.ops.SemanticIncremental
+          .newDocsCoded(corpusCoded, candidates, tau, idCol, vecCol, bands)
+          .filter(col("is_new")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      probed.filter(!col("maybe_sem")).drop("maybe_sem").unionByName(confirmedNew)
     }
   }
 
@@ -850,7 +963,7 @@ object EventStreams {
   private def restampCarries(landingDir: String, preFp: String, postFp: String,
                              valid: Boolean): Boolean = {
     var dropped = false
-    Seq(carriedBlooms, carriedBuckets).foreach { map =>
+    Seq(carriedBlooms, carriedBuckets, carriedSemBuckets).foreach { map =>
       val cached = map.get(landingDir)
       if (cached != null) {
         if (valid && cached.landingFp == preFp)
@@ -1392,16 +1505,17 @@ object EventStreams {
     * failure would kill the first micro-batch instead of the start),
     * and must not collide with the dedup-bearing columns. */
   private def requirePartitionCols(docs: DataFrame, partitionCols: Seq[String],
-                                   textCol: String, idCol: String): Unit = {
+                                   dedupCols: Seq[String]): Unit = {
     val fields = docs.schema.fieldNames.toSet
     val missing = partitionCols.filterNot(fields.contains)
     require(missing.isEmpty,
       s"partition column(s) ${missing.mkString(", ")} not in the stream schema " +
       s"(${docs.schema.fieldNames.mkString(", ")})")
-    val clash = partitionCols.filter(c => c == textCol || c == idCol)
+    val clash = partitionCols.filter(dedupCols.contains)
     require(clash.isEmpty,
-      s"partition column(s) ${clash.mkString(", ")} collide with the text/id " +
-      "columns — a landing partitioned by its dedup key is never what you want")
+      s"partition column(s) ${clash.mkString(", ")} collide with the " +
+      "dedup-bearing columns — a landing partitioned by its dedup key is " +
+      "never what you want")
     // a `_`/`.`-prefixed column makes every `col=value` dir HIDDEN to
     // Spark's path filter: the landing would accept writes that no
     // read (reseed, stats, compaction) can see — silent dedup loss
@@ -1442,7 +1556,7 @@ object EventStreams {
                   partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
-    requirePartitionCols(docs, partitionCols, textCol, idCol)
+    requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
     ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }
@@ -1553,7 +1667,7 @@ object EventStreams {
                     partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
-    requirePartitionCols(docs, partitionCols, textCol, idCol)
+    requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
     ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }
@@ -1615,6 +1729,143 @@ object EventStreams {
       .start()
   }
 
+  /** Continuous corpus ingest with CROSS-BATCH SEMANTIC dedup — the
+    * streaming face of [[graft.ops.SemanticIncremental]] (q86), for
+    * EMBEDDED streams: a document is dropped when an already-accepted
+    * document shares a hyperplane band bucket AND reaches
+    * `cosine >= tau`; survivors land WITH their band codes
+    * (`sb0..sb{bands-1}`, one int per band) in the same atomic append,
+    * so the landed corpus is simultaneously corpus and dedup state and
+    * the crash-retry self-heal argument of [[ingestDedup]] applies
+    * unchanged. Unlike the MinHash stage, a collision alone never
+    * drops — every candidate is confirmed with the exact cosine, so
+    * bucket-bloom collisions and even a mis-sized `bits` can only cost
+    * recall or confirm traffic, never a wrong drop.
+    *
+    * Per-batch cost is the carried bucket-bloom two-phase confirm
+    * ([[semStage]]): steady-state clean batches never read the
+    * landing; candidate batches read the landed codes (one int per
+    * band per row) for the bucket join and landed VECTORS only for
+    * distinct candidate pairs. In-batch, [[graft.ops.SemanticIncremental.keepSemanticMins]]
+    * applies first (collision AND cosine, min id survives).
+    *
+    * `bits`/`bands` are fixed at the landing's first write (the landed
+    * codes embed them); a restart with a different `bands` is refused
+    * by schema, a different `bits` only degrades recall — re-land to
+    * change either. Size `bits` with
+    * [[graft.ops.Similarity.occupancyBits]] as the corpus grows. */
+  def ingestSemantic(docs: DataFrame, landingDir: String, checkpointDir: String,
+                     tau: Double = 0.9,
+                     vecCol: String = "embedding", idCol: String = "doc_id",
+                     bits: Int = 8, bands: Int = 2,
+                     appendFiles: Int = 4,
+                     partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    require(bands >= 1 && bands <= 16, s"bands must be in [1, 16], got $bands")
+    require(!tau.isNaN && tau >= -1.0 && tau <= 1.0,
+      s"tau must be a cosine in [-1, 1], got $tau")
+    val fields = docs.schema.fieldNames.toSet
+    require(fields.contains(vecCol) && fields.contains(idCol),
+      s"stream schema must contain '$vecCol' and '$idCol'; got " +
+      docs.schema.fieldNames.mkString(", "))
+    val sbClash = (0 until bands).map(t => s"sb$t").filter(fields.contains)
+    require(sbClash.isEmpty,
+      s"stream schema already carries code column(s) ${sbClash.mkString(", ")} — " +
+      "ingestSemantic computes and lands its own")
+    requirePartitionCols(docs, partitionCols, Seq(vecCol, idCol))
+    ingestSemanticImpl(docs, landingKey(docs.sparkSession, landingDir),
+      checkpointDir, tau, vecCol, idCol, bits, bands, appendFiles, partitionCols)
+  }
+
+  /** A landing read back by [[ingestSemantic]] must carry exactly this
+    * stream's band-code columns: fewer means it was landed by another
+    * ingest mode (or more bands than now configured would silently
+    * stop landing a code column the layout has), so both directions
+    * are refused loudly. `bits` has no schema footprint — see the
+    * entry's scaladoc for the recall-only drift contract. */
+  private def requireLandedSemCols(corpus: DataFrame, bands: Int,
+                                   landingDir: String): Unit = {
+    val have = corpus.schema.fieldNames.toSet
+    val missing = (0 until bands).map(t => s"sb$t").filterNot(have.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"landing '$landingDir' lacks code column(s) ${missing.mkString(", ")} — " +
+      s"not written by ingestSemantic with bands=$bands")
+    if (have.contains(s"sb$bands")) throw new IllegalStateException(
+      s"landing '$landingDir' carries code column sb$bands beyond bands=$bands — " +
+      "restarting with fewer bands than landed would strand a code column; " +
+      "use the landing's band count")
+  }
+
+  private def ingestSemanticImpl(docs: DataFrame, landingDir: String,
+                                 checkpointDir: String, tau: Double,
+                                 vecCol: String, idCol: String,
+                                 bits: Int, bands: Int, appendFiles: Int,
+                                 partitionCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+  startGuarded(docs.sparkSession, landingDir) {
+    import graft.ops.SemanticIncremental
+    val landed = landedCounts.computeIfAbsent(landingDir,
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val kept = SemanticIncremental.keepSemanticMins(
+          SemanticIncremental.withCodes(batch, vecCol, bits, bands),
+          tau, idCol, vecCol, bands)
+        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val firstBatch = !fs.exists(landingPath)
+        var persisted: List[DataFrame] = Nil
+        try {
+          val (fresh, preParts) =
+            if (firstBatch) {
+              landed.set(0L)
+              carriedBlooms.remove(landingDir)
+              carriedBuckets.remove(landingDir)
+              carriedSemBuckets.remove(landingDir)
+              // persisted: write + bucket-seed both consume it
+              val f = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= f
+              (f, Seq.empty[String])
+            } else {
+              val pre = landingParts(spark, landingDir)
+              val corpus = spark.read.parquet(landingDir)
+              requireLandedSemCols(corpus, bands, landingDir)
+              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              val carried = ensureCarriedSemBuckets(landingDir,
+                corpus.select((0 until bands).map(t => col(s"sb$t")): _*),
+                bands, landed.get(), fpOf(pre))
+              val probed = kept.withColumn("maybe_sem", semBucketProbe(carried.blob, bands))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= probed
+              val corpusCoded = corpus.select(
+                (col(idCol) +: col(vecCol) +:
+                  (0 until bands).map(t => col(s"sb$t"))): _*)
+              (semStage(probed, corpusCoded, tau, idCol, vecCol, bands), pre)
+            }
+          val semMetrics = semBucketMetricsFor(landingDir, bands)
+          val obs = new org.apache.spark.sql.Observation(s"ingest_sem_landed_$batchId")
+          val metrics = count(lit(1)).as("n") +: semMetrics
+          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
+          postAppendHook(landingDir, batchId)
+          val appended = obs.get("n").asInstanceOf[Long]
+          landed.addAndGet(appended)
+          if (firstBatch)
+            seedFromAppend(spark, landingDir, fresh, landed.get(),
+              textCol = None, buckets = false, semBands = Some(bands))
+          else
+            foldCarries(spark, landingDir, preParts, appended,
+              None, None, landed.get(),
+              semBloom = observedSemBucketBloom(landingDir, bands, obs))
+        } finally persisted.foreach(_.unpersist(false))
+        ()
+      }
+      .start()
+  }
+
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are
@@ -1643,7 +1894,7 @@ object EventStreams {
                      partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
-    requirePartitionCols(docs, partitionCols, textCol, idCol)
+    requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles, partitionCols)
   }

@@ -40,6 +40,34 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       .forall(spark.read.parquet(corpus).columns.contains))
   }
 
+  test("--mode semantic: embedding-cosine dedup across two --once runs") {
+    val arrivals = Files.createTempDirectory("graft-cli-sem-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-sem").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-sem-ckpt").toString
+    val vA = Seq.tabulate(32)(d => math.sin(d * 1.7 + 1))
+    val vB = Seq.tabulate(32)(d => math.cos(d * 2.3 + 5))
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--mode", "semantic", "--tau", "0.9")
+    // 2 is an exact vector copy of 1 — dropped in-batch
+    Seq((1L, vA), (2L, vA)).toDF("doc_id", "embedding")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    // 3 is a scaled copy of landed 1 (cosine 1) — dropped cross-run
+    Seq((3L, vA.map(_ * 2)), (4L, vB)).toDF("doc_id", "embedding")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    val landed = spark.read.parquet(corpus)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+             == Seq(1L, 4L))
+    // band-code columns landed with the rows (semantic dedup state)
+    assert(Seq("sb0", "sb1").forall(landed.columns.contains))
+    // flags the chosen mode would silently ignore are refused
+    assert(RunIngest.execute(spark, run ++ Array("--text-col", "text")) == 2)
+    assert(RunIngest.execute(spark, Array("--in", arrivals, "--corpus", corpus,
+      "--checkpoint", ckpt, "--once", "--tau", "0.9")) == 2)
+    assert(RunIngest.execute(spark, run.updated(run.length - 1, "nope")) == 2)
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString

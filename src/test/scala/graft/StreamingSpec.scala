@@ -974,4 +974,116 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(EventStreams.landedCounts.get(EventStreams.landingKey(spark, landing)).get() == 3L)
     } finally q.stop()
   }
+
+  // ---------- semantic ingest (embedding-space dedup) ----------
+
+  private val semVecA = Seq.tabulate(32)(d => math.sin(d * 1.7 + 1))
+  private val semVecB = Seq.tabulate(32)(d => math.cos(d * 2.3 + 5))
+  private val semVecC = Seq.tabulate(32)(d => math.sin(d * 0.9 + 11) - 0.3)
+
+  test("ingestSemantic: semantically-equivalent reposts never re-enter the corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-sem").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sem-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.ingestSemantic(
+      input.toDF().toDF("doc_id", "embedding"), landing, ckpt, tau = 0.9)
+    try {
+      // batch 1: 2 is an exact vector copy of 1 — the in-batch keeper
+      // drops it; 3 is a genuinely different direction
+      input.addData((1L, semVecA), (2L, semVecA), (3L, semVecB))
+      q.processAllAvailable()
+      // batch 2: 4 is a SCALED copy of vec 1 (cosine 1, same band
+      // codes) — dropped against the LANDED corpus; 5 is new
+      input.addData((4L, semVecA.map(_ * 2)), (5L, semVecC))
+      q.processAllAvailable()
+      // batch 3: re-sends of both landed directions — both drop
+      input.addData((6L, semVecB.map(_ * 0.5)), (7L, semVecC))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+               == Seq(1L, 3L, 5L))
+      // the landed corpus carries its band-code columns — the state
+      // that lets later batches find candidates from a one-int-per-
+      // band scan instead of recomputing hyperplane codes
+      assert(Seq("sb0", "sb1").forall(landed.columns.contains))
+    } finally q.stop()
+  }
+
+  test("carried sem buckets: clean ingestSemantic batches never touch the landing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-csb").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-csb-ckpt").toString
+    val counter = new LandingTouchCounter(landing)
+    spark.listenerManager.register(counter.listener)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.ingestSemantic(
+      input.toDF().toDF("doc_id", "embedding"), landing, ckpt, tau = 0.9)
+    try {
+      // batch 1 seeds the bucket carry from its own append
+      input.addData((1L, semVecA)); q.processAllAvailable()
+      counter.armed.set(true)
+      // batches 2-3: new directions — if every band bucket probes
+      // bloom-negative the landing must never be read (hyperplane
+      // codes CAN collide at 8 bits; a collision costs one legitimate
+      // confirm read, so only assert when the probe was clean)
+      input.addData((2L, semVecB)); q.processAllAvailable()
+      input.addData((3L, semVecC)); q.processAllAvailable()
+      Thread.sleep(1500) // quiesce the async listener bus
+      counter.armed.set(false)
+      assert(counter.touches.get() == 0,
+        s"clean semantic batches touched the landing ${counter.touches.get()} times")
+      assert(EventStreams.carriedSemBuckets.containsKey(
+        EventStreams.landingKey(spark, landing)), "sem bucket carry missing")
+      // and the carry still DEDUPS: a scaled repost is a candidate,
+      // cosine-confirmed against the landing (legitimate read, after
+      // disarm), and dropped
+      input.addData((4L, semVecA.map(_ * 3))); q.processAllAvailable()
+      val ids = spark.read.parquet(landing).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(counter.listener)
+    }
+  }
+
+  test("ingestSemantic: upfront refusals and the landed-bands contract") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-semg").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val docs = input.toDF().toDF("doc_id", "embedding")
+    // refusals at stream START, not in the first micro-batch
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestSemantic(docs, base + "/a", base + "/cka", tau = 1.5)
+    }.getMessage.contains("tau"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestSemantic(docs.withColumnRenamed("embedding", "vec"),
+        base + "/b", base + "/ckb")
+    }.getMessage.contains("embedding"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestSemantic(
+        docs.withColumn("sb0", org.apache.spark.sql.functions.lit(1)),
+        base + "/c", base + "/ckc")
+    }.getMessage.contains("sb0"))
+    // a landing written with bands=2 refuses a bands=1 restart (the
+    // landed sb1 column would be stranded) and vice versa is caught
+    // by the missing-column direction
+    val landing = base + "/corpus"
+    val q = EventStreams.ingestSemantic(docs, landing, base + "/ck1", bands = 2)
+    try { input.addData((1L, semVecA)); q.processAllAvailable() } finally q.stop()
+    val input2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = EventStreams.ingestSemantic(
+      input2.toDF().toDF("doc_id", "embedding"), landing, base + "/ck2", bands = 1)
+    try {
+      input2.addData((2L, semVecB))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("sb1"), s"wrong failure: ${err.getMessage}")
+    } finally q2.stop()
+  }
 }
