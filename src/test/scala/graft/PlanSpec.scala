@@ -363,6 +363,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(executed.contains("bounded_topk"), "per-probe top-k must be the bounded heap")
   }
 
+  test("q86: semantic candidates come from the bucket equi-join, vectors never band-shuffle") {
+    val p = plan("q86_semantic_incremental")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
+    // every exchange that moves banded bucket rows (hash OR broadcast
+    // — AQE broadcasts the small side at fixture scale) carries slim
+    // (id, band, bucket) columns only; an embedding column crossing
+    // one would ship vectors with every bucket row. FormattedMode
+    // details each Exchange as a block with an `Input [..]: [cols]`
+    // line.
+    val blocks = p.split("\n\n").filter { b =>
+      val head = b.linesIterator.next()
+      head.matches(raw"\(\d+\) (Broadcast)?Exchange.*") &&
+        b.linesIterator.exists(l => l.startsWith("Input") && l.contains("band#"))
+    }
+    assert(blocks.nonEmpty, s"no banding exchange found:\n$p")
+    blocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("embedding") && !input.contains("bv#") &&
+             !input.contains("cv#") && !input.contains("base_v"),
+        s"vectors ride the banding exchange:\n$b")
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // FormattedMode under AQE omits codegen spans; CodegenMode lists
     // the compiled subtrees explicitly.
