@@ -1753,7 +1753,13 @@ object EventStreams {
     * codes embed them); a restart with a different `bands` is refused
     * by schema, a different `bits` only degrades recall — re-land to
     * change either. Size `bits` with
-    * [[graft.ops.Similarity.occupancyBits]] as the corpus grows. */
+    * [[graft.ops.Similarity.occupancyBits]] as the corpus grows.
+    *
+    * NULL-vector rows have no semantic identity: they compute null
+    * codes, never collide, and are ALWAYS admitted — including on a
+    * crash retry (the text stages dedup such rows by text; a pipeline
+    * that must not re-land them runs [[ingestDedup]] upstream or
+    * filters them out). */
   def ingestSemantic(docs: DataFrame, landingDir: String, checkpointDir: String,
                      tau: Double = 0.9,
                      vecCol: String = "embedding", idCol: String = "doc_id",

@@ -1050,6 +1050,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ingestSemantic crash-retry self-heal: a leftover coded row absorbs its own retry") {
+    // Same contract as the text stages: a crashed attempt's committed
+    // task file carries the row WITH its sb* band codes (codes ride
+    // the same append), so the retry's fold-invalidated carry reseeds
+    // from the landing — leftover included — and the retried vector
+    // collides with its own landed copy at cosine 1 >= tau.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-crash-sem").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crash-sem-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.ingestSemantic(
+      input.toDF().toDF("doc_id", "embedding"), landing, ckpt, tau = 0.9)
+    try {
+      input.addData((1L, semVecA)); q.processAllAvailable()
+      // crashed attempt of batch 2 committed doc 3 with its codes
+      graft.ops.SemanticIncremental.withCodes(
+          Seq((3L, semVecB)).toDF("doc_id", "embedding"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      // retry: 3 again, a scaled copy of 3, and one genuinely new
+      input.addData((3L, semVecB), (4L, semVecB.map(_ * 2)), (5L, semVecC))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(landed == Seq(1L, 3L, 5L),
+        s"retry must absorb into exactly-once, got $landed")
+    } finally q.stop()
+  }
+
   test("ingestSemantic: upfront refusals and the landed-bands contract") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
