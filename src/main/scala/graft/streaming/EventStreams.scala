@@ -1872,6 +1872,47 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming maintenance of the persisted IVF-PQ index
+    * ([[graft.ops.IvfPqIndex]]): each micro-batch of arriving vectors
+    * is encoded with the STORED codebooks (from `trainingSource`, the
+    * incremental-indexing contract of `IvfPqIndex.land`'s
+    * `codebookSource`) and landed under `indexDir/batch=<batchId>` —
+    * hive-style, so `batch` joins `centroid` as a partition column and
+    * a probe's nprobe cluster restriction still prunes to the probed
+    * `centroid=` dirs inside every batch dir.
+    *
+    * Exactly-once WITHOUT dedup-on-read (the property `IvfPqIndex.land`
+    * documents plain append cannot give a retry): every batch writes
+    * its OWN dir in overwrite mode with the re-run-safe committer, so
+    * a crashed attempt's partial output is cleared wholesale by the
+    * retry of the same batchId, and a committed batch is never
+    * re-delivered (checkpointed offsets). The single-writer slot
+    * guards the index dir like any landing. */
+  def ingestIndex(docs: DataFrame, indexDir: String, checkpointDir: String,
+                  trainingSource: DataFrame, coarseK: Int, m: Int, ksub: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fields = docs.schema.fieldNames.toSet
+    require(fields.contains(vecCol) && fields.contains(idCol),
+      s"stream schema must contain '$vecCol' and '$idCol'; got " +
+      docs.schema.fieldNames.mkString(", "))
+    require(!fields.contains("batch") && !fields.contains("centroid"),
+      "stream schema must not carry 'batch'/'centroid' — both are the " +
+      "index's partition columns")
+    val indexKey = landingKey(docs.sparkSession, indexDir)
+    startGuarded(docs.sparkSession, indexKey) {
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.IvfPqIndex.land(batch, s"$indexKey/batch=$batchId",
+            coarseK, m, ksub, idCol, vecCol,
+            overwrite = true, codebookSource = Some(trainingSource))
+          ()
+        }
+        .start()
+    }
+  }
+
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are

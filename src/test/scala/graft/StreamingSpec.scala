@@ -1079,6 +1079,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("ingestIndex: streamed vector drops keep the persisted IVF-PQ index searchable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = all.selectExpr("vec_id", "CAST(embedding AS array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val (first, second) = rows.partition(_._1 < 300)
+    val dirS = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString + "/index"
+    val dirOne = java.nio.file.Files.createTempDirectory("graft-idx-one").toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ckpt").toString
+    // a crashed PREVIOUS attempt of batch 0 left partial output — the
+    // retry of the same batch id must overwrite it wholesale (the
+    // exactly-once property plain append cannot give)
+    Seq((999999L, 0, 0, 0, 0)).toDF("vec_id", "code_0", "code_1", "code_2", "code_3")
+      .write.parquet(dirS + "/batch=0/centroid=0")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.ingestIndex(input.toDF().toDF("vec_id", "embedding"),
+      dirS, ckpt, trainingSource = all, coarseK = 16, m = 4, ksub = 16)
+    try {
+      input.addData(first: _*); q.processAllAvailable()
+      input.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    // two batch partitions landed; the crashed attempt's row is gone
+    assert(new java.io.File(dirS, "batch=0").isDirectory)
+    assert(new java.io.File(dirS, "batch=1").isDirectory)
+    val ids = spark.read.parquet(dirS).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(999999L), "crashed attempt's partial output survived")
+    assert(ids == rows.map(_._1).toSet)
+    // search over the streamed layout ≡ search over a one-shot index
+    graft.ops.IvfPqIndex.land(all, dirOne, coarseK = 16, m = 4, ksub = 16)
+    def key(dir: String) = graft.ops.IvfPqIndex.search(spark, dir, all,
+        probeIds = Seq(123L, 401L), coarseK = 16, m = 4, ksub = 16,
+        nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(key(dirS) == key(dirOne) && key(dirS).nonEmpty)
+  }
+
   test("ingestSemantic: upfront refusals and the landed-bands contract") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
