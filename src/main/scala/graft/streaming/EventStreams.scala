@@ -1743,11 +1743,24 @@ object EventStreams {
     * recall or confirm traffic, never a wrong drop.
     *
     * Per-batch cost is the carried bucket-bloom two-phase confirm
-    * ([[semStage]]): steady-state clean batches never read the
-    * landing; candidate batches read the landed codes (one int per
-    * band per row) for the bucket join and landed VECTORS only for
-    * distinct candidate pairs. In-batch, [[graft.ops.SemanticIncremental.keepSemanticMins]]
+    * ([[semStage]]): probe-negative batches never read the landing;
+    * candidate batches read the landed codes (one int per band per
+    * row) for the bucket join and landed VECTORS only for candidate
+    * rows. In-batch, [[graft.ops.SemanticIncremental.keepSemanticMins]]
     * applies first (collision AND cosine, min id survives).
+    *
+    * Cost-model honesty: unlike the MinHash stages' buckets (minima
+    * pairs over a ~10^12 domain — unrelated texts essentially never
+    * collide, so clean batches stay probe-negative forever),
+    * hyperplane buckets are DENSE (2^bits per band). As the corpus
+    * fills the bucket space, probe-positive batches and their confirm
+    * joins become the steady state — the carry then amortizes the
+    * bloom build, and the confirm is the recurring cost: a
+    * column-pruned corpus scan with a small constant. Measured
+    * longitudinally (`IngestSoakProbe sem`, 32 × 500-vector batches,
+    * occupancy-sized bits): per-batch time stays FLAT (last/second
+    * quarter ratio 0.85) through 14k landed vectors with the confirm
+    * running every batch.
     *
     * `bits`/`bands` are fixed at the landing's first write (the landed
     * codes embed them); a restart with a different `bands` is refused

@@ -29,13 +29,23 @@ import graft.streaming.EventStreams
   *
   * Deterministic: seeded RNG, fixed word pool.
   *
-  * Run: `java … graft.tools.IngestSoakProbe [clean|dup] [nBatches] [docsPerBatch]`
+  * The `sem` mix soaks [[EventStreams.ingestSemantic]] instead: random
+  * unit-ish vectors (seeded), ~10% scaled reposts of accepted ones.
+  * Unlike the MinHash stages, hyperplane buckets are DENSE (2^bits per
+  * band), so as the corpus fills the bucket space, probe-positive
+  * batches — and their confirm joins over the landed codes + candidate
+  * vectors — become the steady state, not the exception. This arm
+  * measures that growth curve directly (bits sized by occupancyBits
+  * for the final corpus, the documented deployment rule).
+  *
+  * Run: `java … graft.tools.IngestSoakProbe [clean|dup|sem] [nBatches] [docsPerBatch]`
   * (defaults: clean 32 500). Prints per-batch seconds and a flatness
   * summary (median of the second quarter vs the last quarter). */
 object IngestSoakProbe {
   def main(args: Array[String]): Unit = {
     val mix = if (args.length > 0) args(0) else "clean"
-    require(mix == "clean" || mix == "dup", s"mix must be clean|dup, got '$mix'")
+    require(mix == "clean" || mix == "dup" || mix == "sem",
+      s"mix must be clean|dup|sem, got '$mix'")
     val nBatches = if (args.length > 1) args(1).toInt else 32
     val perBatch = if (args.length > 2) args(2).toInt else 500
     val spark = graft.core.GraftSession.build("graft-ingest-soak", "32")
@@ -55,9 +65,39 @@ object IngestSoakProbe {
     val sent = scala.collection.mutable.ArrayBuffer.empty[String]
     var nextId = 0L
 
+    val times = new Array[Double](nBatches)
+    if (mix == "sem") {
+      // occupancy-sized code width for the FINAL corpus (the
+      // deployment rule); ~10% of rows repost an accepted vector
+      // scaled (cosine 1 — a guaranteed semantic dup)
+      val dim = 32
+      val bits = graft.ops.Similarity.occupancyBits(nBatches.toLong * perBatch)
+      val sentVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      def freshVec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = EventStreams.ingestSemantic(input.toDF().toDF("doc_id", "embedding"),
+        landing, ckpt, tau = 0.95, bits = bits)
+      try {
+        for (b <- 0 until nBatches) {
+          val docs = (0 until perBatch).map { _ =>
+            nextId += 1
+            val vec =
+              if (rnd.nextInt(10) < 9 || sentVecs.isEmpty) {
+                val v = freshVec(); sentVecs += v; v
+              } else sentVecs(rnd.nextInt(sentVecs.length)).map(_ * 2)
+            (nextId, vec)
+          }
+          val t0 = System.nanoTime()
+          input.addData(docs: _*)
+          q.processAllAvailable()
+          times(b) = (System.nanoTime() - t0) / 1e9
+          println(f"[soak] $mix batch $b%3d  ${times(b)}%6.3f s  (landed≈${graft.streaming.EventStreams
+            .landedCounts.get(graft.streaming.EventStreams.landingKey(spark, landing)).get()}, bits=$bits)")
+        }
+      } finally q.stop()
+    } else {
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.ingestPipeline(input.toDF().toDF("doc_id", "text"), landing, ckpt)
-    val times = new Array[Double](nBatches)
     try {
       for (b <- 0 until nBatches) {
         val docs = (0 until perBatch).map { _ =>
@@ -77,6 +117,7 @@ object IngestSoakProbe {
           .landedCounts.get(graft.streaming.EventStreams.landingKey(spark, landing)).get()})")
       }
     } finally q.stop()
+    }
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val q2 = median(times.slice(nBatches / 4, nBatches / 2).toSeq)
