@@ -62,7 +62,10 @@ import graft.streaming.EventStreams
 object RunIngest {
   private val usage =
     """usage: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR
-      |  [--mode exact|near|both|semantic]  which dedup stages (default both)
+      |  [--mode exact|near|both|semantic|full]  which dedup stages (default
+      |                                both = exact+near; full = exact+near+
+      |                                semantic, stream must carry text AND
+      |                                embedding columns)
       |  [--once]                      drain everything present, then exit
       |  [--text-col NAME]             default text (text modes)
       |  [--id-col NAME]               default doc_id
@@ -280,7 +283,7 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both", "semantic").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic", "full").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
       return 2
     }
@@ -288,6 +291,7 @@ object RunIngest {
     // the same bug class as a co-passed stream flag on --compact
     val wrongModeFlags =
       if (mode == "semantic") Seq("text-col").filter(opts.contains)
+      else if (mode == "full") Nil
       else Seq("vec-col", "tau").filter(opts.contains)
     if (wrongModeFlags.nonEmpty) {
       System.err.println(
@@ -319,14 +323,22 @@ object RunIngest {
       // schema bootstrap: the file source needs a fixed schema, taken
       // from whatever is already in --in (the seed batch)
       val schema = spark.read.parquet(opts("in")).schema
-      val keyCol = if (mode == "semantic") vecCol else textCol
-      require(schema.fieldNames.contains(keyCol) && schema.fieldNames.contains(idCol),
-        s"input schema must contain '$keyCol' and '$idCol'; got ${schema.fieldNames.mkString(",")}")
+      val keyCols = mode match {
+        case "semantic" => Seq(vecCol, idCol)
+        case "full"     => Seq(textCol, vecCol, idCol)
+        case _          => Seq(textCol, idCol)
+      }
+      val absent = keyCols.filterNot(schema.fieldNames.contains)
+      require(absent.isEmpty,
+        s"input schema must contain ${keyCols.map("'" + _ + "'").mkString(", ")}; " +
+        s"got ${schema.fieldNames.mkString(",")}")
       val docs = spark.readStream.schema(schema).parquet(opts("in"))
       val q = mode match {
         case "exact" => EventStreams.ingestDedup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
         case "near"  => EventStreams.ingestNearDup(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
         case "semantic" => EventStreams.ingestSemantic(docs, opts("corpus"), opts("checkpoint"), tau, vecCol, idCol, partitionCols = partCols)
+        case "full" => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols,
+          semantic = Some(EventStreams.SemanticStage(tau = tau, vecCol = vecCol)))
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {

@@ -1726,6 +1726,61 @@ object SparkEntry {
       ops.SemanticIncremental.newDocs(corpus, batch, tau = 0.4,
           bits = AnnBits, bands = AnnBands)
         .orderBy("vec_id")
+    }),
+
+    // ---- full three-stage ingest: exact ∧ near ∧ semantic ----
+    // Batch twin of EventStreams.ingestPipeline(semantic = Some(..)):
+    // q83's constructed overlap extended with BOTH text and vector
+    // axes over documents ⋈ embeddings. %7==1 copies the base's text
+    // AND vector (exact catches it); %7==2 edits the text and
+    // perturbs the vector (near catches it); %7==3 is the PARAPHRASE
+    // case — the doc's own text (shares no shingles with anything
+    // landed) but the base's exact embedding: only the semantic
+    // stage drops it, which is the reason the third stage exists.
+    // A doc is new iff it survives all three confirms; the flags are
+    // independent of each other (each depends only on the doc and
+    // the landed corpus), so the AND equals the pipeline's
+    // sequential stages — the q83 argument with one more link.
+    "q87_full_ingest" -> ((s, dir) => {
+      val de = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"),
+                  col("embedding").cast("array<double>").as("vec")),
+          Seq("doc_id"))
+      val base = de.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("base_id"), col("text").as("base_text"),
+                col("vec").as("base_v"))
+      val corpus = de.filter(col("doc_id") % 20 === 0)
+      val batch = de.filter(col("doc_id") % 20 =!= 0)
+        .join(base, col("base_id") === col("doc_id") - (col("doc_id") % 20))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, col("base_text"))
+            .when(col("doc_id") % 7 === 2,
+              concat(col("base_text"), lit(" ingest edit marker")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 7 === 1, col("base_v"))
+            .when(col("doc_id") % 7 === 2,
+              transform(col("base_v"),
+                (x, i) => when(i === 0, x + lit(0.25)).otherwise(x)))
+            .when(col("doc_id") % 7 === 3, col("base_v"))
+            .otherwise(col("vec")).as("vec"))
+        .localCheckpoint() // many consumers below — q83/q86 discipline
+      val exactFlag = ops.IncrementalDedup.newDocs(
+          corpus.select("doc_id", "text"), batch.select("doc_id", "text"))
+        .select(col("doc_id"), col("is_new").as("exact_new"))
+      val nearFlag = ops.NearDupIncremental.newDocs(
+          ops.NearDupIncremental.withSigs(corpus.select("doc_id", "text")),
+          ops.NearDupIncremental.withSigs(batch.select("doc_id", "text")))
+        .select(col("doc_id"), col("is_new").as("near_new"))
+      val semFlag = ops.SemanticIncremental.newDocs(
+          corpus.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+          batch.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+          tau = 0.4, bits = AnnBits, bands = AnnBands)
+        .select(col("vec_id").as("doc_id"), col("is_new").as("sem_new"))
+      exactFlag.join(nearFlag, Seq("doc_id")).join(semFlag, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("exact_new") && col("near_new") && col("sem_new")).as("is_new"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3380,7 +3435,81 @@ object SparkEntry {
         |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4)
         |SELECT b.vec_id, (dup.vec_id IS NULL) AS is_new
         |FROM b LEFT JOIN dup ON dup.vec_id = b.vec_id
-        |ORDER BY b.vec_id""".stripMargin
+        |ORDER BY b.vec_id""".stripMargin,
+
+    // Three-stage composition: q83's exact NOT-IN + minhash-banding
+    // chain (constants in lockstep with the native minhash_sigs) and
+    // q86's hyperplane-code + cosine chain, over the SAME constructed
+    // batch carrying both axes (text edit + vector perturbation at
+    // %7==2, exact copies at %7==1, base vector under the doc's own
+    // text at %7==3 — the paraphrase only the semantic stage drops).
+    "q87_full_ingest" ->
+      s"""WITH de AS (
+        |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS vec
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |base AS (
+        |  SELECT doc_id AS base_id, text AS base_text, vec AS base_v
+        |  FROM de WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT de.doc_id,
+        |    CASE WHEN de.doc_id % 7 = 1 THEN o.base_text
+        |         WHEN de.doc_id % 7 = 2 THEN o.base_text || ' ingest edit marker'
+        |         ELSE de.text END AS text,
+        |    CASE WHEN de.doc_id % 7 = 1 THEN o.base_v
+        |         WHEN de.doc_id % 7 = 2 THEN list_transform(range(len(o.base_v)),
+        |           dd -> CASE WHEN dd = 0 THEN o.base_v[dd+1] + 0.25 ELSE o.base_v[dd+1] END)
+        |         WHEN de.doc_id % 7 = 3 THEN o.base_v
+        |         ELSE de.vec END AS v
+        |  FROM de JOIN base o ON o.base_id = de.doc_id - (de.doc_id % 20)
+        |  WHERE de.doc_id % 20 <> 0),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM de WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM b),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, length(text) - 7) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) % 1000003) AS hm
+        |  FROM all_docs),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(hm, x -> (x * 961748941 + 101) % 1000003)) AS mh1,
+        |    list_min(list_transform(hm, x -> (x * 982451653 + 202) % 1000003)) AS mh2,
+        |    list_min(list_transform(hm, x -> (x * 899809343 + 303) % 1000003)) AS mh3,
+        |    list_min(list_transform(hm, x -> (x * 472882027 + 404) % 1000003)) AS mh4
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM sigs
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS band, mh3 AS x, mh4 AS y FROM sigs),
+        |landed AS (
+        |  SELECT DISTINCT band, x, y FROM bands WHERE doc_id % 20 = 0),
+        |neardup AS (
+        |  SELECT DISTINCT bd.doc_id
+        |  FROM bands bd JOIN landed USING (band, x, y)
+        |  WHERE bd.doc_id % 20 <> 0),
+        |v AS (
+        |  SELECT doc_id AS vec_id, vec AS v FROM de WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS vec_id, v FROM b),
+        |bk AS (
+        |$sqlBandedBuckets),
+        |semcand AS (
+        |  SELECT DISTINCT l.vec_id AS batch_id, r.vec_id AS corpus_id
+        |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+        |  WHERE l.vec_id % 20 <> 0 AND r.vec_id % 20 = 0),
+        |semdup AS (
+        |  SELECT DISTINCT c.batch_id AS doc_id
+        |  FROM semcand c JOIN v x ON x.vec_id = c.batch_id
+        |                 JOIN v y ON y.vec_id = c.corpus_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4)
+        |SELECT b.doc_id,
+        |  (b.text NOT IN (SELECT text FROM de WHERE doc_id % 20 = 0)
+        |   AND neardup.doc_id IS NULL AND semdup.doc_id IS NULL) AS is_new
+        |FROM b LEFT JOIN neardup ON neardup.doc_id = b.doc_id
+        |       LEFT JOIN semdup ON semdup.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -1947,24 +1947,56 @@ object EventStreams {
     *
     * Read-failure discipline matches the parents: only a genuinely-
     * absent landing dir means "first batch"; any other failure fails
-    * the batch so the retry re-runs WITH dedup. */
+    * the batch so the retry re-runs WITH dedup.
+    *
+    * `semantic` adds [[ingestSemantic]]'s embedding stage as a THIRD
+    * link for streams that carry an embedding column: exact → near →
+    * semantic, cheapest first and each stage consuming only the
+    * previous stage's survivors. Survivors then land with text,
+    * `mh1..mh4` AND `sb*` codes — one landing is all three stages'
+    * state, and the distinguishing catch is a doc whose text shares
+    * no shingles with anything landed but whose embedding matches
+    * (paraphrase/re-render): only the semantic stage drops it. All
+    * three carries are active; the same AND-composition argument as
+    * the two-stage form applies (each stage's flag depends only on
+    * the doc and the landed corpus). */
+  final case class SemanticStage(tau: Double = 0.9, vecCol: String = "embedding",
+                                 bits: Int = 8, bands: Int = 2)
+
   def ingestPipeline(docs: DataFrame, landingDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
                      appendFiles: Int = 4,
-                     partitionCols: Seq[String] = Nil)
+                     partitionCols: Seq[String] = Nil,
+                     semantic: Option[SemanticStage] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
-    requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
+    semantic.foreach { sem =>
+      require(sem.bits >= 1 && sem.bits <= 30, s"bits must be in [1, 30], got ${sem.bits}")
+      require(sem.bands >= 1 && sem.bands <= 16, s"bands must be in [1, 16], got ${sem.bands}")
+      require(!sem.tau.isNaN && sem.tau >= -1.0 && sem.tau <= 1.0,
+        s"tau must be a cosine in [-1, 1], got ${sem.tau}")
+      val fields = docs.schema.fieldNames.toSet
+      require(fields.contains(sem.vecCol),
+        s"stream schema must contain '${sem.vecCol}'; got " +
+        docs.schema.fieldNames.mkString(", "))
+      val sbClash = (0 until sem.bands).map(t => s"sb$t").filter(fields.contains)
+      require(sbClash.isEmpty,
+        s"stream schema already carries code column(s) ${sbClash.mkString(", ")} — " +
+        "the semantic stage computes and lands its own")
+    }
+    requirePartitionCols(docs, partitionCols,
+      Seq(textCol, idCol) ++ semantic.map(_.vecCol))
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
-      checkpointDir, textCol, idCol, appendFiles, partitionCols)
+      checkpointDir, textCol, idCol, appendFiles, partitionCols, semantic)
   }
 
   private def ingestPipelineImpl(docs: DataFrame, landingDir: String, checkpointDir: String,
                                  textCol: String, idCol: String, appendFiles: Int,
-                                 partitionCols: Seq[String])
+                                 partitionCols: Seq[String],
+                                 semantic: Option[SemanticStage] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
   startGuarded(docs.sparkSession, landingDir) {
-    import graft.ops.NearDupIncremental
+    import graft.ops.{NearDupIncremental, SemanticIncremental}
     val landed = landedCounts.computeIfAbsent(landingDir,
       _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     docs.writeStream
@@ -1983,12 +2015,19 @@ object EventStreams {
               landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
               carriedBlooms.remove(landingDir)
               carriedBuckets.remove(landingDir)
-              // stage 2a only (nothing landed to probe): in-batch
-              // near-dup keeper over the exact-survivors. Persisted:
-              // the write and BOTH seeds' bloom builds consume it —
-              // one tokenize+sign pass, not three
-              val f = NearDupIncremental.keepBucketMins(
-                  NearDupIncremental.withSigs(firsts, textCol), idCol)
+              carriedSemBuckets.remove(landingDir)
+              // stages 2a/3a only (nothing landed to probe): in-batch
+              // near-dup keeper over the exact-survivors, then the
+              // in-batch semantic keeper when configured. Persisted:
+              // the write and EVERY seed's bloom build consume it —
+              // one tokenize+sign(+code) pass, not three
+              val nearKept = NearDupIncremental.keepBucketMins(
+                NearDupIncremental.withSigs(firsts, textCol), idCol)
+              val f = semantic.fold(nearKept) { sem =>
+                  SemanticIncremental.keepSemanticMins(
+                    SemanticIncremental.withCodes(nearKept, sem.vecCol, sem.bits, sem.bands),
+                    sem.tau, idCol, sem.vecCol, sem.bands)
+                }
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               persisted ::= f
               (f, Seq.empty[String])
@@ -2011,26 +2050,54 @@ object EventStreams {
               val probedN = kept.withColumn("maybe_nd", bucketProbe(nCarried.blob))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               persisted ::= probedN
-              (nearStage(probedN, corpus, idCol), pre)
+              val nearNew = nearStage(probedN, corpus, idCol)
+              semantic match {
+                case None => (nearNew, pre)
+                case Some(sem) =>
+                  // stage 3: code ONLY the near-survivors, in-batch
+                  // semantic keeper, then the carried sem-bucket
+                  // two-phase cosine confirm against the landed codes
+                  requireLandedSemCols(corpus, sem.bands, landingDir)
+                  val semKept = SemanticIncremental.keepSemanticMins(
+                    SemanticIncremental.withCodes(nearNew, sem.vecCol, sem.bits, sem.bands),
+                    sem.tau, idCol, sem.vecCol, sem.bands)
+                  val sCarried = ensureCarriedSemBuckets(landingDir,
+                    corpus.select((0 until sem.bands).map(t => col(s"sb$t")): _*),
+                    sem.bands, landed.get(), fpOf(pre))
+                  val probedS = semKept
+                    .withColumn("maybe_sem", semBucketProbe(sCarried.blob, sem.bands))
+                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  persisted ::= probedS
+                  val corpusCoded = corpus.select(
+                    (col(idCol) +: col(sem.vecCol) +:
+                      (0 until sem.bands).map(t => col(s"sb$t"))): _*)
+                  (semStage(probedS, corpusCoded, sem.tau, idCol, sem.vecCol, sem.bands), pre)
+              }
             }
           // the landing holds exactly the near-surviving texts, so the
           // carried EXACT bloom folds the final `fresh` (post-near),
           // observed during the write like both parents'
           val bloomMetric = bloomMetricFor(landingDir, textCol)
           val bucketMetrics = bucketMetricsFor(landingDir)
+          val semMetrics = semantic.toSeq.flatMap(sem =>
+            semBucketMetricsFor(landingDir, sem.bands))
           val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
-          val metrics = count(lit(1)).as("n") +: (bloomMetric.toSeq ++ bucketMetrics)
+          val metrics = count(lit(1)).as("n") +:
+            (bloomMetric.toSeq ++ bucketMetrics ++ semMetrics)
           appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
           postAppendHook(landingDir, batchId)
           val appended = obs.get("n").asInstanceOf[Long]
           landed.addAndGet(appended)
           if (firstBatch)
             seedFromAppend(spark, landingDir, fresh, landed.get(),
-              textCol = Some(textCol), buckets = true)
+              textCol = Some(textCol), buckets = true,
+              semBands = semantic.map(_.bands))
           else
             foldCarries(spark, landingDir, preParts, appended,
               bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
-              observedBucketBloom(landingDir, obs), landed.get())
+              observedBucketBloom(landingDir, obs), landed.get(),
+              semBloom = semantic.flatMap(sem =>
+                observedSemBucketBloom(landingDir, sem.bands, obs)))
         } finally persisted.foreach(_.unpersist(false))
         ()
       }

@@ -68,6 +68,31 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     assert(RunIngest.execute(spark, run.updated(run.length - 1, "nope")) == 2)
   }
 
+  test("--mode full: all three stages across --once runs; the paraphrase only semantic drops") {
+    val arrivals = Files.createTempDirectory("graft-cli-full-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-full").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-full-ckpt").toString
+    val vA = Seq.tabulate(32)(d => math.sin(d * 1.7 + 1))
+    val vB = Seq.tabulate(32)(d => math.cos(d * 2.3 + 5))
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--mode", "full", "--tau", "0.9")
+    Seq((1L, textA, vA)).toDF("doc_id", "text", "embedding")
+      .write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    // 2: exact text repost; 3: edited text; 4: NEW text but a scaled
+    // copy of the landed embedding — only the semantic stage drops
+    // it; 5: new on both axes
+    Seq((2L, textA, vB), (3L, "prefix tweak " + textA, vB),
+        (4L, textC, vA.map(_ * 2)), (5L, textB, vB))
+      .toDF("doc_id", "text", "embedding").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    val landed = spark.read.parquet(corpus)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+             == Seq(1L, 5L))
+    assert(Seq("mh1", "mh2", "mh3", "mh4", "sb0", "sb1")
+      .forall(landed.columns.contains), "all three stages' state columns land")
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString

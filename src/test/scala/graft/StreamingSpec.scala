@@ -1079,6 +1079,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("ingestPipeline full: exact, near, and semantic stages compose on one landing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val landing = java.nio.file.Files.createTempDirectory("graft-full").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-full-ckpt").toString
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+    val textC = ("glacier basalt fjord tundra lichen moraine permafrost drift " * 6).trim
+    val textD = ("ember copper sodium helium argon krypton xenon radon signal " * 6).trim
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val q = EventStreams.ingestPipeline(
+      input.toDF().toDF("doc_id", "text", "embedding"), landing, ckpt,
+      semantic = Some(EventStreams.SemanticStage(tau = 0.9)))
+    try {
+      // batch 1 (all in-batch keepers): 2 = exact text copy of 1;
+      // 3 = edited text of 1 (near); 4 = UNRELATED text but a scaled
+      // copy of 1's embedding — only the semantic keeper catches it;
+      // 5 is genuinely new on both axes
+      input.addData(
+        (1L, textA, semVecA),
+        (2L, textA, semVecC),
+        (3L, textA + " tiny tail edit", semVecC),
+        (4L, textD, semVecA.map(_ * 2)),
+        (5L, textB, semVecB))
+      q.processAllAvailable()
+      // batch 2 (all cross-batch confirms): 6 exact repost, 7 near
+      // repost, 8 = fresh text + scaled landed embedding (the
+      // paraphrase case — only the semantic confirm drops it),
+      // 9 genuinely new. 6/7 get their own distinct directions —
+      // sharing 9's vector would make 9 an in-batch keeper victim
+      // of a doc that itself dies in the exact confirm (the greedy
+      // trade the keeper documents)
+      val vE = Seq.tabulate(32)(d => math.sin(d * 2.9 + 3))
+      val vF = Seq.tabulate(32)(d => math.cos(d * 1.3 + 7))
+      input.addData(
+        (6L, textA, vE),
+        (7L, "prefix tweak " + textB, vF),
+        (8L, ("maple walnut cedar birch aspen willow poplar rowan alder " * 6).trim,
+          semVecB.map(_ * 0.5)),
+        (9L, textC, semVecC))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing)
+      assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+               == Seq(1L, 5L, 9L))
+      // one landing carries ALL THREE stages' state columns
+      assert(Seq("mh1", "mh2", "mh3", "mh4", "sb0", "sb1")
+        .forall(landed.columns.contains))
+    } finally q.stop()
+  }
+
   test("ingestIndex: streamed vector drops keep the persisted IVF-PQ index searchable") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
