@@ -149,20 +149,31 @@ object Bench {
     val held = dirsWithOpenFds(stale.map(_._1.getAbsolutePath).toSet)
     var swept = 0
     var bytes = 0L
+    var failed = 0
     stale.foreach { case (d, size) =>
       if (!held(d.getAbsolutePath)) {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-          f.delete(); ()
+        // count only what was actually removed: File.delete returns
+        // false on EACCES/EBUSY (e.g. another user's orphan), and a
+        // "freed" line covering bytes still on disk is exactly the
+        // false session-notes record this sweep exists to prevent
+        def del(f: java.io.File): Boolean = {
+          // map-then-forall, not forall(del): attempt EVERY child even
+          // after one fails, so a partial sweep still frees what it can
+          val kidsOk = Option(f.listFiles()).getOrElse(Array.empty)
+            .map(del).forall(identity)
+          kidsOk && f.delete()
         }
-        del(d)
-        swept += 1
-        bytes += size
+        if (del(d)) { swept += 1; bytes += size }
+        else failed += 1
       }
     }
     if (swept > 0)
       System.err.println(
         f"[bench] swept $swept stale spark-local dir(s), ${bytes / 1e9}%.1f GB freed")
+    if (failed > 0)
+      System.err.println(
+        s"[bench] WARNING: $failed stale spark-local dir(s) could NOT be removed " +
+        "(permissions?) — their dead blocks still compete with this run")
   }
 
   /** The subset of `dirs` under which some live process holds an open

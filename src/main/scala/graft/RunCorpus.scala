@@ -61,18 +61,46 @@ object RunCorpus {
     val inPath =
       if (new java.io.File(s"$in/documents.parquet").exists()) s"$in/documents.parquet"
       else in
-    val cfg = CorpusPipeline.Config(
+    // numeric flags: a typo'd value must produce the usage message and
+    // exit 2 (the RunIngest --target-files discipline), never a raw
+    // NumberFormatException stack; out-of-range values are refused
+    // rather than silently disabling a stage (--window-tokens -5 would
+    // otherwise skip chunking and exit 0 with un-chunked output)
+    def intOpt(name: String, default: Int, min: Int,
+               max: Int = Int.MaxValue): Either[String, Int] =
+      opts.get(name) match {
+        case None => Right(default)
+        case Some(v) =>
+          v.toIntOption match {
+            case Some(n) if n >= min && n <= max => Right(n)
+            case Some(n) => Left(s"--$name must be in [$min, " +
+              (if (max == Int.MaxValue) "..." else max.toString) + s"], got $n")
+            case None => Left(s"--$name must be an integer, got '$v'")
+          }
+      }
+    val parsedCfg = for {
+      chunkW <- intOpt("chunk-w", 8, 1)
+      minTokens <- intOpt("min-tokens", 5, 0)
+      trainPct <- intOpt("train-pct", 80, 0, 100)
+      windowTokens <- intOpt("window-tokens", 0, 0)
+    } yield CorpusPipeline.Config(
       cleanup = !opts.contains("no-cleanup"),
       pii = !opts.contains("no-pii"),
       exactDedup = !opts.contains("no-exact-dedup"),
       chunkDedup = !opts.contains("no-chunk-dedup"),
-      chunkW = opts.getOrElse("chunk-w", "8").toInt,
+      chunkW = chunkW,
       quality = !opts.contains("no-quality"),
-      minTokens = opts.getOrElse("min-tokens", "5").toInt,
+      minTokens = minTokens,
       nearDup = opts.contains("near-dup"),
       split = !opts.contains("no-split"),
-      trainPct = opts.getOrElse("train-pct", "80").toInt,
-      windowTokens = opts.getOrElse("window-tokens", "0").toInt)
+      trainPct = trainPct,
+      windowTokens = windowTokens)
+    val cfg = parsedCfg match {
+      case Left(msg) =>
+        System.err.println(s"[corpus] $msg\n$usage")
+        return 2
+      case Right(c) => c
+    }
 
     try {
       val docs = spark.read.parquet(inPath)

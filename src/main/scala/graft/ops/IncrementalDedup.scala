@@ -53,6 +53,19 @@ object IncrementalDedup {
       textCol, idCol)
   }
 
+  /** xxhash64 of a text value, NULL-GATED. Spark's `xxhash64` SKIPS
+    * null arguments (yielding the bare seed hash, a fixed non-null
+    * value) rather than propagating null — ungated, every null text
+    * would share ONE hash key, so a single landed null-text row would
+    * make every later null-text row probe bloom-positive forever,
+    * forcing the confirm join on batches that should be clean. Null
+    * text has no exact identity (SQL equality never confirms it), so
+    * its hash is null: `bloom_agg` skips it on the build side and a
+    * probe on it is definitively negative (gate the probe with
+    * `coalesce(..., false)`). */
+  private[graft] def textHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNotNull, xxhash64(c))
+
   /** Aggregate the corpus texts into a bloom blob — ONE corpus scan.
     * Exposed so a streaming caller can build it once and CARRY it
     * across micro-batches ([[graft.streaming.EventStreams]]) instead
@@ -60,7 +73,7 @@ object IncrementalDedup {
   def buildBloom(corpus: DataFrame, textCol: String, bits: Int, hashes: Int): Array[Byte] =
     corpus
       .agg(call_function("bloom_agg",
-        xxhash64(col(textCol)), lit(bits), lit(hashes)).as("bf"))
+        textHash(col(textCol)), lit(bits), lit(hashes)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
 
   /** Bitwise union of two same-shape blooms: the union of the sets
@@ -96,7 +109,8 @@ object IncrementalDedup {
   def newDocsWithBloom(corpus: DataFrame, batch: DataFrame, blob: Array[Byte],
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val probed = batch.withColumn("maybe_dup",
-      call_function("bloom_might_contain", lit(blob), xxhash64(col(textCol))))
+      coalesce(call_function("bloom_might_contain", lit(blob),
+        textHash(col(textCol))), lit(false)))
     // exact confirmation for the bloom-positive minority only. The
     // dup side is consumed ONCE and stays fully lazy: nothing is
     // persisted (`ingestDedup` calls this every micro-batch — a

@@ -446,7 +446,8 @@ object EventStreams {
     * carry exists (first batch seeds via [[seedCarryFromAppend]]). */
   private def bloomMetricFor(landingDir: String, textCol: String): Option[Column] =
     Option(carriedBlooms.get(landingDir)).map(c =>
-      call_function("bloom_agg", xxhash64(col(textCol)), lit(c.bits), lit(c.hashes)).as("bf"))
+      call_function("bloom_agg", graft.ops.IncrementalDedup.textHash(col(textCol)),
+        lit(c.bits), lit(c.hashes)).as("bf"))
 
   /** First batch only (no carry yet): seed the requested carries from
     * the append itself — no corpus existed before it, so the append
@@ -527,15 +528,24 @@ object EventStreams {
     * (band, x, y) triples [[graft.ops.NearDupIncremental.bucketsFromSigs]]
     * joins on. */
   private def bucketHash(band: Int, x: Column, y: Column): Column =
-    xxhash64(lit(band), x, y)
+    // NULL-GATED like IncrementalDedup.textHash: xxhash64 SKIPS null
+    // args, so ungated, every null-sig row (null text has null
+    // mh1..mh4) would share the fixed hash of `band` alone — one
+    // landed null-text row would make every later null-text row probe
+    // positive forever. Null sigs have no bucket identity (the bucket
+    // equi-join never matches them), so their hash is null: bloom_agg
+    // skips it, and the probe treats null as definitively negative.
+    when(x.isNotNull && y.isNotNull, xxhash64(lit(band), x, y))
 
   /** `maybe_nd`: any of the row's two band buckets possibly present in
     * the carried bucket bloom. Both-negative is DEFINITIVE absence —
     * no landed doc shares a bucket, so the row cannot be an LSH
-    * candidate against the corpus. */
+    * candidate against the corpus. Null sigs probe null → false. */
   private def bucketProbe(blob: Array[Byte]): Column =
-    call_function("bloom_might_contain", lit(blob), bucketHash(1, col("mh1"), col("mh2"))) ||
-    call_function("bloom_might_contain", lit(blob), bucketHash(2, col("mh3"), col("mh4")))
+    coalesce(call_function("bloom_might_contain", lit(blob),
+      bucketHash(1, col("mh1"), col("mh2"))), lit(false)) ||
+    coalesce(call_function("bloom_might_contain", lit(blob),
+      bucketHash(2, col("mh3"), col("mh4"))), lit(false))
 
   /** The two per-band bucket-bloom aggregates (one scan, union the
     * blobs driver-side — no explode in the write path). */
@@ -610,10 +620,12 @@ object EventStreams {
 
   /** 64-bit key of a hyperplane band bucket: the `sb<band>` code
     * columns [[graft.ops.SemanticIncremental.withCodes]] lands. Null
-    * code (null vector) → null hash, which [[semBucketProbe]] treats
-    * as not-a-candidate and `bloom_agg` skips. */
+    * code (null vector) → null hash (GATED — Spark's xxhash64 would
+    * otherwise skip the null and hash `band` alone, one fixed value
+    * shared by every null-vector row), which [[semBucketProbe]]
+    * treats as not-a-candidate and `bloom_agg` skips. */
   private def semBucketHash(band: Int, code: Column): Column =
-    xxhash64(lit(band), code)
+    when(code.isNotNull, xxhash64(lit(band), code))
 
   /** `maybe_sem`: any of the row's band buckets possibly present in
     * the carried bucket bloom. All-negative is DEFINITIVE absence of
@@ -1528,6 +1540,48 @@ object EventStreams {
       s"duplicate partition column(s): ${partitionCols.mkString(", ")}")
   }
 
+  /** Column names the ingest family owns: the landed dedup-state
+    * columns (`mh1..mh4` signatures, `sb<N>` band codes) and the
+    * internal working columns every stage adds-then-drops. A stream
+    * column with one of these names would be silently OVERWRITTEN by
+    * the stage that computes it (destroying the user's data in the
+    * landing) — or, for a state column a narrower mode lands
+    * untouched, would ALIAS a sibling mode's state on a later restart
+    * (user values read back as signatures/codes). Every ingest entry
+    * refuses them up front; `ingestSemantic` additionally refuses
+    * only its configured `sb*` range with a mode-specific message —
+    * this is the family-wide backstop. */
+  private def requireNoReservedCols(docs: DataFrame, entry: String): Unit = {
+    val Reserved = raw"mh[1-4]|sb\d+|sig|sem_codes|maybe_dup|maybe_nd|maybe_sem".r
+    val clash = docs.schema.fieldNames.filter(f => Reserved.matches(f))
+    require(clash.isEmpty,
+      s"stream schema carries reserved ingest column(s) ${clash.mkString(", ")} — " +
+      s"$entry computes and lands its own dedup-state/working columns under these " +
+      "names, so a same-named stream column would be silently overwritten (or read " +
+      "back as a sibling mode's dedup state on a later restart); rename it")
+  }
+
+  /** A landing that carries dedup-state columns (`mh*`/`sb*`) this
+    * ingest mode does not itself compute was landed by a RICHER mode:
+    * appending to it would land rows with NULL state that the richer
+    * mode, on a later restart, silently exempts from dedup forever
+    * (null signatures/codes never match a bucket join). Refused
+    * loudly — the missing-column direction is guarded separately
+    * ([[requireLandedSemCols]] and the bucket reads themselves). */
+  private val NearStateCols = Set("mh1", "mh2", "mh3", "mh4")
+
+  private def requireNoForeignState(corpus: DataFrame, landingDir: String,
+                                    lands: Set[String]): Unit = {
+    val StateCol = raw"mh[1-4]|sb\d+".r
+    val foreign = corpus.schema.fieldNames
+      .filter(f => StateCol.matches(f) && !lands.contains(f)).sorted
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"landing '$landingDir' carries dedup-state column(s) ${foreign.mkString(", ")} " +
+      "this ingest mode does not compute — appending would land rows with NULL " +
+      "state that a later restart in the richer mode would silently exempt from " +
+      "dedup; restart with the mode that landed them")
+  }
+
   /** Continuous corpus ingest with CROSS-BATCH exact dedup — the
     * streaming face of [[graft.ops.IncrementalDedup]] (q74) and the
     * contract a training-data pipeline actually needs: a document is
@@ -1556,6 +1610,7 @@ object EventStreams {
                   partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    requireNoReservedCols(docs, "ingestDedup")
     requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
     ingestDedupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles, partitionCols)
@@ -1609,10 +1664,12 @@ object EventStreams {
               // brackets everything the batch's plans could have seen
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
+              requireNoForeignState(corpus, landingDir, Set.empty)
               if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
               val carried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
               val probed = firsts.withColumn("maybe_dup",
-                call_function("bloom_might_contain", lit(carried.blob), xxhash64(col(textCol))))
+                coalesce(call_function("bloom_might_contain", lit(carried.blob),
+                  graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               persisted ::= probed
               (exactStage(probed, corpus, textCol, idCol), pre)
@@ -1667,6 +1724,7 @@ object EventStreams {
                     partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(appendFiles > 0, s"appendFiles must be positive, got $appendFiles")
+    requireNoReservedCols(docs, "ingestNearDup")
     requirePartitionCols(docs, partitionCols, Seq(textCol, idCol))
     ingestNearDupImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, textCol, idCol, appendFiles, partitionCols)
@@ -1703,6 +1761,7 @@ object EventStreams {
             } else {
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
+              requireNoForeignState(corpus, landingDir, NearStateCols)
               if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
               val carried = ensureCarriedBuckets(landingDir, corpus, landed.get(), fpOf(pre))
               val probed = kept.withColumn("maybe_nd", bucketProbe(carried.blob))
@@ -1789,10 +1848,7 @@ object EventStreams {
     require(fields.contains(vecCol) && fields.contains(idCol),
       s"stream schema must contain '$vecCol' and '$idCol'; got " +
       docs.schema.fieldNames.mkString(", "))
-    val sbClash = (0 until bands).map(t => s"sb$t").filter(fields.contains)
-    require(sbClash.isEmpty,
-      s"stream schema already carries code column(s) ${sbClash.mkString(", ")} — " +
-      "ingestSemantic computes and lands its own")
+    requireNoReservedCols(docs, "ingestSemantic")
     requirePartitionCols(docs, partitionCols, Seq(vecCol, idCol))
     ingestSemanticImpl(docs, landingKey(docs.sparkSession, landingDir),
       checkpointDir, tau, vecCol, idCol, bits, bands, appendFiles, partitionCols)
@@ -1853,6 +1909,8 @@ object EventStreams {
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
               requireLandedSemCols(corpus, bands, landingDir)
+              requireNoForeignState(corpus, landingDir,
+                (0 until bands).map(t => s"sb$t").toSet)
               if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
               val carried = ensureCarriedSemBuckets(landingDir,
                 corpus.select((0 until bands).map(t => col(s"sb$t")): _*),
@@ -1979,11 +2037,8 @@ object EventStreams {
       require(fields.contains(sem.vecCol),
         s"stream schema must contain '${sem.vecCol}'; got " +
         docs.schema.fieldNames.mkString(", "))
-      val sbClash = (0 until sem.bands).map(t => s"sb$t").filter(fields.contains)
-      require(sbClash.isEmpty,
-        s"stream schema already carries code column(s) ${sbClash.mkString(", ")} — " +
-        "the semantic stage computes and lands its own")
     }
+    requireNoReservedCols(docs, "ingestPipeline")
     requirePartitionCols(docs, partitionCols,
       Seq(textCol, idCol) ++ semantic.map(_.vecCol))
     ingestPipelineImpl(docs, landingKey(docs.sparkSession, landingDir),
@@ -2034,11 +2089,14 @@ object EventStreams {
             } else {
               val pre = landingParts(spark, landingDir)
               val corpus = spark.read.parquet(landingDir)
+              requireNoForeignState(corpus, landingDir, NearStateCols ++
+                semantic.toSeq.flatMap(sem => (0 until sem.bands).map(t => s"sb$t")))
               if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
               // stage 1b: carried-bloom two-phase exact confirm
               val xCarried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
               val probedX = firsts.withColumn("maybe_dup",
-                call_function("bloom_might_contain", lit(xCarried.blob), xxhash64(col(textCol))))
+                coalesce(call_function("bloom_might_contain", lit(xCarried.blob),
+                  graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               persisted ::= probedX
               val exactNew = exactStage(probedX, corpus, textCol, idCol)

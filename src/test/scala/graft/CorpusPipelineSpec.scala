@@ -163,6 +163,18 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     // misuse: unknown flag and missing required args both exit 2
     assert(RunCorpus.execute(spark, Array("--bogus")) == 2)
     assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs")) == 2)
+    // numeric flags: non-integer and out-of-range values are usage
+    // errors (exit 2, nothing written) — never a raw
+    // NumberFormatException, never a silently-disabled stage
+    assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs", "--out", outDir,
+      "--window-tokens", "64k")) == 2)
+    assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs", "--out", outDir,
+      "--window-tokens", "-5")) == 2)
+    assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs", "--out", outDir,
+      "--train-pct", "101")) == 2)
+    assert(RunCorpus.execute(spark, Array("--in", s"$tmp/docs", "--out", outDir,
+      "--chunk-w", "0")) == 2)
+    assert(!new java.io.File(outDir).exists(), "usage error must not write output")
     // and the happy path still lands parquet with exit 0
     assert(RunCorpus.execute(spark,
       Array("--in", s"$tmp/docs", "--out", outDir)) == 0)

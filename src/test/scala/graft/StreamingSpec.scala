@@ -1204,4 +1204,143 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(err.getMessage.contains("sb1"), s"wrong failure: ${err.getMessage}")
     } finally q2.stop()
   }
+
+  test("ingest entries refuse reserved dedup-state column names in the stream schema") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-resv").toString
+    val input = MemoryStream[(Long, String, Long)]
+    // mh1 in the stream would be OVERWRITTEN by withSigs (near modes)
+    // or land as user data that a near-mode restart would read back as
+    // a signature (exact mode) — every entry refuses it up front
+    val withMh = input.toDF().toDF("doc_id", "text", "mh1")
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestNearDup(withMh, base + "/a", base + "/cka")
+    }.getMessage.contains("mh1"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(withMh, base + "/b", base + "/ckb")
+    }.getMessage.contains("mh1"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestPipeline(withMh, base + "/c", base + "/ckc")
+    }.getMessage.contains("mh1"))
+    // internal working columns are reserved too (added-then-dropped by
+    // the stages — a same-named stream column would vanish)
+    val withSig = input.toDF().toDF("doc_id", "text", "sig")
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestNearDup(withSig, base + "/d", base + "/ckd")
+    }.getMessage.contains("sig"))
+    val withProbe = input.toDF().toDF("doc_id", "text", "maybe_dup")
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.ingestDedup(withProbe, base + "/e", base + "/cke")
+    }.getMessage.contains("maybe_dup"))
+  }
+
+  test("a narrower ingest mode refuses a landing carrying a richer mode's state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-modes").toString
+    val textA = ("the quick brown fox jumps over the lazy dog again and " * 6).trim
+
+    // near landing (mh1..mh4 landed) → ingestDedup restart must refuse:
+    // its appends would land NULL signatures that a later near-mode
+    // restart silently exempts from near-dup forever
+    val landing = base + "/near"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestNearDup(
+      in1.toDF().toDF("doc_id", "text"), landing, base + "/ck1")
+    try { in1.addData((1L, textA)); q1.processAllAvailable() } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.ingestDedup(
+      in2.toDF().toDF("doc_id", "text"), landing, base + "/ck2")
+    try {
+      in2.addData((2L, "something new"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("dedup-state column"),
+        s"wrong failure: ${err.getMessage}")
+      // nothing appended — the landing still holds exactly batch 1
+      assert(spark.read.parquet(landing).count() == 1L)
+    } finally q2.stop()
+
+    // semantic landing (sb* landed) → ingestNearDup restart refused too
+    val semLanding = base + "/sem"
+    val in3 = MemoryStream[(Long, String, Seq[Double])]
+    val q3 = EventStreams.ingestSemantic(
+      in3.toDF().toDF("doc_id", "text", "embedding"), semLanding, base + "/ck3")
+    try { in3.addData((1L, textA, semVecA)); q3.processAllAvailable() } finally q3.stop()
+    val in4 = MemoryStream[(Long, String)]
+    val q4 = EventStreams.ingestNearDup(
+      in4.toDF().toDF("doc_id", "text"), semLanding, base + "/ck4")
+    try {
+      in4.addData((2L, "another text"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q4.processAllAvailable()
+      }
+      assert(err.getMessage.contains("sb0"), s"wrong failure: ${err.getMessage}")
+    } finally q4.stop()
+  }
+
+  test("null texts and null vectors have no bloom identity: clean null-bearing batches stay landing-free") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-nullid").toString
+    val textB = ("zebra quartz violin xylophone kumquat jackal wombat nectar " * 6).trim
+
+    // exact mode: a landed null-text row must NOT poison the carried
+    // bloom (xxhash64 skips null args, so ungated hashing would give
+    // every null text ONE fixed key → every later null-bearing batch
+    // probes positive and pays a landing read)
+    val landing = base + "/corpus"
+    val counter = new LandingTouchCounter(landing)
+    spark.listenerManager.register(counter.listener)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, base + "/ck")
+    try {
+      // batch 1 lands a null text (admitted: null has no exact
+      // identity) and a real one; seeds the carry
+      input.addData((1L, null.asInstanceOf[String]), (2L, "alpha"))
+      q.processAllAvailable()
+      counter.armed.set(true)
+      // batch 2 carries another null text + a genuinely-new text —
+      // must probe bloom-negative throughout and never read the landing
+      input.addData((3L, null.asInstanceOf[String]), (4L, textB))
+      q.processAllAvailable()
+      Thread.sleep(1500) // quiesce the async listener bus
+      counter.armed.set(false)
+      assert(counter.touches.get() == 0,
+        s"null-bearing clean batch touched the landing ${counter.touches.get()} times")
+      // null texts are admitted every batch (never confirmable equal)
+      assert(spark.read.parquet(landing).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(counter.listener)
+    }
+
+    // semantic mode: same property for null vectors (null codes)
+    val semLanding = base + "/sem"
+    val semCounter = new LandingTouchCounter(semLanding)
+    spark.listenerManager.register(semCounter.listener)
+    val in2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = EventStreams.ingestSemantic(
+      in2.toDF().toDF("doc_id", "embedding"), semLanding, base + "/ck2")
+    try {
+      in2.addData((1L, null.asInstanceOf[Seq[Double]]), (2L, semVecA))
+      q2.processAllAvailable()
+      semCounter.armed.set(true)
+      in2.addData((3L, null.asInstanceOf[Seq[Double]]), (4L, semVecB))
+      q2.processAllAvailable()
+      Thread.sleep(1500)
+      semCounter.armed.set(false)
+      assert(semCounter.touches.get() == 0,
+        s"null-vector clean batch touched the landing ${semCounter.touches.get()} times")
+      assert(spark.read.parquet(semLanding).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally {
+      q2.stop()
+      spark.listenerManager.unregister(semCounter.listener)
+    }
+  }
 }
