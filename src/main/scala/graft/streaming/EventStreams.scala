@@ -391,32 +391,30 @@ object EventStreams {
     * capacity the landed count outgrew (next batch reseeds larger). */
   private def foldCarries(spark: SparkSession, landingDir: String,
                           preParts: Seq[String], appendedRows: Long,
-                          textBloom: Option[Array[Byte]],
-                          bucketBloom: Option[Array[Byte]],
                           landedCount: Long,
-                          semBloom: Option[Array[Byte]] = None): Unit = {
+                          folds: Seq[(java.util.concurrent.ConcurrentHashMap[String, CarriedBloom],
+                                      Option[Array[Byte]])]): Unit = {
     val postParts = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(preParts, postParts, appendedRows) &&
       (appendedRows > 0L || deltaRowless(spark, deltaPaths(preParts, postParts)))
     if (!clean) {
+      // an unexplained delta poisons EVERY carry on this landing, not
+      // just the folding mode's — drop all three maps' entries
       carriedBlooms.remove(landingDir)
       carriedBuckets.remove(landingDir)
       carriedSemBuckets.remove(landingDir)
       return
     }
     val fp = fpOf(postParts)
-    def foldOne(map: java.util.concurrent.ConcurrentHashMap[String, CarriedBloom],
-                observed: Option[Array[Byte]]): Unit = {
+    folds.foreach { case (map, observed) =>
       val cached = map.get(landingDir)
-      if (cached == null || observed.isEmpty) return
-      if (landedCount > cached.capacity) { map.remove(landingDir); return }
-      map.put(landingDir, cached.copy(
-        blob = graft.ops.IncrementalDedup.unionBloom(cached.blob, observed.get),
-        landingFp = fp))
+      if (cached != null && observed.nonEmpty) {
+        if (landedCount > cached.capacity) { map.remove(landingDir); () }
+        else map.put(landingDir, cached.copy(
+          blob = graft.ops.IncrementalDedup.unionBloom(cached.blob, observed.get),
+          landingFp = fp))
+      }
     }
-    foldOne(carriedBlooms, textBloom)
-    foldOne(carriedBuckets, bucketBloom)
-    foldOne(carriedSemBuckets, semBloom)
   }
 
   // ---------- exact-stage carry ----------
@@ -465,31 +463,14 @@ object EventStreams {
     * includes them). */
   private def seedFromAppend(spark: SparkSession, landingDir: String,
                              fresh: DataFrame, landedCount: Long,
-                             textCol: Option[String], buckets: Boolean,
-                             semBands: Option[Int] = None): Unit = {
+                             stages: Seq[IngestStage]): Unit = {
     val post = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(Seq.empty, post, landedCount) &&
       (landedCount > 0L || deltaRowless(spark, deltaPaths(Seq.empty, post)))
     if (!clean) return
     val fp = fpOf(post)
     val cap = math.max(landedCount, 1L) * 4
-    textCol.foreach { tc =>
-      val bits = graft.ops.IncrementalDedup.sizedBits(cap)
-      carriedBlooms.put(landingDir, CarriedBloom(
-        graft.ops.IncrementalDedup.buildBloom(fresh, tc, bits, 3),
-        bits, 3, cap, fp))
-    }
-    if (buckets) {
-      val bits = bucketBits(cap)
-      carriedBuckets.put(landingDir, CarriedBloom(
-        buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
-        bits, 3, cap, fp))
-    }
-    semBands.foreach { bands =>
-      val bits = semBucketBits(cap, bands)
-      carriedSemBuckets.put(landingDir, CarriedBloom(
-        buildSemBucketBloom(fresh, bands, bits, 3), bits, 3, cap, fp))
-    }
+    stages.foreach(_.seed(landingDir, fresh, cap, fp))
   }
 
   /** Two-phase cross-batch exact confirm over in-batch keepers
@@ -711,6 +692,211 @@ object EventStreams {
         Seq(idCol), "left_semi")
       probed.filter(!col("maybe_sem")).drop("maybe_sem").unionByName(confirmedNew)
     }
+  }
+
+  // ---------- the shared ingest batch loop ----------
+
+  /** One two-phase dedup stage of an ingest mode. The four public
+    * ingest entries (exact / near / semantic / composed pipeline) are
+    * all the SAME carry state machine — in-batch keepers, carried-
+    * bloom probe, confirm-join for positives, observed fold after the
+    * append — differing only in what each stage computes and which
+    * carry map it owns. One descriptor per stage, one generic loop
+    * ([[runIngestStream]]): a future change to the fold/seed/
+    * validation protocol lands in exactly one place instead of four
+    * hand-kept copies (this round's history shows why: the zero-row
+    * fold rule, the single-listing seed, and the landingKey
+    * canonicalization each had to be replicated four ways). */
+  private final case class IngestStage(
+    /** In-batch keeper + state-column computation (runs on the
+      * previous stage's survivors; on the first batch the preps
+      * compose with no cross-batch confirms between them). */
+    prep: DataFrame => DataFrame,
+    /** Landed state columns this stage owns (mh* / sb*) — the mode's
+      * union feeds [[requireNoForeignState]]. */
+    stateCols: Set[String],
+    /** Extra landed-schema contract, e.g. [[requireLandedSemCols]]. */
+    landingCheck: (DataFrame, String) => Unit,
+    /** The carry map this stage's bloom lives in. */
+    carryMap: java.util.concurrent.ConcurrentHashMap[String, CarriedBloom],
+    /** (landingDir, corpus, landedCount, fp) → valid carry (seeding
+      * from the landing if absent/stale/outgrown). */
+    ensureCarry: (String, DataFrame, Long, String) => CarriedBloom,
+    probeCol: String,
+    probe: CarriedBloom => Column,
+    /** (persisted probed frame, corpus) → surviving rows. */
+    confirm: (DataFrame, DataFrame) => DataFrame,
+    /** Observation metrics that compute the appended rows' bloom
+      * during the write (empty when no carry exists yet). */
+    metricsFor: String => Seq[Column],
+    /** Extract this stage's observed append bloom after the write. */
+    observed: (String, org.apache.spark.sql.Observation) => Option[Array[Byte]],
+    /** First-batch seed: (landingDir, fresh, cap, fp) → put carry. */
+    seed: (String, DataFrame, Long, String) => Unit)
+
+  private def exactIngestStage(textCol: String, idCol: String): IngestStage =
+    IngestStage(
+      prep = b => exactFirsts(b, textCol, idCol),
+      stateCols = Set.empty,
+      landingCheck = (_, _) => (),
+      carryMap = carriedBlooms,
+      ensureCarry = (dir, corpus, landed, fp) =>
+        ensureCarriedBloom(dir, corpus, landed, textCol, fp),
+      probeCol = "maybe_dup",
+      probe = c => coalesce(call_function("bloom_might_contain", lit(c.blob),
+        graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)),
+      confirm = (probed, corpus) => exactStage(probed, corpus, textCol, idCol),
+      metricsFor = dir => bloomMetricFor(dir, textCol).toSeq,
+      observed = (dir, obs) => Option(carriedBlooms.get(dir))
+        .map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
+      seed = (dir, fresh, cap, fp) => {
+        val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+        carriedBlooms.put(dir, CarriedBloom(
+          graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
+          bits, 3, cap, fp))
+      })
+
+  private def nearIngestStage(textCol: String, idCol: String): IngestStage =
+    IngestStage(
+      prep = b => graft.ops.NearDupIncremental.keepBucketMins(
+        graft.ops.NearDupIncremental.withSigs(b, textCol), idCol),
+      stateCols = NearStateCols,
+      landingCheck = (_, _) => (),
+      carryMap = carriedBuckets,
+      ensureCarry = (dir, corpus, landed, fp) =>
+        ensureCarriedBuckets(dir, corpus, landed, fp),
+      probeCol = "maybe_nd",
+      probe = c => bucketProbe(c.blob),
+      confirm = (probed, corpus) => nearStage(probed, corpus, idCol),
+      metricsFor = bucketMetricsFor,
+      observed = observedBucketBloom,
+      seed = (dir, fresh, cap, fp) => {
+        val bits = bucketBits(cap)
+        carriedBuckets.put(dir, CarriedBloom(
+          buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
+          bits, 3, cap, fp))
+      })
+
+  private def semIngestStage(sem: SemanticStage, idCol: String): IngestStage = {
+    val sbCols = (0 until sem.bands).map(t => s"sb$t")
+    IngestStage(
+      prep = b => graft.ops.SemanticIncremental.keepSemanticMins(
+        graft.ops.SemanticIncremental.withCodes(b, sem.vecCol, sem.bits, sem.bands),
+        sem.tau, idCol, sem.vecCol, sem.bands),
+      stateCols = sbCols.toSet,
+      landingCheck = (corpus, dir) => requireLandedSemCols(corpus, sem.bands, dir),
+      carryMap = carriedSemBuckets,
+      ensureCarry = (dir, corpus, landed, fp) =>
+        ensureCarriedSemBuckets(dir, corpus.select(sbCols.map(col): _*),
+          sem.bands, landed, fp),
+      probeCol = "maybe_sem",
+      probe = c => semBucketProbe(c.blob, sem.bands),
+      confirm = (probed, corpus) => semStage(probed,
+        corpus.select((col(idCol) +: col(sem.vecCol) +: sbCols.map(col)): _*),
+        sem.tau, idCol, sem.vecCol, sem.bands),
+      metricsFor = dir => semBucketMetricsFor(dir, sem.bands),
+      observed = (dir, obs) => observedSemBucketBloom(dir, sem.bands, obs),
+      seed = (dir, fresh, cap, fp) => {
+        val bits = semBucketBits(cap, sem.bands)
+        carriedSemBuckets.put(dir, CarriedBloom(
+          buildSemBucketBloom(fresh, sem.bands, bits, 3), bits, 3, cap, fp))
+      })
+  }
+
+  /** THE ingest batch loop — every public ingest entry is this loop
+    * over its stage list. Per micro-batch: (first batch) compose the
+    * stages' in-batch keepers, land, seed every carry from the append
+    * under one validated listing; (steady state) ONE pre-listing
+    * brackets the batch, each stage preps only the previous stage's
+    * survivors, probes its carried bloom batch-side, and confirm-joins
+    * the landing only when some row probed positive; survivors land
+    * with ALL stages' state columns in one atomic append, and every
+    * carry folds the append's observed bloom under the validated
+    * post-listing ([[foldCarries]] / [[appendOnlyDelta]]). Crash-retry
+    * self-heal, the single-writer slot, and the read-failure
+    * discipline (only a genuinely-absent dir means "first batch") are
+    * shared here — see [[ingestDedup]] for the full contracts. */
+  private def runIngestStream(docs: DataFrame, landingDir: String,
+                              checkpointDir: String, appendFiles: Int,
+                              partitionCols: Seq[String],
+                              stages: Seq[IngestStage], obsPrefix: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+  startGuarded(docs.sparkSession, landingDir) {
+    // Landed row count carried across batches: seeded ONCE (first
+    // batch that finds an existing dir — one metadata count), then
+    // advanced by each batch's observed append size — never a
+    // per-batch recount over the landing's growing file listing.
+    val landed = landedCounts.computeIfAbsent(landingDir,
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // Only a genuinely-absent landing dir means "first batch".
+        // Any other read failure (transient IO, corrupt footer,
+        // permissions) must fail the batch so the retry re-runs WITH
+        // dedup — swallowing it would append duplicates permanently.
+        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val firstBatch = !fs.exists(landingPath)
+        var persisted: List[DataFrame] = Nil
+        try {
+          val (fresh, preParts) =
+            if (firstBatch) {
+              // Unconditional reset, not compareAndSet: a stale
+              // carried counter/bloom from a DELETED-and-recreated
+              // landing dir (same JVM, new stream) must reset with
+              // the dir, or sizedBits sizes off a ghost corpus.
+              landed.set(0L)
+              carriedBlooms.remove(landingDir)
+              carriedBuckets.remove(landingDir)
+              carriedSemBuckets.remove(landingDir)
+              // in-batch keepers only (nothing landed to probe);
+              // persisted: the write and EVERY stage's seed consume
+              // it — one computed pass, not stages+1
+              val f = stages.foldLeft(batch)((d, s) => s.prep(d))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= f
+              (f, Seq.empty[String])
+            } else {
+              // ONE listing serves both the staleness check and the
+              // fold's pre-append snapshot — taken before the corpus
+              // relation resolves, so the validated post-append delta
+              // brackets everything the batch's plans could have seen
+              val pre = landingParts(spark, landingDir)
+              val corpus = spark.read.parquet(landingDir)
+              stages.foreach(_.landingCheck(corpus, landingDir))
+              requireNoForeignState(corpus, landingDir,
+                stages.flatMap(_.stateCols).toSet)
+              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              val fp = fpOf(pre)
+              val out = stages.foldLeft(batch) { (cur, s) =>
+                val carried = s.ensureCarry(landingDir, corpus, landed.get(), fp)
+                val probed = s.prep(cur).withColumn(s.probeCol, s.probe(carried))
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                persisted ::= probed
+                s.confirm(probed, corpus)
+              }
+              (out, pre)
+            }
+          // observe the append size — and, per carry, the appended
+          // rows' bloom — inside the write action (no second
+          // computation of `fresh`, no landing rescan)
+          val obs = new org.apache.spark.sql.Observation(s"${obsPrefix}_landed_$batchId")
+          val metrics = count(lit(1)).as("n") +: stages.flatMap(_.metricsFor(landingDir))
+          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
+          postAppendHook(landingDir, batchId)
+          val appended = obs.get("n").asInstanceOf[Long]
+          landed.addAndGet(appended)
+          if (firstBatch)
+            seedFromAppend(spark, landingDir, fresh, landed.get(), stages)
+          else
+            foldCarries(spark, landingDir, preParts, appended, landed.get(),
+              stages.map(s => (s.carryMap, s.observed(landingDir, obs))))
+        } finally persisted.foreach(_.unpersist(false))
+        ()
+      }
+      .start()
   }
 
   // ---------- single-writer guard ----------
@@ -1620,82 +1806,8 @@ object EventStreams {
                               textCol: String, idCol: String, appendFiles: Int,
                               partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
-  startGuarded(docs.sparkSession, landingDir) {
-    // Landed row count carried across batches: seeded ONCE (first
-    // batch that finds an existing dir — one metadata count), then
-    // advanced by each batch's observed append size — never a
-    // per-batch recount over the landing's growing file listing.
-    val landed = landedCounts.computeIfAbsent(landingDir,
-      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val firsts = exactFirsts(batch, textCol, idCol)
-        // Only a genuinely-absent landing dir means "first batch".
-        // Any other read failure (transient IO, corrupt footer,
-        // permissions) must fail the batch so the retry re-runs WITH
-        // dedup — swallowing it would append duplicates permanently
-        // and break the exactly-once-corpus convergence contract.
-        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
-        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val firstBatch = !fs.exists(landingPath)
-        var persisted: List[DataFrame] = Nil
-        try {
-          val (fresh, preParts) =
-            if (firstBatch) {
-              // first batch: nothing landed yet. Unconditional set, not
-              // compareAndSet(-1,0): a stale carried counter from a
-              // DELETED-and-recreated landing dir (same JVM, new stream)
-              // must reset with the dir, or sizedBits sizes off a ghost
-              // corpus forever. Same for stale carried blooms.
-              landed.set(0L)
-              carriedBlooms.remove(landingDir)
-              carriedBuckets.remove(landingDir)
-              // persisted: the write AND the seed's bloom build both
-              // consume this frame — one computed pass, not two
-              val f = firsts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= f
-              (f, Seq.empty[String])
-            } else {
-              // ONE listing serves both the staleness check and the
-              // fold's pre-append snapshot — taken before the corpus
-              // relation resolves, so the validated post-append delta
-              // brackets everything the batch's plans could have seen
-              val pre = landingParts(spark, landingDir)
-              val corpus = spark.read.parquet(landingDir)
-              requireNoForeignState(corpus, landingDir, Set.empty)
-              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-              val carried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
-              val probed = firsts.withColumn("maybe_dup",
-                coalesce(call_function("bloom_might_contain", lit(carried.blob),
-                  graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= probed
-              (exactStage(probed, corpus, textCol, idCol), pre)
-            }
-          // observe the append size — and, when a carry exists, the
-          // appended rows' bloom — inside the write action (no second
-          // computation of `fresh`, no landing rescan)
-          val bloomMetric = bloomMetricFor(landingDir, textCol)
-          val obs = new org.apache.spark.sql.Observation(s"ingest_landed_$batchId")
-          val metrics = count(lit(1)).as("n") +: bloomMetric.toSeq
-          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
-          postAppendHook(landingDir, batchId)
-          val appended = obs.get("n").asInstanceOf[Long]
-          landed.addAndGet(appended)
-          if (firstBatch)
-            seedFromAppend(spark, landingDir, fresh, landed.get(),
-              textCol = Some(textCol), buckets = false)
-          else
-            foldCarries(spark, landingDir, preParts, appended,
-              bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
-              None, landed.get())
-        } finally persisted.foreach(_.unpersist(false))
-        ()
-      }
-      .start()
-  }
+    runIngestStream(docs, landingDir, checkpointDir, appendFiles, partitionCols,
+      Seq(exactIngestStage(textCol, idCol)), "ingest")
 
   /** Cross-batch NEAR-dup ingest — [[ingestDedup]]'s MinHash/LSH twin
     * ([[graft.ops.NearDupIncremental]]): a batch doc is dropped when
@@ -1734,59 +1846,8 @@ object EventStreams {
                                 textCol: String, idCol: String, appendFiles: Int,
                                 partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
-  startGuarded(docs.sparkSession, landingDir) {
-    import graft.ops.NearDupIncremental
-    val landed = landedCounts.computeIfAbsent(landingDir,
-      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val kept = NearDupIncremental.keepBucketMins(
-          NearDupIncremental.withSigs(batch, textCol), idCol)
-        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
-        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val firstBatch = !fs.exists(landingPath)
-        var persisted: List[DataFrame] = Nil
-        try {
-          val (fresh, preParts) =
-            if (firstBatch) {
-              landed.set(0L)
-              carriedBlooms.remove(landingDir)
-              carriedBuckets.remove(landingDir)
-              // persisted: write + bucket-seed both consume it
-              val f = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= f
-              (f, Seq.empty[String])
-            } else {
-              val pre = landingParts(spark, landingDir)
-              val corpus = spark.read.parquet(landingDir)
-              requireNoForeignState(corpus, landingDir, NearStateCols)
-              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-              val carried = ensureCarriedBuckets(landingDir, corpus, landed.get(), fpOf(pre))
-              val probed = kept.withColumn("maybe_nd", bucketProbe(carried.blob))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= probed
-              (nearStage(probed, corpus, idCol), pre)
-            }
-          val bucketMetrics = bucketMetricsFor(landingDir)
-          val obs = new org.apache.spark.sql.Observation(s"ingest_nd_landed_$batchId")
-          val metrics = count(lit(1)).as("n") +: bucketMetrics
-          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
-          postAppendHook(landingDir, batchId)
-          val appended = obs.get("n").asInstanceOf[Long]
-          landed.addAndGet(appended)
-          if (firstBatch)
-            seedFromAppend(spark, landingDir, fresh, landed.get(),
-              textCol = None, buckets = true)
-          else
-            foldCarries(spark, landingDir, preParts, appended,
-              None, observedBucketBloom(landingDir, obs), landed.get())
-        } finally persisted.foreach(_.unpersist(false))
-        ()
-      }
-      .start()
-  }
+    runIngestStream(docs, landingDir, checkpointDir, appendFiles, partitionCols,
+      Seq(nearIngestStage(textCol, idCol)), "ingest_nd")
 
   /** Continuous corpus ingest with CROSS-BATCH SEMANTIC dedup — the
     * streaming face of [[graft.ops.SemanticIncremental]] (q86), for
@@ -1879,69 +1940,9 @@ object EventStreams {
                                  bits: Int, bands: Int, appendFiles: Int,
                                  partitionCols: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
-  startGuarded(docs.sparkSession, landingDir) {
-    import graft.ops.SemanticIncremental
-    val landed = landedCounts.computeIfAbsent(landingDir,
-      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val kept = SemanticIncremental.keepSemanticMins(
-          SemanticIncremental.withCodes(batch, vecCol, bits, bands),
-          tau, idCol, vecCol, bands)
-        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
-        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val firstBatch = !fs.exists(landingPath)
-        var persisted: List[DataFrame] = Nil
-        try {
-          val (fresh, preParts) =
-            if (firstBatch) {
-              landed.set(0L)
-              carriedBlooms.remove(landingDir)
-              carriedBuckets.remove(landingDir)
-              carriedSemBuckets.remove(landingDir)
-              // persisted: write + bucket-seed both consume it
-              val f = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= f
-              (f, Seq.empty[String])
-            } else {
-              val pre = landingParts(spark, landingDir)
-              val corpus = spark.read.parquet(landingDir)
-              requireLandedSemCols(corpus, bands, landingDir)
-              requireNoForeignState(corpus, landingDir,
-                (0 until bands).map(t => s"sb$t").toSet)
-              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-              val carried = ensureCarriedSemBuckets(landingDir,
-                corpus.select((0 until bands).map(t => col(s"sb$t")): _*),
-                bands, landed.get(), fpOf(pre))
-              val probed = kept.withColumn("maybe_sem", semBucketProbe(carried.blob, bands))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= probed
-              val corpusCoded = corpus.select(
-                (col(idCol) +: col(vecCol) +:
-                  (0 until bands).map(t => col(s"sb$t"))): _*)
-              (semStage(probed, corpusCoded, tau, idCol, vecCol, bands), pre)
-            }
-          val semMetrics = semBucketMetricsFor(landingDir, bands)
-          val obs = new org.apache.spark.sql.Observation(s"ingest_sem_landed_$batchId")
-          val metrics = count(lit(1)).as("n") +: semMetrics
-          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
-          postAppendHook(landingDir, batchId)
-          val appended = obs.get("n").asInstanceOf[Long]
-          landed.addAndGet(appended)
-          if (firstBatch)
-            seedFromAppend(spark, landingDir, fresh, landed.get(),
-              textCol = None, buckets = false, semBands = Some(bands))
-          else
-            foldCarries(spark, landingDir, preParts, appended,
-              None, None, landed.get(),
-              semBloom = observedSemBucketBloom(landingDir, bands, obs))
-        } finally persisted.foreach(_.unpersist(false))
-        ()
-      }
-      .start()
-  }
+    runIngestStream(docs, landingDir, checkpointDir, appendFiles, partitionCols,
+      Seq(semIngestStage(SemanticStage(tau, vecCol, bits, bands), idCol)),
+      "ingest_sem")
 
   /** Streaming maintenance of the persisted IVF-PQ index
     * ([[graft.ops.IvfPqIndex]]): each micro-batch of arriving vectors
@@ -2050,115 +2051,15 @@ object EventStreams {
                                  partitionCols: Seq[String],
                                  semantic: Option[SemanticStage] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-  startGuarded(docs.sparkSession, landingDir) {
-    import graft.ops.{NearDupIncremental, SemanticIncremental}
-    val landed = landedCounts.computeIfAbsent(landingDir,
-      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // stage 1a: in-batch exact keeper (shared with ingestDedup)
-        val firsts = exactFirsts(batch, textCol, idCol)
-        val landingPath = new org.apache.hadoop.fs.Path(landingDir)
-        val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val firstBatch = !fs.exists(landingPath)
-        var persisted: List[DataFrame] = Nil
-        try {
-          val (fresh, preParts) =
-            if (firstBatch) { // nothing landed yet
-              landed.set(0L) // see ingestDedup: reset, don't CAS — the dir may have been recreated
-              carriedBlooms.remove(landingDir)
-              carriedBuckets.remove(landingDir)
-              carriedSemBuckets.remove(landingDir)
-              // stages 2a/3a only (nothing landed to probe): in-batch
-              // near-dup keeper over the exact-survivors, then the
-              // in-batch semantic keeper when configured. Persisted:
-              // the write and EVERY seed's bloom build consume it —
-              // one tokenize+sign(+code) pass, not three
-              val nearKept = NearDupIncremental.keepBucketMins(
-                NearDupIncremental.withSigs(firsts, textCol), idCol)
-              val f = semantic.fold(nearKept) { sem =>
-                  SemanticIncremental.keepSemanticMins(
-                    SemanticIncremental.withCodes(nearKept, sem.vecCol, sem.bits, sem.bands),
-                    sem.tau, idCol, sem.vecCol, sem.bands)
-                }
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= f
-              (f, Seq.empty[String])
-            } else {
-              val pre = landingParts(spark, landingDir)
-              val corpus = spark.read.parquet(landingDir)
-              requireNoForeignState(corpus, landingDir, NearStateCols ++
-                semantic.toSeq.flatMap(sem => (0 until sem.bands).map(t => s"sb$t")))
-              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
-              // stage 1b: carried-bloom two-phase exact confirm
-              val xCarried = ensureCarriedBloom(landingDir, corpus, landed.get(), textCol, fpOf(pre))
-              val probedX = firsts.withColumn("maybe_dup",
-                coalesce(call_function("bloom_might_contain", lit(xCarried.blob),
-                  graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= probedX
-              val exactNew = exactStage(probedX, corpus, textCol, idCol)
-              // stage 2: sign ONLY the exact-survivors, keep in-batch
-              // bucket minima, then the carried bucket-bloom confirm
-              val kept = NearDupIncremental.keepBucketMins(
-                NearDupIncremental.withSigs(exactNew, textCol), idCol)
-              val nCarried = ensureCarriedBuckets(landingDir, corpus, landed.get(), fpOf(pre))
-              val probedN = kept.withColumn("maybe_nd", bucketProbe(nCarried.blob))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              persisted ::= probedN
-              val nearNew = nearStage(probedN, corpus, idCol)
-              semantic match {
-                case None => (nearNew, pre)
-                case Some(sem) =>
-                  // stage 3: code ONLY the near-survivors, in-batch
-                  // semantic keeper, then the carried sem-bucket
-                  // two-phase cosine confirm against the landed codes
-                  requireLandedSemCols(corpus, sem.bands, landingDir)
-                  val semKept = SemanticIncremental.keepSemanticMins(
-                    SemanticIncremental.withCodes(nearNew, sem.vecCol, sem.bits, sem.bands),
-                    sem.tau, idCol, sem.vecCol, sem.bands)
-                  val sCarried = ensureCarriedSemBuckets(landingDir,
-                    corpus.select((0 until sem.bands).map(t => col(s"sb$t")): _*),
-                    sem.bands, landed.get(), fpOf(pre))
-                  val probedS = semKept
-                    .withColumn("maybe_sem", semBucketProbe(sCarried.blob, sem.bands))
-                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  persisted ::= probedS
-                  val corpusCoded = corpus.select(
-                    (col(idCol) +: col(sem.vecCol) +:
-                      (0 until sem.bands).map(t => col(s"sb$t"))): _*)
-                  (semStage(probedS, corpusCoded, sem.tau, idCol, sem.vecCol, sem.bands), pre)
-              }
-            }
-          // the landing holds exactly the near-surviving texts, so the
-          // carried EXACT bloom folds the final `fresh` (post-near),
-          // observed during the write like both parents'
-          val bloomMetric = bloomMetricFor(landingDir, textCol)
-          val bucketMetrics = bucketMetricsFor(landingDir)
-          val semMetrics = semantic.toSeq.flatMap(sem =>
-            semBucketMetricsFor(landingDir, sem.bands))
-          val obs = new org.apache.spark.sql.Observation(s"ingest_pipe_landed_$batchId")
-          val metrics = count(lit(1)).as("n") +:
-            (bloomMetric.toSeq ++ bucketMetrics ++ semMetrics)
-          appendToLanding(fresh, landingDir, appendFiles, partitionCols, obs, metrics)
-          postAppendHook(landingDir, batchId)
-          val appended = obs.get("n").asInstanceOf[Long]
-          landed.addAndGet(appended)
-          if (firstBatch)
-            seedFromAppend(spark, landingDir, fresh, landed.get(),
-              textCol = Some(textCol), buckets = true,
-              semBands = semantic.map(_.bands))
-          else
-            foldCarries(spark, landingDir, preParts, appended,
-              bloomMetric.map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
-              observedBucketBloom(landingDir, obs), landed.get(),
-              semBloom = semantic.flatMap(sem =>
-                observedSemBucketBloom(landingDir, sem.bands, obs)))
-        } finally persisted.foreach(_.unpersist(false))
-        ()
-      }
-      .start()
-  }
+    // cheapest stage first, each consuming only the previous stage's
+    // survivors: exact-equal reposts are the bulk of real ingest
+    // duplicates and cost one hash; signatures are computed only for
+    // exact-survivors, codes only for near-survivors. The ONE landing
+    // holds text + mh1..mh4 (+ sb*) and is every stage's state; the
+    // landed corpus is exactly the final survivors, so the exact bloom
+    // folds the post-near(-sem) `fresh` — see [[runIngestStream]].
+    runIngestStream(docs, landingDir, checkpointDir, appendFiles, partitionCols,
+      Seq(exactIngestStage(textCol, idCol), nearIngestStage(textCol, idCol)) ++
+        semantic.map(sem => semIngestStage(sem, idCol)),
+      "ingest_pipe")
 }
