@@ -1781,6 +1781,38 @@ object SparkEntry {
         .select(col("doc_id"),
           (col("exact_new") && col("near_new") && col("sem_new")).as("is_new"))
         .orderBy("doc_id")
+    }),
+
+    // ---- KMV distinct-count sketch ----
+    // A MERGEABLE sketch per group: the k smallest DISTINCT
+    // md5-derived 60-bit text hashes (native `kmv_agg`,
+    // ObjectHashAggregate with map-side partials — the exchange
+    // carries at most k longs per (partition, lang), never texts),
+    // plus the standard KMV estimate (k-1)/(v_k / 2^60), exact when a
+    // group holds fewer than k distinct texts. At 100 TB this is the
+    // "distinct documents per slice without rescanning" primitive:
+    // per-shard sketches persist and union by re-trimming. All md5
+    // arithmetic (the q25/q45 engine bridge) — zero RNG, so the
+    // DuckDB oracle re-derives the identical sketch and estimate.
+    "q88_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val hv = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint")
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("lang"), hv.as("hv"))
+        .groupBy("lang")
+        .agg(call_function("kmv_agg", col("hv"), lit(k)).as("mins"))
+        .select(
+          col("lang"),
+          size(col("mins")).as("n_kept"),
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+          round(
+            when(size(col("mins")) < k, size(col("mins")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("mins"), k).cast("double") /
+                  lit(1152921504606846976.0))), // 2^60, the hash domain
+            6).as("est_distinct"))
+        .orderBy("lang")
     })
   )
 
@@ -3509,7 +3541,30 @@ object SparkEntry {
         |   AND neardup.doc_id IS NULL AND semdup.doc_id IS NULL) AS is_new
         |FROM b LEFT JOIN neardup ON neardup.doc_id = b.doc_id
         |       LEFT JOIN semdup ON semdup.doc_id = b.doc_id
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // KMV sketch re-derived relationally: the same md5-60-bit hashes,
+    // per-lang distinct, ordered, capped at k=64; the estimate uses
+    // the identical (k-1)/(v_k / 2^60) double arithmetic.
+    "q88_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(LEAST(MAX(nd), 64) AS INT) AS n_kept,
+        |  CAST(MAX(CASE WHEN rn = LEAST(nd, 64) THEN hv END) AS BIGINT) AS kth_hash,
+        |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |        ELSE 63.0 / (MAX(CASE WHEN rn = 64 THEN hv END) / 1152921504606846976.0)
+        |        END, 6) AS est_distinct
+        |FROM r WHERE rn <= 64
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

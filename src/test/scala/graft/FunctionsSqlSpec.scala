@@ -80,5 +80,9 @@ class FunctionsSqlSpec extends AnyFunSuite with SparkTestSession {
         "VALUES ('a', 1.0d), ('b', 3.0d), ('c', 2.0d) t(v, s)")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(top.size == 2 && top.head.getString(0) == "b" && top(1).getString(0) == "c")
+    // KMV: k smallest DISTINCT values, ascending (7L repeats, null skipped)
+    assert(one("SELECT kmv_agg(v, 3) FROM " +
+      "VALUES (9L), (7L), (7L), (3L), (CAST(NULL AS BIGINT)), (5L) t(v)")
+      .asInstanceOf[scala.collection.Seq[Long]] == Seq(3L, 5L, 7L))
   }
 }

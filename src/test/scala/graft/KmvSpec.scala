@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The KMV distinct-count sketch (`kmv_agg`, q88): sketch contents,
+  * merge/partitioning invariance (the property that makes it a SKETCH
+  * — per-partition partials union losslessly), estimate accuracy, and
+  * the small-group exactness contract. */
+class KmvSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def sketch(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    df.agg(call_function("kmv_agg", col("hv"), lit(k)).as("mins"))
+      .head().getSeq[Long](0)
+
+  test("kmv_agg keeps the k smallest distinct values, sorted ascending") {
+    val df = Seq(50L, 10L, 30L, 10L, 20L, 40L, 30L).toDF("hv")
+    assert(sketch(df, 3) == Seq(10L, 20L, 30L))
+    // fewer distinct values than k: the sketch IS the distinct set
+    assert(sketch(df, 100) == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("kmv_agg is invariant under partitioning (partial sketches union losslessly)") {
+    // deterministic pseudo-hashes via xxhash64 of a sequence — no RNG
+    val vals = spark.range(0, 5000)
+      .select(xxhash64(col("id")).as("hv"))
+    val one = vals.repartition(1)
+    val many = vals.repartition(13)
+    assert(sketch(one, 64) == sketch(many, 64),
+      "sketch must not depend on how rows were partitioned")
+    // and grouped: per-group sketches equal under both layouts
+    val grouped = spark.range(0, 5000)
+      .select((col("id") % 3).as("g"), xxhash64(col("id")).as("hv"))
+    def bySketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(call_function("kmv_agg", col("hv"), lit(32)).as("mins"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bySketch(grouped.repartition(1)) == bySketch(grouped.repartition(7)))
+  }
+
+  test("kmv estimate tracks the true distinct count within the k-sized error band") {
+    // n distinct uniform-ish 60-bit hashes (md5-derived like q88's
+    // carrier — deterministic across runs)
+    val n = 20000
+    val k = 256
+    val hv = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    val mins = sketch(spark.range(0, n).select(hv.as("hv")), k)
+    assert(mins.size == k)
+    val est = (k - 1).toDouble / (mins.last.toDouble / math.pow(2.0, 60))
+    // standard KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est vs true $n")
+  }
+
+  test("kmv_agg rejects bad arguments loudly") {
+    val df = Seq(1L).toDF("hv")
+    // non-integer / non-positive / over-cap k
+    for (bad <- Seq("0", "-1", s"${(1 << 20) + 1}"))
+      assert(intercept[Exception] {
+        df.selectExpr(s"kmv_agg(hv, $bad)").collect()
+      }.getMessage.contains("kmv_agg"))
+    // non-bigint key
+    assert(intercept[Exception] {
+      Seq("x").toDF("s").selectExpr("kmv_agg(s, 4)").collect()
+    }.getMessage.contains("BIGINT"))
+  }
+}

@@ -258,6 +258,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), "window sort is back")
   }
 
+  test("q88: KMV sketch aggregates map-side — the exchange carries sketches, never texts") {
+    val p = plan("q88_kmv_distinct")
+    // the kmv_agg TypedImperativeAggregate runs in ObjectHashAggregate
+    // with a PARTIAL phase: each partition reduces to <=k longs per
+    // lang before the shuffle (the mergeable-sketch property)
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_kmv_agg") || p.contains("kmv_agg"),
+           "kmv_agg aggregate missing from the plan")
+    // ReadSchema must prune to the two used columns — a sketch over
+    // text must not drag source/n_chars through the scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && read.contains("lang") && !read.contains("n_chars"),
+           s"expected pruned scan, got: $read")
+  }
+
   test("q72: PII scrub is map-only — zero exchanges before the final sort") {
     val p = plan("q72_pii_scrub")
     val exchanges = "Exchange \\(".r.findAllIn(p).length
