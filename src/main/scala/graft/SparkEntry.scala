@@ -1813,6 +1813,33 @@ object SparkEntry {
                   lit(1152921504606846976.0))), // 2^60, the hash domain
             6).as("est_distinct"))
         .orderBy("lang")
+    }),
+
+    // ---- heavy hitters: Misra-Gries prefilter + exact confirm ----
+    // Frequent tokens (>= 0.5% of the stream) in TWO bounded passes:
+    // pass 1 reduces every partition's token stream to a <=256-entry
+    // MG summary + the total count in ONE aggregation (the exchange
+    // carries summaries, never tokens); pass 2 exact-counts ONLY the
+    // candidate set (an InSet map-side filter, so the groupBy
+    // shuffles <=256 distinct keys). MG guarantees every token above
+    // total/257 survives pass 1, and 0.5% > 1/257 — so the confirmed
+    // output is EXACT (and oracle-checkable as a plain GROUP BY ..
+    // HAVING), while a naive formulation shuffles the full exploded
+    // token stream. The 100 TB shape: frequent domains/tokens with
+    // bounded executor state and a candidate-sized shuffle.
+    "q89_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(call_function("word_tokens", col("text"))).as("tok"))
+      val r = toks.agg(
+        call_function("mg_agg", col("tok"), lit(256)).as("cand"),
+        count(lit(1)).as("total")).collect()(0)
+      val total = r.getAs[Long]("total")
+      val cands = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cand")
+        .map(_.getString(0))
+      toks.filter(col("tok").isInCollection(cands))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") * 200 >= lit(total))
+        .orderBy(col("n").desc, col("tok"))
     })
   )
 
@@ -3564,7 +3591,23 @@ object SparkEntry {
         |        END, 6) AS est_distinct
         |FROM r WHERE rn <= 64
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // Exact heavy hitters relationally (the MG prefilter only prunes
+    // work — its guarantee makes the confirmed output identical to
+    // the direct GROUP BY .. HAVING). Tokenization is q46's proven
+    // word_tokens twin.
+    "q89_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            w -> w <> '')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM t
+        |GROUP BY tok
+        |HAVING count(*) * 200 >= (SELECT total FROM tot)
+        |ORDER BY n DESC, tok""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -84,5 +84,9 @@ class FunctionsSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(one("SELECT kmv_agg(v, 3) FROM " +
       "VALUES (9L), (7L), (7L), (3L), (CAST(NULL AS BIGINT)), (5L) t(v)")
       .asInstanceOf[scala.collection.Seq[Long]] == Seq(3L, 5L, 7L))
+    // Misra-Gries: (item, count) structs, count-desc; exact under k
+    val mg = spark.sql("SELECT mg_agg(v, 8) FROM " +
+      "VALUES ('a'), ('b'), ('a') t(v)").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.map(r => r.getString(0) -> r.getLong(1)) == Seq("a" -> 2L, "b" -> 1L))
   }
 }
