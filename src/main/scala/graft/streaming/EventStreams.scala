@@ -35,6 +35,35 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), (col("value_cents").cast("double") / 100.0).as("sum_value"))
 
+  /** Distinct users per tumbling hour via the KMV sketch (`kmv_agg`,
+    * q88's operator on the streaming surface): per (window, type) the
+    * state-store entry is the ≤`k`-long sketch instead of one entry
+    * per distinct user — bounded state for a high-cardinality
+    * distinct, which `approx_count_distinct` also gives but without a
+    * reusable/unionable sketch and without the exactness contract:
+    * below `k` distinct users the sketch IS the distinct set and
+    * `n_distinct_est == the exact count`. Above `k`, the standard KMV
+    * estimate over the UNSIGNED hash order (xxhash64 spans the full
+    * signed range, so ranking flips the sign bit and the estimate
+    * normalizes v_k into unsigned [0, 2^64)). */
+  def distinctSketchCounts(events: DataFrame, keyCol: String = "user_id",
+                           k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // rank by unsigned hash order: flip the sign bit (order-isomorphic)
+    val rankHash = xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue))
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(call_function("kmv_agg", rankHash, lit(k)).as("mins"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        size(col("mins")).as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((element_at(col("mins"), k).cast("double") + lit(9.223372036854776e18)) /
+              lit(1.8446744073709552e19)))
+          .as("n_distinct_est"))
+  }
+
   /** Sliding 1 h window every 15 min (streaming form of q17). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

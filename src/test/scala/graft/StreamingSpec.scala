@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregates in streaming state: exact distinct users below k") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.distinctSketchCounts(input.toDF(), k = 16)
+      .writeStream.format("memory").queryName("kmv_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // window 10:00: users 1,2,3 (user 1 twice — distinct once);
+      // window 11:00: user 7 only. Duplicates arrive ACROSS batches,
+      // so the sketch state must round-trip the state store intact.
+      input.addData(ev(1, 5, user = 1), ev(2, 10, user = 2), ev(3, 65, user = 7))
+      q.processAllAvailable()
+      input.addData(ev(4, 20, user = 1), ev(5, 40, user = 3))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_t")
+        .groupBy("window_start")
+        .agg(org.apache.spark.sql.functions.max("n_kept").as("nk"),
+             org.apache.spark.sql.functions.max("n_distinct_est").as("est"))
+        .collect().map(r => r.getTimestamp(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(rows(Timestamp.valueOf("2026-01-01 10:00:00")) == ((3, 3.0)),
+        s"expected exact distinct 3: $rows")
+      assert(rows(Timestamp.valueOf("2026-01-01 11:00:00")) == ((1, 1.0)))
+    } finally q.stop()
+  }
+
   test("watermark: windows finalize in append mode and late data is dropped") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
