@@ -77,6 +77,14 @@ object RunIngest {
       |  [--partition-by COL[,COL]]    land hive-partitioned by COL (e.g. an
       |                                ingest month) — enables --expire
       |                                retention and per-leaf --compact
+      |   or: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR --mode index
+      |                       --train PATH [--coarse-k N] [--m N] [--ksub N]
+      |                                maintain a persisted IVF-PQ index from a
+      |                                vector stream: each micro-batch lands
+      |                                under its own batch=<id> dir (exactly-
+      |                                once), encoded with codebooks trained
+      |                                ONCE from --train; --corpus is the index
+      |                                dir (defaults coarse-k 4, m 4, ksub 16)
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
       |                                part files (default 4; per leaf on a
@@ -283,20 +291,30 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both", "semantic", "full").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic", "full", "index").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
       return 2
     }
     // a dedup-relevant flag the chosen mode would silently ignore is
     // the same bug class as a co-passed stream flag on --compact
     val wrongModeFlags =
-      if (mode == "semantic") Seq("text-col").filter(opts.contains)
-      else if (mode == "full") Nil
-      else Seq("vec-col", "tau").filter(opts.contains)
+      (if (mode == "semantic") Seq("text-col").filter(opts.contains)
+       else if (mode == "full") Nil
+       else if (mode == "index")
+         Seq("text-col", "tau", "partition-by").filter(opts.contains)
+       else Seq("vec-col", "tau").filter(opts.contains)) ++
+      (if (mode != "index")
+         Seq("train", "coarse-k", "m", "ksub").filter(opts.contains)
+       else Nil)
     if (wrongModeFlags.nonEmpty) {
       System.err.println(
         s"[ingest] ${wrongModeFlags.map("--" + _).mkString(", ")} " +
         s"not applicable to mode=$mode\n$usage")
+      return 2
+    }
+    if (mode == "index" && !opts.contains("train")) {
+      System.err.println(s"[ingest] --mode index requires --train PATH " +
+        "(codebooks are trained once from a fixed source, not the stream)\n$usage")
       return 2
     }
     val textCol = opts.getOrElse("text-col", "text")
@@ -308,6 +326,26 @@ object RunIngest {
         return 2
       case Some(Some(t)) => t
       case None => 0.9
+    }
+    // index-mode codebook geometry (positive ints, usage-error on junk)
+    def posInt(name: String, default: Int): Either[String, Int] =
+      opts.get(name) match {
+        case None => Right(default)
+        case Some(v) => v.toIntOption match {
+          case Some(n) if n > 0 => Right(n)
+          case _ => Left(s"--$name must be a positive integer, got '$v'")
+        }
+      }
+    val geometry = for {
+      ck <- posInt("coarse-k", 4)
+      m <- posInt("m", 4)
+      ks <- posInt("ksub", 16)
+    } yield (ck, m, ks)
+    val (coarseK, pqM, pqKsub) = geometry match {
+      case Left(msg) =>
+        System.err.println(s"[ingest] $msg\n$usage")
+        return 2
+      case Right(g) => g
     }
     // landing layout: comma-separated partition columns (e.g. an
     // ingest month) — the layout retention/per-leaf compaction works on
@@ -324,9 +362,9 @@ object RunIngest {
       // from whatever is already in --in (the seed batch)
       val schema = spark.read.parquet(opts("in")).schema
       val keyCols = mode match {
-        case "semantic" => Seq(vecCol, idCol)
-        case "full"     => Seq(textCol, vecCol, idCol)
-        case _          => Seq(textCol, idCol)
+        case "semantic" | "index" => Seq(vecCol, idCol)
+        case "full"               => Seq(textCol, vecCol, idCol)
+        case _                    => Seq(textCol, idCol)
       }
       val absent = keyCols.filterNot(schema.fieldNames.contains)
       require(absent.isEmpty,
@@ -339,6 +377,9 @@ object RunIngest {
         case "semantic" => EventStreams.ingestSemantic(docs, opts("corpus"), opts("checkpoint"), tau, vecCol, idCol, partitionCols = partCols)
         case "full" => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols,
           semantic = Some(EventStreams.SemanticStage(tau = tau, vecCol = vecCol)))
+        case "index" => EventStreams.ingestIndex(docs, opts("corpus"), opts("checkpoint"),
+          trainingSource = spark.read.parquet(opts("train")),
+          coarseK = coarseK, m = pqM, ksub = pqKsub, idCol = idCol, vecCol = vecCol)
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
@@ -369,7 +410,8 @@ object RunIngest {
     * and exiting 0). */
   private val valueFlags =
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "vec-col", "tau", "target-files",
-        "leaf-parallel", "partition-col", "before", "partition-by")
+        "leaf-parallel", "partition-col", "before", "partition-by",
+        "train", "coarse-k", "m", "ksub")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

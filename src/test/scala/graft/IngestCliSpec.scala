@@ -93,6 +93,38 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       .forall(landed.columns.contains), "all three stages' state columns land")
   }
 
+  test("--mode index: streamed IVF-PQ index maintenance across --once runs") {
+    val arrivals = Files.createTempDirectory("graft-cli-idx-arrivals").toString
+    val indexDir = Files.createTempDirectory("graft-cli-idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft-cli-idx-ckpt").toString
+    val train = Files.createTempDirectory("graft-cli-idx-train").toString + "/train"
+    // deterministic training vectors spanning a few directions
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => math.sin(d * 0.7 + i * 0.3))))
+    vecs.toDF("vec_id", "embedding").write.parquet(train)
+    val run = Array("--in", arrivals, "--corpus", indexDir, "--checkpoint", ckpt,
+      "--once", "--mode", "index", "--train", train,
+      "--id-col", "vec_id", "--vec-col", "embedding",
+      "--coarse-k", "2", "--m", "2", "--ksub", "4")
+    vecs.take(8).toDF("vec_id", "embedding").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    vecs.slice(8, 12).toDF("vec_id", "embedding").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    // every streamed vector landed exactly once, under batch=/centroid= dirs
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+             == (0L until 12L))
+    assert(Seq("batch", "centroid").forall(idx.columns.contains))
+    // flag hygiene: --train is required for index mode, refused elsewhere;
+    // geometry must be positive integers
+    assert(RunIngest.execute(spark, run.filterNot(a => a == "--train" || a == train)) == 2)
+    assert(RunIngest.execute(spark, Array("--in", arrivals, "--corpus", indexDir,
+      "--checkpoint", ckpt, "--once", "--mode", "both", "--train", train)) == 2)
+    assert(RunIngest.execute(spark,
+      run.updated(run.indexOf("--coarse-k") + 1, "zero")) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--tau", "0.5")) == 2)
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString
