@@ -1840,6 +1840,37 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .filter(col("n") * 200 >= lit(total))
         .orderBy(col("n").desc, col("tok"))
+    }),
+
+    // ---- KMV set operations: distinct overlap WITHOUT a join ----
+    // Two sub-corpora (doc_id%2==0 vs doc_id%3==0, overlapping on
+    // %6==0) are each reduced to a k=64 KMV sketch in one grouped
+    // pass, then `kmv_set_est` derives union/intersection/jaccard
+    // estimates from the two ≤64-long arrays alone — the theta-sketch
+    // answer to "how many distinct documents do A and B share" that
+    // at 100 TB replaces a corpus×corpus distinct join with sketch
+    // arithmetic on the driver. θ discipline: below the smaller
+    // saturated k-th value both sketches are uniform samples; when
+    // neither saturates the outputs are EXACT. Deterministic md5
+    // arithmetic — the oracle re-derives identical values.
+    "q90_kmv_setops" -> ((s, dir) => {
+      val k = 64
+      val hv = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint")
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), hv.as("hv"))
+      val sketches = docs
+        .select(col("hv"),
+          (col("doc_id") % 2 === 0).as("in_a"), (col("doc_id") % 3 === 0).as("in_b"))
+        .agg(
+          call_function("kmv_agg", when(col("in_a"), col("hv")), lit(k)).as("sa"),
+          call_function("kmv_agg", when(col("in_b"), col("hv")), lit(k)).as("sb"))
+      sketches
+        .select(call_function("kmv_set_est",
+          col("sa"), col("sb"), lit(k), lit(60)).as("e"))
+        .select(
+          round(col("e.union_est"), 6).as("union_est"),
+          round(col("e.intersect_est"), 6).as("intersect_est"),
+          round(col("e.jaccard_est"), 6).as("jaccard_est"))
     })
   )
 
@@ -3607,7 +3638,43 @@ object SparkEntry {
         |FROM t
         |GROUP BY tok
         |HAVING count(*) * 200 >= (SELECT total FROM tot)
-        |ORDER BY n DESC, tok""".stripMargin
+        |ORDER BY n DESC, tok""".stripMargin,
+
+    // Theta-sketch set estimates re-derived relationally: the same
+    // two k=64 sketches (per-set ordered distinct md5-60-bit hashes,
+    // capped), the same θ = min of saturated k-th values (domain
+    // 2^60 when unsaturated), the same strictly-below-θ union /
+    // intersection counts, and the identical count·(M/θ) double
+    // arithmetic.
+    "q90_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |sa AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nd
+        |       FROM (SELECT DISTINCT hv FROM h WHERE doc_id % 2 = 0)),
+        |sb AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nd
+        |       FROM (SELECT DISTINCT hv FROM h WHERE doc_id % 3 = 0)),
+        |ka AS (SELECT hv FROM sa WHERE rn <= 64),
+        |kb AS (SELECT hv FROM sb WHERE rn <= 64),
+        |theta AS (SELECT LEAST(
+        |  CASE WHEN (SELECT MAX(nd) FROM sa) >= 64
+        |       THEN (SELECT hv FROM sa WHERE rn = 64)
+        |       ELSE 1152921504606846976 END,
+        |  CASE WHEN (SELECT MAX(nd) FROM sb) >= 64
+        |       THEN (SELECT hv FROM sb WHERE rn = 64)
+        |       ELSE 1152921504606846976 END) AS th),
+        |u AS (SELECT count(*) AS cu
+        |      FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) x
+        |      WHERE hv < (SELECT th FROM theta)),
+        |i AS (SELECT count(*) AS ci
+        |      FROM (SELECT hv FROM ka INTERSECT SELECT hv FROM kb) x
+        |      WHERE hv < (SELECT th FROM theta))
+        |SELECT
+        |  round(cu * (1152921504606846976.0 / th), 6) AS union_est,
+        |  round(ci * (1152921504606846976.0 / th), 6) AS intersect_est,
+        |  round(CASE WHEN cu = 0 THEN 0.0
+        |        ELSE CAST(ci AS DOUBLE) / CAST(cu AS DOUBLE) END, 6) AS jaccard_est
+        |FROM u, i, theta""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

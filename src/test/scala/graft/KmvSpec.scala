@@ -53,6 +53,36 @@ class KmvSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(est - n) / n < 0.25, s"estimate $est vs true $n")
   }
 
+  test("kmv_set_est: exact when unsaturated, theta estimates when saturated") {
+    // exact regime: tiny disjoint-ish sets, k well above both
+    val exact = spark.sql(
+      "SELECT kmv_set_est(kmv_agg(CASE WHEN v % 2 = 0 THEN v END, 64)," +
+      "                   kmv_agg(CASE WHEN v % 3 = 0 THEN v END, 64), 64, 60) AS e " +
+      "FROM (SELECT CAST(id AS BIGINT) AS v FROM range(0, 60))")
+      .select("e.union_est", "e.intersect_est", "e.jaccard_est").head()
+    // evens 30, multiples of 3: 20, both (mult of 6): 10 -> union 40
+    assert(exact.getDouble(0) == 40.0 && exact.getDouble(1) == 10.0)
+    assert(math.abs(exact.getDouble(2) - 0.25) < 1e-12)
+
+    // estimating regime: two overlapping 5000-element sets hashed into
+    // [0, 2^60), k=256 -> both saturate; estimates within 4 sigma
+    val est = spark.sql(
+      "SELECT kmv_set_est(" +
+      "  kmv_agg(CASE WHEN id < 5000 THEN h END, 256)," +
+      "  kmv_agg(CASE WHEN id >= 2500 THEN h END, 256), 256, 60) AS e " +
+      "FROM (SELECT id, CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h " +
+      "      FROM range(0, 7500))")
+      .select("e.union_est", "e.intersect_est", "e.jaccard_est").head()
+    assert(math.abs(est.getDouble(0) - 7500) / 7500 < 0.25, s"union ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 2500) / 2500 < 0.4, s"inter ${est.getDouble(1)}")
+
+    // a sketch built with a different k is refused, not mis-scaled
+    assert(intercept[Exception] {
+      spark.sql("SELECT kmv_set_est(kmv_agg(v, 8), kmv_agg(v, 4), 4, 60) FROM " +
+        "(SELECT CAST(id AS BIGINT) AS v FROM range(0, 100))").collect()
+    }.getMessage.contains("kmv_set_est"))
+  }
+
   test("kmv_agg rejects bad arguments loudly") {
     val df = Seq(1L).toDF("hv")
     // non-integer / non-positive / over-cap k
