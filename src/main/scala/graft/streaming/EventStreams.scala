@@ -49,8 +49,13 @@ object EventStreams {
   def distinctSketchCounts(events: DataFrame, keyCol: String = "user_id",
                            k: Int = 1024): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    // rank by unsigned hash order: flip the sign bit (order-isomorphic)
-    val rankHash = xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue))
+    // rank by unsigned hash order: flip the sign bit (order-isomorphic).
+    // NULL-GATED like every hash in this file: xxhash64 skips null args
+    // (returning the bare seed), so an ungated hash would count null
+    // keys as one phantom distinct user per window — null has no
+    // identity to count, so its hash is null and kmv_agg skips it.
+    val rankHash = when(col(keyCol).isNotNull,
+      xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)))
     events
       .withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -448,24 +453,11 @@ object EventStreams {
 
   // ---------- exact-stage carry ----------
 
-  /** The carried exact bloom for `landingDir`, seeding it with ONE
-    * corpus text scan when absent, stale (fingerprint mismatch), or
-    * outgrown. */
-  private def ensureCarriedBloom(landingDir: String, corpus: DataFrame,
-                                 landedCount: Long, textCol: String,
-                                 fp: String): CarriedBloom = {
-    val cached = carriedBlooms.get(landingDir)
-    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
-    else {
-      val cap = math.max(landedCount, 1L) * 4
-      val bits = graft.ops.IncrementalDedup.sizedBits(cap)
-      val c = CarriedBloom(
-        graft.ops.IncrementalDedup.buildBloom(corpus, textCol, bits, 3),
-        bits, 3, cap, fp)
-      carriedBlooms.put(landingDir, c)
-      c
-    }
-  }
+  /** Probe-hash count shared by every carried bloom. One constant —
+    * the blob is built, folded, AND probed assuming this k; a
+    * mismatch between build and probe sites would raise the
+    * false-negative rate, i.e. silently admit duplicates. */
+  private val CarryHashes = 3
 
   /** The text-bloom metric to ride the append's Observation: the
     * appended rows' bloom is computed DURING the write itself — no
@@ -499,7 +491,7 @@ object EventStreams {
     if (!clean) return
     val fp = fpOf(post)
     val cap = math.max(landedCount, 1L) * 4
-    stages.foreach(_.seed(landingDir, fresh, cap, fp))
+    stages.foreach(s => s.carryMap.put(landingDir, s.buildCarry(fresh, cap, fp)))
   }
 
   /** Two-phase cross-batch exact confirm over in-batch keepers
@@ -573,24 +565,6 @@ object EventStreams {
     val r = sigs.agg(aggs.head, aggs.tail: _*).collect()(0)
     graft.ops.IncrementalDedup.unionBloom(
       r.getAs[Array[Byte]]("bb1"), r.getAs[Array[Byte]]("bb2"))
-  }
-
-  /** The carried bucket bloom for `landingDir`, seeding with ONE
-    * column-pruned (mh1..mh4, 4 longs/row) corpus scan when absent,
-    * stale, or outgrown. */
-  private def ensureCarriedBuckets(landingDir: String, corpus: DataFrame,
-                                   landedCount: Long, fp: String): CarriedBloom = {
-    val cached = carriedBuckets.get(landingDir)
-    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
-    else {
-      val cap = math.max(landedCount, 1L) * 4
-      val bits = bucketBits(cap)
-      val c = CarriedBloom(
-        buildBucketBloom(corpus.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
-        bits, 3, cap, fp)
-      carriedBuckets.put(landingDir, c)
-      c
-    }
   }
 
   /** Bucket-bloom metrics to ride the append's Observation (empty when
@@ -668,24 +642,6 @@ object EventStreams {
       .reduce(graft.ops.IncrementalDedup.unionBloom)
   }
 
-  /** The carried semantic bucket bloom for `landingDir`, seeding with
-    * ONE column-pruned (`sb*`, one int per band per row) corpus scan
-    * when absent, stale, or outgrown. */
-  private def ensureCarriedSemBuckets(landingDir: String, corpusCodes: DataFrame,
-                                      bands: Int, landedCount: Long,
-                                      fp: String): CarriedBloom = {
-    val cached = carriedSemBuckets.get(landingDir)
-    if (cached != null && cached.landingFp == fp && landedCount <= cached.capacity) cached
-    else {
-      val cap = math.max(landedCount, 1L) * 4
-      val bits = semBucketBits(cap, bands)
-      val c = CarriedBloom(
-        buildSemBucketBloom(corpusCodes, bands, bits, 3), bits, 3, cap, fp)
-      carriedSemBuckets.put(landingDir, c)
-      c
-    }
-  }
-
   private def semBucketMetricsFor(landingDir: String, bands: Int): Seq[Column] =
     Option(carriedSemBuckets.get(landingDir)).toSeq
       .flatMap(c => semBucketAggs(c.bits, c.hashes, bands))
@@ -748,9 +704,13 @@ object EventStreams {
     landingCheck: (DataFrame, String) => Unit,
     /** The carry map this stage's bloom lives in. */
     carryMap: java.util.concurrent.ConcurrentHashMap[String, CarriedBloom],
-    /** (landingDir, corpus, landedCount, fp) → valid carry (seeding
-      * from the landing if absent/stale/outgrown). */
-    ensureCarry: (String, DataFrame, Long, String) => CarriedBloom,
+    /** THE one carry constructor: (rows, capacity, fp) → CarriedBloom.
+      * The loop calls it from BOTH carry paths — the first-batch seed
+      * (rows = the persisted append) and the steady-state reseed
+      * (rows = the landed corpus; Catalyst prunes to the stage's
+      * columns) — so bits sizing, [[CarryHashes]], and blob layout
+      * live in exactly one place per stage. */
+    buildCarry: (DataFrame, Long, String) => CarriedBloom,
     probeCol: String,
     probe: CarriedBloom => Column,
     /** (persisted probed frame, corpus) → surviving rows. */
@@ -759,9 +719,7 @@ object EventStreams {
       * during the write (empty when no carry exists yet). */
     metricsFor: String => Seq[Column],
     /** Extract this stage's observed append bloom after the write. */
-    observed: (String, org.apache.spark.sql.Observation) => Option[Array[Byte]],
-    /** First-batch seed: (landingDir, fresh, cap, fp) → put carry. */
-    seed: (String, DataFrame, Long, String) => Unit)
+    observed: (String, org.apache.spark.sql.Observation) => Option[Array[Byte]])
 
   private def exactIngestStage(textCol: String, idCol: String): IngestStage =
     IngestStage(
@@ -769,21 +727,19 @@ object EventStreams {
       stateCols = Set.empty,
       landingCheck = (_, _) => (),
       carryMap = carriedBlooms,
-      ensureCarry = (dir, corpus, landed, fp) =>
-        ensureCarriedBloom(dir, corpus, landed, textCol, fp),
+      buildCarry = (rows, cap, fp) => {
+        val bits = graft.ops.IncrementalDedup.sizedBits(cap)
+        CarriedBloom(
+          graft.ops.IncrementalDedup.buildBloom(rows, textCol, bits, CarryHashes),
+          bits, CarryHashes, cap, fp)
+      },
       probeCol = "maybe_dup",
       probe = c => coalesce(call_function("bloom_might_contain", lit(c.blob),
         graft.ops.IncrementalDedup.textHash(col(textCol))), lit(false)),
       confirm = (probed, corpus) => exactStage(probed, corpus, textCol, idCol),
       metricsFor = dir => bloomMetricFor(dir, textCol).toSeq,
       observed = (dir, obs) => Option(carriedBlooms.get(dir))
-        .map(_ => obs.get("bf").asInstanceOf[Array[Byte]]),
-      seed = (dir, fresh, cap, fp) => {
-        val bits = graft.ops.IncrementalDedup.sizedBits(cap)
-        carriedBlooms.put(dir, CarriedBloom(
-          graft.ops.IncrementalDedup.buildBloom(fresh, textCol, bits, 3),
-          bits, 3, cap, fp))
-      })
+        .map(_ => obs.get("bf").asInstanceOf[Array[Byte]]))
 
   private def nearIngestStage(textCol: String, idCol: String): IngestStage =
     IngestStage(
@@ -792,19 +748,17 @@ object EventStreams {
       stateCols = NearStateCols,
       landingCheck = (_, _) => (),
       carryMap = carriedBuckets,
-      ensureCarry = (dir, corpus, landed, fp) =>
-        ensureCarriedBuckets(dir, corpus, landed, fp),
+      buildCarry = (rows, cap, fp) => {
+        val bits = bucketBits(cap)
+        CarriedBloom(
+          buildBucketBloom(rows.select("mh1", "mh2", "mh3", "mh4"), bits, CarryHashes),
+          bits, CarryHashes, cap, fp)
+      },
       probeCol = "maybe_nd",
       probe = c => bucketProbe(c.blob),
       confirm = (probed, corpus) => nearStage(probed, corpus, idCol),
       metricsFor = bucketMetricsFor,
-      observed = observedBucketBloom,
-      seed = (dir, fresh, cap, fp) => {
-        val bits = bucketBits(cap)
-        carriedBuckets.put(dir, CarriedBloom(
-          buildBucketBloom(fresh.select("mh1", "mh2", "mh3", "mh4"), bits, 3),
-          bits, 3, cap, fp))
-      })
+      observed = observedBucketBloom)
 
   private def semIngestStage(sem: SemanticStage, idCol: String): IngestStage = {
     val sbCols = (0 until sem.bands).map(t => s"sb$t")
@@ -815,21 +769,20 @@ object EventStreams {
       stateCols = sbCols.toSet,
       landingCheck = (corpus, dir) => requireLandedSemCols(corpus, sem.bands, dir),
       carryMap = carriedSemBuckets,
-      ensureCarry = (dir, corpus, landed, fp) =>
-        ensureCarriedSemBuckets(dir, corpus.select(sbCols.map(col): _*),
-          sem.bands, landed, fp),
+      buildCarry = (rows, cap, fp) => {
+        val bits = semBucketBits(cap, sem.bands)
+        CarriedBloom(
+          buildSemBucketBloom(rows.select(sbCols.map(col): _*), sem.bands,
+            bits, CarryHashes),
+          bits, CarryHashes, cap, fp)
+      },
       probeCol = "maybe_sem",
       probe = c => semBucketProbe(c.blob, sem.bands),
       confirm = (probed, corpus) => semStage(probed,
         corpus.select((col(idCol) +: col(sem.vecCol) +: sbCols.map(col)): _*),
         sem.tau, idCol, sem.vecCol, sem.bands),
       metricsFor = dir => semBucketMetricsFor(dir, sem.bands),
-      observed = (dir, obs) => observedSemBucketBloom(dir, sem.bands, obs),
-      seed = (dir, fresh, cap, fp) => {
-        val bits = semBucketBits(cap, sem.bands)
-        carriedSemBuckets.put(dir, CarriedBloom(
-          buildSemBucketBloom(fresh, sem.bands, bits, 3), bits, 3, cap, fp))
-      })
+      observed = (dir, obs) => observedSemBucketBloom(dir, sem.bands, obs))
   }
 
   /** THE ingest batch loop — every public ingest entry is this loop
@@ -900,7 +853,19 @@ object EventStreams {
               if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
               val fp = fpOf(pre)
               val out = stages.foldLeft(batch) { (cur, s) =>
-                val carried = s.ensureCarry(landingDir, corpus, landed.get(), fp)
+                // valid carry: fingerprint-fresh and within capacity;
+                // else reseed from the landing (ONE stage-column-
+                // pruned corpus scan) via the stage's one constructor
+                val cached = s.carryMap.get(landingDir)
+                val carried =
+                  if (cached != null && cached.landingFp == fp &&
+                      landed.get() <= cached.capacity) cached
+                  else {
+                    val cap = math.max(landed.get(), 1L) * 4
+                    val c = s.buildCarry(corpus, cap, fp)
+                    s.carryMap.put(landingDir, c)
+                    c
+                  }
                 val probed = s.prep(cur).withColumn(s.probeCol, s.probe(carried))
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 persisted ::= probed

@@ -43,16 +43,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = EventStreams.distinctSketchCounts(input.toDF(), k = 16)
+    // sentinel -1 → null user: null keys must have NO sketch identity
+    // (an ungated xxhash64 would count all nulls as one phantom user)
+    val events = input.toDF().withColumn("user_id",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("user_id") === -1L, null)
+        .otherwise(org.apache.spark.sql.functions.col("user_id")))
+    val q = EventStreams.distinctSketchCounts(events, k = 16)
       .writeStream.format("memory").queryName("kmv_t")
       .outputMode(OutputMode.Update()).start()
     try {
-      // window 10:00: users 1,2,3 (user 1 twice — distinct once);
-      // window 11:00: user 7 only. Duplicates arrive ACROSS batches,
-      // so the sketch state must round-trip the state store intact.
+      // window 10:00: users 1,2,3 (user 1 twice — distinct once) plus
+      // a null-user event (counts zero); window 11:00: user 7 only.
+      // Duplicates arrive ACROSS batches, so the sketch state must
+      // round-trip the state store intact.
       input.addData(ev(1, 5, user = 1), ev(2, 10, user = 2), ev(3, 65, user = 7))
       q.processAllAvailable()
-      input.addData(ev(4, 20, user = 1), ev(5, 40, user = 3))
+      input.addData(ev(4, 20, user = 1), ev(5, 40, user = 3), ev(6, 45, user = -1))
       q.processAllAvailable()
       val rows = spark.table("kmv_t")
         .groupBy("window_start")
