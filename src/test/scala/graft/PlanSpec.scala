@@ -273,6 +273,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"expected pruned scan, got: $read")
   }
 
+  test("q90: both set sketches come from ONE documents scan, no join anywhere") {
+    val p = plan("q90_kmv_setops")
+    // the two conditional kmv_aggs ride a single aggregation over a
+    // single scan — a formulation that scanned per sub-corpus (or
+    // joined the sketches) would double the 100 TB read
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n${p.take(900)}")
+    assert(!p.contains("Join"), s"set-op join detected:\n${p.take(900)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+  }
+
   test("q72: PII scrub is map-only — zero exchanges before the final sort") {
     val p = plan("q72_pii_scrub")
     val exchanges = "Exchange \\(".r.findAllIn(p).length
