@@ -136,3 +136,112 @@ object KmvAgg {
       KmvAgg(children(0), children(1))
     })
 }
+
+/** `kmv_union_agg(sketch, k)` → ARRAY<BIGINT>: union many STORED
+  * [[KmvAgg]] sketches back into one — the re-aggregation half of the
+  * mergeable-sketch contract. A pipeline lands one sketch row per
+  * (shard, day, source) next to its data; answering "distinct over
+  * any subset" is then `kmv_union_agg` over the SELECTED sketch rows
+  * — kilobytes of arrays, zero raw-data rescans. The union of KMV
+  * sketches is lossless by construction (keep the k smallest distinct
+  * of the merged value sets), so
+  * `kmv_union_agg(per_shard_sketches) == kmv_agg(all_raw_keys)`
+  * exactly — pinned by KmvSpec, not just approximately true. Inputs
+  * must be sketches built with the SAME `k` (arrays longer than `k`
+  * are refused); null sketch rows are skipped. */
+case class KmvUnionAgg(
+    child: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvUnionAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val elemOk = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (!elemOk)
+      return TypeCheckResult.TypeCheckFailure(
+        s"kmv_union_agg input must be ARRAY<BIGINT> sketches, got ${child.dataType.catalogString}")
+    if (!kExpr.foldable || kExpr.dataType != IntegerType || kExpr.eval() == null ||
+        kExpr.eval().asInstanceOf[Int] < 1 || kExpr.eval().asInstanceOf[Int] > (1 << 20))
+      return TypeCheckResult.TypeCheckFailure(
+        s"kmv_union_agg k must be a foldable INT in [1, 2^20], got ${kExpr.sql}")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  @transient private lazy val inner = KmvAgg(child, kExpr)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buffer: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buffer.size() < k) { buffer.add(v); () }
+    else if (v < buffer.last()) {
+      buffer.add(v)
+      if (buffer.size() > k) { buffer.pollLast(); () }
+    }
+  }
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() <= k,
+        s"kmv_union_agg: input sketch has ${arr.numElements()} entries > k=$k — " +
+        "was it built with a different k?")
+      var i = 0
+      while (i < arr.numElements()) { add(buffer, arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size())
+    var i = 0
+    val it = buffer.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def prettyName: String = "kmv_union_agg"
+}
+
+object KmvUnionAgg {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_union_agg"),
+    new ExpressionInfo(classOf[KmvUnionAgg].getName, "kmv_union_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "kmv_union_agg(sketch, k) takes exactly 2 arguments")
+      KmvUnionAgg(children(0), children(1))
+    })
+}

@@ -53,6 +53,34 @@ class KmvSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(est - n) / n < 0.25, s"estimate $est vs true $n")
   }
 
+  test("kmv_union_agg: landed per-shard sketches re-aggregate to EXACTLY the whole-corpus sketch") {
+    // the persistence round-trip the mergeable contract promises: one
+    // sketch row per shard landed to parquet, re-aggregated later
+    // WITHOUT the raw keys — must equal the direct whole-data sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-shards").toString + "/sketches"
+    val raw = spark.range(0, 20000)
+      .select((col("id") % 7).as("shard"), xxhash64(col("id")).as("hv"))
+    raw.groupBy("shard")
+      .agg(call_function("kmv_agg", col("hv"), lit(128)).as("sketch"))
+      .write.parquet(dir)
+    val fromShards = spark.read.parquet(dir)
+      .agg(call_function("kmv_union_agg", col("sketch"), lit(128)).as("s"))
+      .head().getSeq[Long](0)
+    val direct = sketch(raw, 128)
+    assert(fromShards == direct, "union of landed shard sketches must be lossless")
+    // subset query: union of three shards == direct sketch of those shards
+    val some = spark.read.parquet(dir).filter(col("shard") < 3)
+      .agg(call_function("kmv_union_agg", col("sketch"), lit(128)).as("s"))
+      .head().getSeq[Long](0)
+    assert(some == sketch(raw.filter(col("shard") < 3), 128))
+    // a sketch from a different k is refused, not silently mis-merged
+    assert(intercept[Exception] {
+      spark.range(0, 500).select(xxhash64(col("id")).as("hv"))
+        .agg(call_function("kmv_agg", col("hv"), lit(64)).as("s"))
+        .selectExpr("kmv_union_agg(s, 32)").collect()
+    }.getMessage.contains("kmv_union_agg"))
+  }
+
   test("kmv_set_est: exact when unsaturated, theta estimates when saturated") {
     // exact regime: tiny disjoint-ish sets, k well above both
     val exact = spark.sql(
