@@ -59,6 +59,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.MisraGriesAgg.description)
         ext.injectFunction(graft.functions.KmvSetEst.description)
         ext.injectFunction(graft.functions.KmvUnionAgg.description)
+        ext.injectFunction(graft.functions.MisraGriesUnionAgg.description)
         ext.injectFunction(graft.functions.BloomMightContain.description)
         ext.injectFunction(graft.functions.WordChunks.description)
         ext.injectFunction(graft.functions.BpeTokenCount.description)

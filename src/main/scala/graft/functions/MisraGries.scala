@@ -185,3 +185,101 @@ object MisraGriesAgg {
       MisraGriesAgg(children(0), children(1))
     })
 }
+
+/** `mg_union_agg(summary, k)` → the same ARRAY<STRUCT<item, cnt>>:
+  * merge many STORED [[MisraGriesAgg]] summaries into one — the
+  * persistence half of the mergeable contract (the [[KmvUnionAgg]]
+  * pattern for the frequent-items family). Land one summary row per
+  * (shard, day, source); "frequent items over any subset" is then
+  * this aggregate over the SELECTED summary rows followed by the
+  * usual exact confirm of the ≤k candidates. Each input is folded by
+  * the weighted PODS-2012 merge (sum counts item-wise, subtract the
+  * (k+1)-th largest, drop non-positives), so the n/(k+1) superset
+  * guarantee holds over the COMBINED stream — with the usual additive
+  * error across merges, which the confirm pass absorbs. Inputs longer
+  * than `k` are refused (built with a different k); null rows skip. */
+case class MisraGriesUnionAgg(
+    child: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesUnionAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = inner.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val elemOk = child.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == StringType && f1.dataType == LongType
+      case _ => false
+    }
+    if (!elemOk)
+      return TypeCheckResult.TypeCheckFailure(
+        "mg_union_agg input must be ARRAY<STRUCT<item STRING, cnt BIGINT>> " +
+        s"summaries (mg_agg's output), got ${child.dataType.catalogString}")
+    if (!kExpr.foldable || kExpr.dataType != IntegerType || kExpr.eval() == null ||
+        kExpr.eval().asInstanceOf[Int] < 1 || kExpr.eval().asInstanceOf[Int] > (1 << 16))
+      return TypeCheckResult.TypeCheckFailure(
+        s"mg_union_agg k must be a foldable INT in [1, 2^16], got ${kExpr.sql}")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  @transient private lazy val inner = MisraGriesAgg(child, kExpr)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() <= k,
+        s"mg_union_agg: input summary has ${arr.numElements()} entries > k=$k — " +
+        "was it built with a different k?")
+      val other = new java.util.HashMap[String, Long](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        other.put(row.getUTF8String(0).toString, row.getLong(1))
+        i += 1
+      }
+      inner.merge(buf, other)
+    } else buf
+  }
+
+  override def merge(buf: java.util.HashMap[String, Long],
+                     other: java.util.HashMap[String, Long])
+      : java.util.HashMap[String, Long] = inner.merge(buf, other)
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = inner.eval(buf)
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
+    inner.deserialize(bytes)
+
+  override def prettyName: String = "mg_union_agg"
+}
+
+object MisraGriesUnionAgg {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_union_agg"),
+    new ExpressionInfo(classOf[MisraGriesUnionAgg].getName, "mg_union_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "mg_union_agg(summary, k) takes exactly 2 arguments")
+      MisraGriesUnionAgg(children(0), children(1))
+    })
+}

@@ -63,6 +63,29 @@ class MgSpec extends AnyFunSuite with SparkTestSession {
     }.getMessage.contains("STRING"))
   }
 
+  test("mg_union_agg: stored per-shard summaries re-merge with the superset guarantee intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-shards").toString + "/summaries"
+    val df = skewed.withColumn("shard",
+      org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.xxhash64(col("tok"))) % 5)
+    df.groupBy("shard")
+      .agg(call_function("mg_agg", col("tok"), lit(16)).as("summary"))
+      .write.parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(call_function("mg_union_agg", col("summary"), lit(16)).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every guaranteed heavy hitter of the COMBINED stream survives
+    // the land-and-remerge round trip (n=6000, k=16 -> bound 352)
+    for (i <- 0 until 5) assert(merged.contains(s"hh$i"), s"hh$i lost: $merged")
+    assert(merged.size <= 16)
+    // different-k summaries are refused, not silently mis-merged
+    assert(intercept[Exception] {
+      spark.read.parquet(dir)
+        .selectExpr("mg_union_agg(summary, 8)").collect()
+    }.getMessage.contains("mg_union_agg"))
+  }
+
   test("q89 shape: the MG candidate set + exact confirm equals the direct group-count") {
     // end-to-end equivalence on a frame where heavy hitters exist:
     // the confirmed output must be IDENTICAL to the naive formulation
