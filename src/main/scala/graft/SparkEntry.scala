@@ -1871,6 +1871,36 @@ object SparkEntry {
           round(col("e.union_est"), 6).as("union_est"),
           round(col("e.intersect_est"), 6).as("intersect_est"),
           round(col("e.jaccard_est"), 6).as("jaccard_est"))
+    }),
+
+    // ---- sketch re-aggregation: per-source sketches → corpus sketch ----
+    // The persistence contract as a gate-checked query: one kmv_agg
+    // sketch per source (the per-shard rows a pipeline would LAND),
+    // then kmv_union_agg over just those ≤k-long arrays — never the
+    // raw hashes again — must equal the direct whole-corpus sketch.
+    // KMV union is lossless by construction, so the oracle can derive
+    // the k smallest GLOBAL distinct hashes directly and the hash
+    // match proves the two-level aggregation is exact, not just close.
+    "q91_kmv_reagg" -> ((s, dir) => {
+      val k = 64
+      val hv = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint")
+      val perSource = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), hv.as("hv"))
+        .groupBy("source")
+        .agg(call_function("kmv_agg", col("hv"), lit(k)).as("sketch"))
+      perSource
+        .agg(call_function("kmv_union_agg", col("sketch"), lit(k)).as("mins"))
+        .select(
+          size(col("mins")).as("n_kept"),
+          element_at(col("mins"), lit(1)).as("min_hash"),
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+          round(
+            when(size(col("mins")) < k, size(col("mins")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("mins"), k).cast("double") /
+                  lit(1152921504606846976.0))),
+            6).as("est_distinct"))
     })
   )
 
@@ -3674,7 +3704,28 @@ object SparkEntry {
         |  round(ci * (1152921504606846976.0 / th), 6) AS intersect_est,
         |  round(CASE WHEN cu = 0 THEN 0.0
         |        ELSE CAST(ci AS DOUBLE) / CAST(cu AS DOUBLE) END, 6) AS jaccard_est
-        |FROM u, i, theta""".stripMargin
+        |FROM u, i, theta""".stripMargin,
+
+    // Losslessness makes the oracle simple: the union of per-source
+    // sketches must equal the k smallest GLOBAL distinct hashes, so
+    // the oracle skips the two-level structure entirely and the hash
+    // match proves it exact.
+    "q91_kmv_reagg" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |         count(*) OVER () AS nd
+        |  FROM h)
+        |SELECT
+        |  CAST(LEAST(MAX(nd), 64) AS INT) AS n_kept,
+        |  CAST(MIN(hv) AS BIGINT) AS min_hash,
+        |  CAST(MAX(CASE WHEN rn = LEAST(nd, 64) THEN hv END) AS BIGINT) AS kth_hash,
+        |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |        ELSE 63.0 / (MAX(CASE WHEN rn = 64 THEN hv END) / 1152921504606846976.0)
+        |        END, 6) AS est_distinct
+        |FROM r WHERE rn <= 64""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
