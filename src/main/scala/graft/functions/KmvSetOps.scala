@@ -78,11 +78,28 @@ case class KmvSetEst(a: Expression, b: Expression,
     require(n <= k && m <= k,
       s"kmv_set_est: sketch larger than k=$k ($n / $m entries) — " +
       "was it built with a different k?")
+    // ascending arrays ⇒ first/last bound every element: a signed
+    // hash (raw xxhash64) or wrong domain_bits would otherwise yield
+    // negative θ and silently-wrong estimates — fail loudly instead
+    def checkDomain(arr: ArrayData, len: Int, side: String): Unit =
+      if (len > 0) {
+        require(!arr.isNullAt(0) && !arr.isNullAt(len - 1),
+          s"kmv_set_est: $side sketch contains null entries")
+        val lo = arr.getLong(0); val hi = arr.getLong(len - 1)
+        require(lo >= 0L && hi < domain,
+          s"kmv_set_est: $side sketch value out of domain [0, $domain): " +
+          s"[$lo, $hi] — was it built with signed hashes or different domain_bits?")
+      }
+    checkDomain(xs, n, "left")
+    checkDomain(ys, m, "right")
     // θ in hash units: a saturated sketch caps the trusted region at
     // its k-th value; an unsaturated sketch covers the whole domain
     val thetaA = if (n == k) xs.getLong(k - 1) else domain
     val thetaB = if (m == k) ys.getLong(k - 1) else domain
     val theta = math.min(thetaA, thetaB)
+    require(theta > 0L,
+      s"kmv_set_est: θ=0 (both sketches saturated at value 0) — " +
+      "degenerate input, estimates undefined")
     // merge-walk the two ascending arrays counting distinct-union and
     // intersection strictly below θ
     var i = 0; var j = 0

@@ -206,7 +206,13 @@ case class KmvUnionAgg(
         s"kmv_union_agg: input sketch has ${arr.numElements()} entries > k=$k — " +
         "was it built with a different k?")
       var i = 0
-      while (i < arr.numElements()) { add(buffer, arr.getLong(i)); i += 1 }
+      while (i < arr.numElements()) {
+        // a null element would read as 0 via getLong, injecting a
+        // phantom minimum into the sketch — refuse corrupt input
+        require(!arr.isNullAt(i),
+          s"kmv_union_agg: input sketch contains a null entry at index $i")
+        add(buffer, arr.getLong(i)); i += 1
+      }
     }
     buffer
   }

@@ -251,7 +251,13 @@ case class MisraGriesUnionAgg(
       val other = new java.util.HashMap[String, Long](arr.numElements() * 2)
       var i = 0
       while (i < arr.numElements()) {
+        require(!arr.isNullAt(i),
+          s"mg_union_agg: input summary contains a null entry at index $i")
         val row = arr.getStruct(i, 2)
+        // null struct fields would NPE on getUTF8String / read cnt as
+        // 0 — refuse hand-crafted corrupt summaries loudly
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"mg_union_agg: summary entry $i has a null item or cnt field")
         other.put(row.getUTF8String(0).toString, row.getLong(1))
         i += 1
       }

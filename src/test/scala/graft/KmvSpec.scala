@@ -111,6 +111,38 @@ class KmvSpec extends AnyFunSuite with SparkTestSession {
     }.getMessage.contains("kmv_set_est"))
   }
 
+  test("kmv_set_est refuses out-of-domain and degenerate sketches instead of mis-estimating") {
+    // signed hashes (raw xxhash64) produce negative sketch values —
+    // negative θ would silently yield negative estimates; must refuse
+    val neg = intercept[Exception] {
+      spark.sql("SELECT kmv_set_est(array(-5L, 3L), array(1L, 2L), 64, 60)").collect()
+    }
+    assert(neg.getMessage.contains("out of domain"), neg.getMessage)
+    // values >= 2^domain_bits (wrong domain_bits) likewise refused
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT kmv_set_est(array(1L, ${1L << 61}L), array(1L), 64, 60)").collect()
+    }.getMessage.contains("out of domain"))
+    // θ=0: both sketches saturated with k-th value 0 → divide-by-zero
+    // regime; refused, not Infinity/NaN
+    assert(intercept[Exception] {
+      spark.sql("SELECT kmv_set_est(array(0L, 0L), array(0L, 0L), 2, 60)").collect()
+    }.getMessage.contains("θ=0"))
+    // null elements inside a sketch array are corrupt input, refused
+    assert(intercept[Exception] {
+      spark.sql("SELECT kmv_set_est(array(CAST(NULL AS BIGINT), 3L), array(1L), 64, 60)").collect()
+    }.getMessage.contains("null"))
+  }
+
+  test("kmv_union_agg refuses sketches containing null elements") {
+    // a null read as getLong would inject a phantom 0 minimum,
+    // silently corrupting every downstream estimate
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_union_agg(s, 4) FROM " +
+        "(SELECT array(CAST(NULL AS BIGINT), 7L) AS s)").collect()
+    }
+    assert(e.getMessage.contains("null entry"), e.getMessage)
+  }
+
   test("kmv_agg rejects bad arguments loudly") {
     val df = Seq(1L).toDF("hv")
     // non-integer / non-positive / over-cap k

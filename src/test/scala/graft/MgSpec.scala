@@ -86,6 +86,24 @@ class MgSpec extends AnyFunSuite with SparkTestSession {
     }.getMessage.contains("mg_union_agg"))
   }
 
+  test("mg_union_agg refuses summaries with null entries or null struct fields") {
+    // hand-crafted corrupt input: a null struct would NPE on the item
+    // read (or read cnt as 0) — must be refused with a clear message
+    assert(intercept[Exception] {
+      spark.sql("SELECT mg_union_agg(s, 4) FROM (SELECT " +
+        "array(named_struct('item', 'a', 'cnt', 2L), " +
+        "CAST(NULL AS STRUCT<item: STRING, cnt: BIGINT>)) AS s)").collect()
+    }.getMessage.contains("null entry"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT mg_union_agg(s, 4) FROM (SELECT " +
+        "array(named_struct('item', CAST(NULL AS STRING), 'cnt', 2L)) AS s)").collect()
+    }.getMessage.contains("null item or cnt"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT mg_union_agg(s, 4) FROM (SELECT " +
+        "array(named_struct('item', 'a', 'cnt', CAST(NULL AS BIGINT))) AS s)").collect()
+    }.getMessage.contains("null item or cnt"))
+  }
+
   test("q89 shape: the MG candidate set + exact confirm equals the direct group-count") {
     // end-to-end equivalence on a frame where heavy hitters exist:
     // the confirmed output must be IDENTICAL to the naive formulation
