@@ -1901,6 +1901,31 @@ object SparkEntry {
                 (element_at(col("mins"), k).cast("double") /
                   lit(1152921504606846976.0))),
             6).as("est_distinct"))
+    }),
+
+    // ---- exact substring-SPAN dedup (arbitrary-offset repeats) ----
+    // The Lee-et-al ExactSubstr family: q73's chunk grid misses
+    // repeats that sit at different word offsets in different
+    // documents; ops/SpanDedup shingles each document into
+    // OVERLAPPING w=8-word spans at stride s=4 and drops a stride
+    // block only when every span covering it was seen before. The
+    // constructed corpus plants a 23-word licence boiler behind a
+    // 0–4-word pad (doc_id % 5) — offsets differing by the stride
+    // phase, the exact case chunk dedup cannot catch. Shuffle keys
+    // are 60-bit md5 span fingerprints (q88 convention — the oracle
+    // re-derives them bit-for-bit), then one doc_id regroup; span
+    // text never shuffles, never doc×doc.
+    "q92_span_dedup" -> ((s, dir) => {
+      val boiler = "terms of service apply to all content in this corpus " +
+        "redistribution prohibited without prior written consent of the " +
+        "publisher all rights reserved worldwide"
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(expr("repeat('pad ', CAST(doc_id % 5 AS INT))"),
+                 lit(boiler), lit(" "), col("text")).as("text"))
+      ops.SpanDedup.dedup(docs, "text", "doc_id", w = 8, s = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -3725,7 +3750,46 @@ object SparkEntry {
         |  round(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
         |        ELSE 63.0 / (MAX(CASE WHEN rn = 64 THEN hv END) / 1152921504606846976.0)
         |        END, 6) AS est_distinct
-        |FROM r WHERE rn <= 64""".stripMargin
+        |FROM r WHERE rn <= 64""".stripMargin,
+
+    // q92: the oracle re-derives the stride-4 / width-8 shingle grid,
+    // the 60-bit md5 span fingerprints, the corpus-wide
+    // first-occurrence keeper, and the covered-by-any-keeper block
+    // rule relationally. The oracle's span-to-block coverage is a
+    // small range self-join (fine for an oracle); the engine computes
+    // it inside the doc-keyed aggregation instead.
+    "q92_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    repeat('pad ', CAST(doc_id % 5 AS INT)) ||
+        |    'terms of service apply to all content in this corpus redistribution prohibited without prior written consent of the publisher all rights reserved worldwide'
+        |    || ' ' || text AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        |c AS (SELECT doc_id, toks,
+        |        CAST(unnest(range(0, greatest(CAST(ceil(len(toks) / 4.0) AS BIGINT), 1))) AS INT) AS pos
+        |      FROM t),
+        |sp AS (SELECT doc_id, pos,
+        |         array_to_string(toks[pos*4+1 : pos*4+4], ' ') AS block,
+        |         CAST(('0x' || substr(md5(array_to_string(toks[pos*4+1 : pos*4+8], ' ')), 1, 15)) AS BIGINT) AS span_h
+        |       FROM c),
+        |k AS (SELECT doc_id, pos, block,
+        |        (row_number() OVER (PARTITION BY span_h ORDER BY doc_id, pos) = 1) AS keep
+        |      FROM sp),
+        |cov AS (SELECT b.doc_id, b.pos, b.block, bool_or(s2.keep) AS kept
+        |        FROM k b JOIN k s2 ON s2.doc_id = b.doc_id
+        |                          AND s2.pos BETWEEN b.pos - 1 AND b.pos
+        |        GROUP BY b.doc_id, b.pos, b.block),
+        |agg1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans
+        |         FROM k GROUP BY doc_id),
+        |agg2 AS (SELECT doc_id,
+        |           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_blocks,
+        |           COALESCE(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS text_dedup
+        |         FROM cov GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_spans, a.n_dup_spans, b.n_kept_blocks, b.text_dedup
+        |FROM agg1 a JOIN agg2 b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -62,6 +62,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.MisraGriesUnionAgg.description)
         ext.injectFunction(graft.functions.BloomMightContain.description)
         ext.injectFunction(graft.functions.WordChunks.description)
+        ext.injectFunction(graft.functions.WordSpans.description)
         ext.injectFunction(graft.functions.BpeTokenCount.description)
         ext.injectFunction(graft.functions.BpeChunks.description)
         ext.injectFunction(graft.functions.PiiScrub.description)

@@ -300,6 +300,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Window"), "first-occurrence window missing")
   }
 
+  test("q92: span dedup shuffles span fingerprints, then one doc regroup — never doc pairs") {
+    val p = plan("q92_span_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
+    assert(!p.contains("Join"), s"span dedup needs no join at all:\n$p")
+    assert(p.contains("Window"), "first-occurrence window missing")
+    // exactly three exchanges: span_h window, doc_id regroup, final
+    // sort — an extra one means the single-aggregation reassembly
+    // regressed to a join-back
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 3, s"expected 3 exchanges (span_h, doc_id, sort), got $exchanges:\n$p")
+    // the span text itself must not ride the shuffle — only its
+    // 60-bit fingerprint does
+    assert(p.contains("span_h"), "span fingerprint column missing from the plan")
+  }
+
   test("q74: bloom prefilter guards the exact-confirm join") {
     val p = plan("q74_incremental_dedup")
     // the batch probes the collected blob BEFORE any join: provably-
