@@ -1742,41 +1742,8 @@ object SparkEntry {
     // the landed corpus), so the AND equals the pipeline's
     // sequential stages — the q83 argument with one more link.
     "q87_full_ingest" -> ((s, dir) => {
-      val de = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .join(Tables.embeddings(s, dir)
-          .select(col("vec_id").as("doc_id"),
-                  col("embedding").cast("array<double>").as("vec")),
-          Seq("doc_id"))
-      val base = de.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("base_id"), col("text").as("base_text"),
-                col("vec").as("base_v"))
-      val corpus = de.filter(col("doc_id") % 20 === 0)
-      val batch = de.filter(col("doc_id") % 20 =!= 0)
-        .join(base, col("base_id") === col("doc_id") - (col("doc_id") % 20))
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 1, col("base_text"))
-            .when(col("doc_id") % 7 === 2,
-              concat(col("base_text"), lit(" ingest edit marker")))
-            .otherwise(col("text")).as("text"),
-          when(col("doc_id") % 7 === 1, col("base_v"))
-            .when(col("doc_id") % 7 === 2,
-              transform(col("base_v"),
-                (x, i) => when(i === 0, x + lit(0.25)).otherwise(x)))
-            .when(col("doc_id") % 7 === 3, col("base_v"))
-            .otherwise(col("vec")).as("vec"))
-        .localCheckpoint() // many consumers below — q83/q86 discipline
-      val exactFlag = ops.IncrementalDedup.newDocs(
-          corpus.select("doc_id", "text"), batch.select("doc_id", "text"))
-        .select(col("doc_id"), col("is_new").as("exact_new"))
-      val nearFlag = ops.NearDupIncremental.newDocs(
-          ops.NearDupIncremental.withSigs(corpus.select("doc_id", "text")),
-          ops.NearDupIncremental.withSigs(batch.select("doc_id", "text")))
-        .select(col("doc_id"), col("is_new").as("near_new"))
-      val semFlag = ops.SemanticIncremental.newDocs(
-          corpus.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
-          batch.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
-          tau = 0.4, bits = AnnBits, bands = AnnBands)
-        .select(col("vec_id").as("doc_id"), col("is_new").as("sem_new"))
+      val (corpus, batch) = fullIngestBase(s, dir)
+      val (exactFlag, nearFlag, semFlag) = fullIngestFlags(corpus, batch)
       exactFlag.join(nearFlag, Seq("doc_id")).join(semFlag, Seq("doc_id"))
         .select(col("doc_id"),
           (col("exact_new") && col("near_new") && col("sem_new")).as("is_new"))
@@ -1933,6 +1900,65 @@ object SparkEntry {
     * edge: double header, mixed ISO offsets, coerce failures, partial
     * and total key-var nulls, out-of-range measures, unsorted rows. */
   private val RawFixtureCsv = "/root/repo/data/fixtures/sea_surface_raw.csv"
+
+  /** q87's constructed corpus/batch pair (documents ⋈ embeddings with
+    * the %7 text/vector overlap construction). BOTH sides are
+    * localCheckpointed: the batch has three direct consumers per
+    * chain, and the corpus is consumed FOUR times across the chains
+    * (the exact stage's bloom-blob collect + confirm join, the near
+    * stage's signing, the semantic stage's coding) — without the
+    * checkpoint each consumer re-runs the documents ⋈ embeddings
+    * join (measured in tools/Q87Probe; the re-derivation was ~30% of
+    * the cell at sf0.1). In the STREAMING twin this materialize-once
+    * role is played by the landing dir itself. */
+  private[graft] def fullIngestBase(s: SparkSession, dir: String,
+      checkpointCorpus: Boolean = true): (DataFrame, DataFrame) = {
+    val de = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+                col("embedding").cast("array<double>").as("vec")),
+        Seq("doc_id"))
+    val base = de.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("base_id"), col("text").as("base_text"),
+              col("vec").as("base_v"))
+    val corpus0 = de.filter(col("doc_id") % 20 === 0)
+    val corpus = if (checkpointCorpus) corpus0.localCheckpoint() else corpus0
+    val batch = de.filter(col("doc_id") % 20 =!= 0)
+      .join(base, col("base_id") === col("doc_id") - (col("doc_id") % 20))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 1, col("base_text"))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("base_text"), lit(" ingest edit marker")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 7 === 1, col("base_v"))
+          .when(col("doc_id") % 7 === 2,
+            transform(col("base_v"),
+              (x, i) => when(i === 0, x + lit(0.25)).otherwise(x)))
+          .when(col("doc_id") % 7 === 3, col("base_v"))
+          .otherwise(col("vec")).as("vec"))
+      .localCheckpoint() // many consumers below — q83/q86 discipline
+    (corpus, batch)
+  }
+
+  /** The three per-stage is_new flag frames of the q87 carrier —
+    * exposed so tools/Q87Probe times each chain against the SAME code
+    * the carrier runs. */
+  private[graft] def fullIngestFlags(corpus: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val exactFlag = ops.IncrementalDedup.newDocs(
+        corpus.select("doc_id", "text"), batch.select("doc_id", "text"))
+      .select(col("doc_id"), col("is_new").as("exact_new"))
+    val nearFlag = ops.NearDupIncremental.newDocs(
+        ops.NearDupIncremental.withSigs(corpus.select("doc_id", "text")),
+        ops.NearDupIncremental.withSigs(batch.select("doc_id", "text")))
+      .select(col("doc_id"), col("is_new").as("near_new"))
+    val semFlag = ops.SemanticIncremental.newDocs(
+        corpus.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+        batch.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+        tau = 0.4, bits = AnnBits, bands = AnnBands)
+      .select(col("vec_id").as("doc_id"), col("is_new").as("sem_new"))
+    (exactFlag, nearFlag, semFlag)
+  }
 
   /** MinHash signature frame shared by q26 and q31: the native
     * [[graft.functions.MinHashSigs]] expression computes all four
