@@ -295,18 +295,17 @@ object SparkEntry {
     }),
 
     // ---- session windows (30m gap) per user ----
-    "q18_sessionize" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-             min(col("ts")).as("session_start"),
-             max(col("ts")).as("session_end"))
-        .select(col("user_id"),
-                col("session_start").cast("timestamp_ntz").as("session_start"),
-                col("session_end").cast("timestamp_ntz").as("session_end"),
-                col("n_events"))
-        .orderBy("user_id", "session_start")
-    }),
+    // Batch-native lag→cumsum sessionize (see sessionizeLag): round-15
+    // A/B vs the `session_window` form (tools/Q18Probe, interleaved
+    // fresh JVMs) — parity at sf0.1 (sw 0.69 vs lag 0.76 min, floor
+    // noise both ways), lag ahead at sf1 (1.53 vs 1.64), and
+    // DECISIVE at sf10: lag 5.7/6.8 s stable vs sw 8.2/8.4 s mins
+    // with 16–36 s spill-prone reps — `session_window`'s
+    // Updating/MergingSessions execs degrade under memory pressure
+    // exactly where the 100 TB grade is decided. `session_window`
+    // remains the STREAMING sessionize (EventStreams), where merging
+    // state incrementally is the point.
+    "q18_sessionize" -> ((s, dir) => sessionizeLag(s, dir)),
 
     // ---- JSON extraction (F11 analog) ----
     // from_json with a declared schema parses each value once inside
@@ -1900,6 +1899,41 @@ object SparkEntry {
     * edge: double header, mixed ISO offsets, coerce failures, partial
     * and total key-var nulls, out-of-range measures, unsorted rows. */
   private val RawFixtureCsv = "/root/repo/data/fixtures/sea_surface_raw.csv"
+
+  /** The q18 batch sessionize (accepted over `session_window` on the
+    * round-15 A/B — tools/Q18Probe): break when the gap to the
+    * previous event is >= 30 min (lag), session id = running break
+    * count (cumsum), then one aggregation. Plan shape: ONE user_id
+    * exchange serves both window passes AND the (user_id, sid)
+    * aggregation (hash-partitioning on a PREFIX of the grouping keys
+    * satisfies ClusteredDistribution, so no re-shuffle), where
+    * `session_window` plans UpdatingSessions/MergingSessions execs —
+    * parity at sf0.1/sf1, but at sf10 those execs spill (8.2 s mins,
+    * 16–36 s reps) while this stays flat at ~6 s. Tie rows (equal ts)
+    * are gap-0 — session assignment is order-independent, so the
+    * result is deterministic. */
+  private[graft] def sessionizeLag(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val prev = lag(col("ts"), 1).over(byUser)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(prev.isNull ||
+             unix_micros(col("ts")) - unix_micros(prev) >= lit(1800L * 1000000L),
+             1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .select(col("user_id"),
+              col("session_start").cast("timestamp_ntz").as("session_start"),
+              col("session_end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 
   /** q87's constructed corpus/batch pair (documents ⋈ embeddings with
     * the %7 text/vector overlap construction). BOTH sides are
