@@ -206,7 +206,8 @@ object RunIngest {
         val s = EventStreams.landingStats(spark, opts("corpus"))
         println(f"[ingest] ${opts("corpus")}: ${s.totalFiles} visible file(s), " +
           f"${s.totalBytes / 1e6}%.1f MB across ${s.leaves.size} dir(s)" +
-          (if (s.lockHeld) " — MAINTENANCE LOCK HELD" else ""))
+          (if (s.lockHeld) " — MAINTENANCE LOCK HELD" else "") +
+          (if (s.writerLockHeld) " — INGEST WRITER LOCK HELD" else ""))
         s.leaves.foreach { case (leaf, files, bytes) =>
           println(f"[ingest]   $leaf: $files file(s), ${bytes / 1e6}%.1f MB")
         }

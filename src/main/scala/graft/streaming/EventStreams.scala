@@ -814,6 +814,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        heartbeatIngestLock(landingDir)
         // Only a genuinely-absent landing dir means "first batch".
         // Any other read failure (transient IO, corrupt footer,
         // permissions) must fail the batch so the retry re-runs WITH
@@ -933,21 +934,221 @@ object EventStreams {
     mine
   }
 
+  // ---------- cross-JVM ingest writer lock ----------
+
+  /** Heartbeat staleness threshold for [[acquireIngestLock]] takeover
+    * (test seam — production default 30 min, generously above any
+    * sane micro-batch interval so a slow batch never loses its
+    * landing to a takeover). */
+  private[graft] var ingestLockStaleMs: Long = 30L * 60 * 1000
+
+  private[graft] final class IngestLock(
+      val fs: org.apache.hadoop.fs.FileSystem,
+      val path: org.apache.hadoop.fs.Path) {
+    @volatile var runId: java.util.UUID = null
+  }
+
+  /** Live file locks of this JVM's active ingest streams, keyed by
+    * canonical landing dir. */
+  private val ingestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, IngestLock]()
+  /** Stream runId → landing key, so the termination listener can
+    * release the right lock. */
+  private val lockByRun =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+  private val lockListenerSessions: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ingestLockFile(landingPath: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path = {
+    val parent = landingPath.getParent
+    require(parent != null,
+      s"landing '$landingPath' has no parent dir to hold the writer lock")
+    new org.apache.hadoop.fs.Path(parent, s".ingest-writer-lock-${landingPath.getName}")
+  }
+
+  private def lockOwnerPid(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pidAliveElsewhere(pid: Long, self: Long): Boolean =
+    pid != self && {
+      val h = java.lang.ProcessHandle.of(pid)
+      h.isPresent && h.get.isAlive
+    }
+
+  /** Take the landing's cross-JVM writer lock or throw — the other
+    * half of the single-writer contract (the in-JVM slot cannot see
+    * another PROCESS; before round 15 a second-JVM ingest was only
+    * absorbed after the fact by the fingerprint-reseed discipline,
+    * which repairs carries but cannot stop two writers interleaving
+    * appends). Create-exclusive `.ingest-writer-lock-<name>` beside
+    * the landing, pid inside, mtime refreshed each micro-batch
+    * ([[heartbeatIngestLock]]). An existing lock is taken over only
+    * when (a) it names THIS pid (a stopped/crashed stream of this
+    * process — the in-JVM slot, already acquired, is the authority
+    * here), (b) its pid is provably dead (`ProcessHandle.of` —
+    * meaningful on a local fs; on a multi-host shared fs a foreign
+    * host's pid number can false-alias a live local process, which
+    * only DELAYS takeover to rule c), or (c) its heartbeat mtime is
+    * older than [[ingestLockStaleMs]]. Otherwise: loud refusal naming
+    * the file.
+    *
+    * HONEST takeover window: the stale-check-then-delete-then-create
+    * is not atomic — two starters racing a stale lock can both
+    * conclude "stale", and the second's create-exclusive fails and is
+    * retried against the first's FRESH lock (refused). The residual
+    * hazard is a live-but-paused writer (GC pause / suspended VM
+    * longer than the threshold): it loses the lock and its next
+    * heartbeat silently recreates it, leaving two writers until its
+    * next fingerprint check reseeds — takeover trades that bounded
+    * window for crash recovery without operator intervention. A
+    * fresh `.maintenance-lock` is refused symmetrically, and the
+    * ingest lock is re-checked against it after creation (either
+    * order of the two creations leaves at most one owner). */
+  private def acquireIngestLock(spark: SparkSession, landingDir: String): IngestLock = {
+    val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = landingPath.getParent
+    require(parent != null,
+      s"landing '$landingPath' has no parent dir to hold the writer lock")
+    if (!fs.exists(parent)) fs.mkdirs(parent)
+    val mLock = new org.apache.hadoop.fs.Path(
+      parent, s".maintenance-lock-${landingPath.getName}")
+    def refuseIfMaintenance(): Unit =
+      if (fs.exists(mLock))
+        throw new IllegalStateException(
+          s"maintenance lock '$mLock' exists — a maintenance run (possibly in " +
+          "another JVM) owns this landing, or a previous one crashed; an ingest " +
+          "stream must not start under it. After confirming nothing is running, " +
+          "delete the lock file and retry")
+    refuseIfMaintenance()
+    val lock = ingestLockFile(landingPath)
+    val self = java.lang.ProcessHandle.current().pid()
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var attempts = 0
+    while (out == null) {
+      attempts += 1
+      try out = fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          if (attempts > 3)
+            throw new IllegalStateException(
+              s"could not acquire ingest writer lock '$lock' after $attempts attempts", e)
+          val status =
+            try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.FileNotFoundException => None }
+          status.foreach { st =>
+            val pid = lockOwnerPid(fs, lock)
+            val ownLeftover = pid.contains(self)
+            val dead = pid.exists(p => !pidAliveElsewhere(p, self) && p != self)
+            val stale =
+              System.currentTimeMillis() - st.getModificationTime > ingestLockStaleMs
+            if (!(ownLeftover || dead || stale))
+              throw new IllegalStateException(
+                s"ingest writer lock '$lock' is held by pid ${pid.getOrElse("?")} " +
+                s"with a fresh heartbeat — another ingest stream (in another JVM) " +
+                "is writing this landing; the carried dedup state tolerates " +
+                "exactly one writer. Stop that stream first, or wait out the " +
+                s"heartbeat staleness window (${ingestLockStaleMs / 1000} s)")
+            fs.delete(lock, false)
+          }
+      }
+    }
+    out.write(self.toString.getBytes("UTF-8"))
+    out.close()
+    try refuseIfMaintenance()
+    catch {
+      case t: Throwable => fs.delete(lock, false); throw t
+    }
+    new IngestLock(fs, lock)
+  }
+
+  /** Refresh the writer lock's heartbeat mtime (called at the top of
+    * every micro-batch). Best-effort: a lock-metadata hiccup must not
+    * fail a data batch. Recreates the file if an operator (or a
+    * mistaken takeover — see the window note on
+    * [[acquireIngestLock]]) removed it. */
+  private def heartbeatIngestLock(landingDir: String): Unit = {
+    val h = ingestLocks.get(landingDir)
+    if (h != null) {
+      try {
+        if (h.fs.exists(h.path)) h.fs.setTimes(h.path, System.currentTimeMillis(), -1)
+        else {
+          val o = h.fs.create(h.path, true)
+          o.write(java.lang.ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+          o.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** One listener per session releases writer locks on clean stream
+    * termination (crash release is the takeover rule's job). Deletes
+    * only the lock its own run still owns — a newer writer that took
+    * the landing over in the meantime keeps its lock. */
+  private def ensureLockReleaseListener(spark: SparkSession): Unit =
+    if (lockListenerSessions.add(spark))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+            val key = lockByRun.remove(e.runId)
+            if (key != null) {
+              val h = ingestLocks.get(key)
+              if (h != null && h.runId == e.runId && ingestLocks.remove(key, h)) {
+                try { h.fs.delete(h.path, false); () }
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
+          }
+        })
+
   /** Refuse to start a second active ingest stream on a landing dir
-    * (loud error, pinned by StreamingSpec) — the in-JVM half of the
-    * single-writer contract; cross-JVM writers are caught by the
-    * fingerprint/validated-fold discipline instead (reseed, never
-    * staleness). */
+    * (loud error, pinned by StreamingSpec) — the in-JVM slot catches
+    * same-process writers; the `.ingest-writer-lock` file
+    * ([[acquireIngestLock]], round 15) catches writers in OTHER
+    * processes, with heartbeat-mtime staleness + dead-pid takeover.
+    * The fingerprint/validated-fold discipline remains the last line
+    * for whatever slips the locks (reseed, never staleness). */
   private def startGuarded(spark: SparkSession, landingDir: String)
       (start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val mine = acquireLanding(spark, landingDir)
+    val flock =
+      try acquireIngestLock(spark, landingDir)
+      catch {
+        case t: Throwable => activeIngests.remove(landingDir, mine); throw t
+      }
+    ensureLockReleaseListener(spark)
+    ingestLocks.put(landingDir, flock)
     try {
       val q = start
       mine.runId = q.runId
+      flock.runId = q.runId
+      lockByRun.put(q.runId, landingDir)
       q
     } catch {
-      case t: Throwable => activeIngests.remove(landingDir, mine); throw t
+      case t: Throwable =>
+        activeIngests.remove(landingDir, mine)
+        if (ingestLocks.remove(landingDir, flock)) {
+          try { flock.fs.delete(flock.path, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw t
     }
   }
 
@@ -993,6 +1194,30 @@ object EventStreams {
     try {
       out.write(s"${java.lang.ProcessHandle.current().pid()}".getBytes("UTF-8"))
       out.close()
+      // With the maintenance lock HELD (so a starting stream's
+      // post-create re-check sees it), refuse if an ingest stream in
+      // another process is live on this landing: same-JVM streams
+      // were already caught by the in-JVM slot, so a lock naming THIS
+      // pid is a leftover (stopped stream, release listener pending)
+      // and is cleared; a dead pid or stale heartbeat likewise.
+      val iLock = new org.apache.hadoop.fs.Path(
+        parent, s".ingest-writer-lock-${landingPath.getName}")
+      if (fs.exists(iLock)) {
+        val self = java.lang.ProcessHandle.current().pid()
+        val pid = lockOwnerPid(fs, iLock)
+        val fresh =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(iLock).getModificationTime <= ingestLockStaleMs
+          catch { case _: java.io.FileNotFoundException => false }
+        val foreignLive = pid.exists(p => pidAliveElsewhere(p, self)) ||
+          (pid.isEmpty && fresh)
+        if (foreignLive)
+          throw new IllegalStateException(
+            s"ingest writer lock '$iLock' names a live ingest stream in another " +
+            "process — maintenance must not run under an active writer; stop " +
+            "the stream first")
+        fs.delete(iLock, false)
+      }
       body
     } finally { fs.delete(lock, false); () }
   }
@@ -1591,11 +1816,13 @@ object EventStreams {
 
   /** What [[landingStats]] saw. `leaves` is (leaf dir, visible file
     * count, visible bytes) — one row per data-bearing dir; `debris`
-    * lists crash artifacts ([[repairLanding]]'s input) and `lockHeld`
-    * whether a maintenance lock file currently exists. */
+    * lists crash artifacts ([[repairLanding]]'s input), `lockHeld`
+    * whether a maintenance lock file currently exists, and
+    * `writerLockHeld` whether an ingest writer lock does (a stream is
+    * — or recently was — writing this landing). */
   final case class LandingStats(
     leaves: Seq[(String, Int, Long)], totalFiles: Int, totalBytes: Long,
-    debris: Seq[String], lockHeld: Boolean)
+    debris: Seq[String], lockHeld: Boolean, writerLockHeld: Boolean = false)
 
   /** Read-only landing observability — the numbers an operator needs
     * to DECIDE on maintenance: per-leaf visible file counts and bytes
@@ -1621,6 +1848,7 @@ object EventStreams {
     // exactly when the operator most needs the 'run --repair' report.
     val parent = landingPath.getParent
     var lock = false
+    var writerLock = false
     if (parent != null && fs.exists(parent)) {
       val rootName = landingPath.getName
       fs.listStatus(parent).foreach { s =>
@@ -1630,6 +1858,7 @@ object EventStreams {
              artifactSourceOf(n, ".compact-old-").contains(rootName)))
           debris += s.getPath.toString
         if (s.isFile && n == s".maintenance-lock-$rootName") lock = true
+        if (s.isFile && n == s".ingest-writer-lock-$rootName") writerLock = true
       }
     }
     if (!fs.exists(landingPath)) {
@@ -1637,7 +1866,7 @@ object EventStreams {
         s"landing dir '$landingDir' does not exist and no crash artifact " +
         "references it")
       // the landing IS the debris — report it instead of erroring
-      return LandingStats(Nil, 0, 0L, debris.toSeq.sorted, lock)
+      return LandingStats(Nil, 0, 0L, debris.toSeq.sorted, lock, writerLock)
     }
     // one listing per dir serves both the debris scan and the file
     // counts — the promised cost really is one LIST per directory
@@ -1662,7 +1891,7 @@ object EventStreams {
     }
     walk(landingPath)
     LandingStats(leaves.toSeq.sortBy(_._1), leaves.map(_._2).sum,
-      leaves.map(_._3).sum, debris.toSeq.sorted, lock)
+      leaves.map(_._3).sum, debris.toSeq.sorted, lock, writerLock)
   }
 
   // ---------- the three ingest entries ----------
@@ -1970,6 +2199,7 @@ object EventStreams {
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeatIngestLock(indexKey)
           graft.ops.IvfPqIndex.land(batch, s"$indexKey/batch=$batchId",
             coarseK, m, ksub, idCol, vecCol,
             overwrite = true, codebookSource = Some(trainingSource))

@@ -941,6 +941,99 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q1.stop()
   }
 
+  test("cross-JVM writer lock: a foreign live writer's lock file refuses a new stream; dead/stale locks are taken over") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-xjvm").toString
+    val landing = root + "/corpus"
+    def writeLock(pid: String): java.nio.file.Path =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus"),
+        pid.getBytes("UTF-8"))
+    def startStream(ck: String) = {
+      val in = MemoryStream[(Long, String)]
+      (in, EventStreams.ingestDedup(in.toDF().toDF("doc_id", "text"), landing,
+        java.nio.file.Files.createTempDirectory(ck).toString))
+    }
+    // (1) a FRESH lock naming a live foreign process (pid 1 — init,
+    // always alive in this container) refuses the start, loudly
+    val lockFile = writeLock("1")
+    val err = intercept[IllegalStateException](startStream("graft-xjvm-ck1"))
+    assert(err.getMessage.contains("another JVM") ||
+           err.getMessage.contains("fresh heartbeat"), err.getMessage)
+    assert(java.nio.file.Files.exists(lockFile), "refusal must not delete the foreign lock")
+    // (2) a lock naming a DEAD pid is taken over without waiting out
+    // the heartbeat window
+    java.nio.file.Files.delete(lockFile); writeLock("999999999")
+    val (in2, q2) = startStream("graft-xjvm-ck2")
+    try { in2.addData((1L, "alpha")); q2.processAllAvailable() } finally q2.stop()
+    // clean stop releases the lock (async listener — poll briefly)
+    val deadline = System.currentTimeMillis() + 15000
+    while (java.nio.file.Files.exists(lockFile) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "clean stream termination must release the writer lock")
+    // (3) a live foreign pid with a STALE heartbeat is taken over
+    // (shrunken staleness seam), and the new stream heartbeats the
+    // lock back to fresh on its first batch
+    writeLock("1")
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val saved = EventStreams.ingestLockStaleMs
+    EventStreams.ingestLockStaleMs = 60 * 1000
+    try {
+      val (in3, q3) = startStream("graft-xjvm-ck3")
+      try {
+        in3.addData((2L, "beta")); q3.processAllAvailable()
+        assert(java.nio.file.Files.exists(lockFile), "takeover must re-create the lock")
+        val mtime = java.nio.file.Files.getLastModifiedTime(lockFile).toMillis
+        assert(System.currentTimeMillis() - mtime < 60 * 1000,
+          "the new writer's heartbeat must refresh the lock mtime")
+        val pid = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8").trim
+        assert(pid == java.lang.ProcessHandle.current().pid().toString,
+          "takeover must stamp the new owner's pid")
+      } finally q3.stop()
+    } finally EventStreams.ingestLockStaleMs = saved
+  }
+
+  test("cross-JVM writer lock: maintenance and ingest exclude each other across processes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-xm").toString
+    val landing = root + "/corpus"
+    // seed a landing with one batch so maintenance has something real
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestDedup(in1.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-xm-ck1").toString)
+    try { in1.addData((1L, "alpha")); q1.processAllAvailable() } finally q1.stop()
+    // (1) a stream refuses to start under a foreign maintenance lock
+    val mLock = java.nio.file.Paths.get(root, ".maintenance-lock-corpus")
+    java.nio.file.Files.write(mLock, "1".getBytes("UTF-8"))
+    val in2 = MemoryStream[(Long, String)]
+    assert(intercept[IllegalStateException] {
+      EventStreams.ingestDedup(in2.toDF().toDF("doc_id", "text"), landing,
+        java.nio.file.Files.createTempDirectory("graft-xm-ck2").toString)
+    }.getMessage.contains("maintenance lock"))
+    java.nio.file.Files.delete(mLock)
+    // (2) maintenance refuses to run under a live foreign writer lock
+    val iLock = java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus")
+    java.nio.file.Files.write(iLock, "1".getBytes("UTF-8"))
+    assert(intercept[IllegalStateException] {
+      EventStreams.compactLanding(spark, landing)
+    }.getMessage.contains("live ingest stream"))
+    // (3) ...but clears a DEAD writer's leftover and proceeds
+    java.nio.file.Files.delete(iLock)
+    java.nio.file.Files.write(iLock, "999999999".getBytes("UTF-8"))
+    EventStreams.compactLanding(spark, landing)
+    assert(!java.nio.file.Files.exists(iLock),
+      "maintenance should clear a dead writer's leftover lock")
+    // landing stats reports both lock kinds
+    java.nio.file.Files.write(iLock, "1".getBytes("UTF-8"))
+    val stats = EventStreams.landingStats(spark, landing)
+    assert(stats.writerLockHeld && !stats.lockHeld)
+    java.nio.file.Files.delete(iLock)
+  }
+
   test("single-writer guard: a second ingest stream on one landing dir is refused while the first is active") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
