@@ -1892,7 +1892,32 @@ object SparkEntry {
                  lit(boiler), lit(" "), col("text")).as("text"))
       ops.SpanDedup.dedup(docs, "text", "doc_id", w = 8, s = 4)
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- n-gram LM perplexity quality scoring (CCNet-style) ----
+    // Per-language Laplace bigram LM trained on the doc_id%10==0
+    // reference slice, every doc scored in EXACT fixed-point
+    // micro-nats (ops/NgramLm — the integer-cents discipline applied
+    // to logs; lp(k)=⌊ln(k)·1e6+0.5⌋ verified bit-identical JVM vs
+    // DuckDB over the whole count domain). One union-keyed LM join
+    // (kinds 0/1 = prev-unigram/bigram), grams as 8-byte XXH64
+    // fingerprints (q49 convention), per-doc counts collapse before
+    // any exchange.
+    "q93_lm_perplexity" -> ((s, dir) =>
+      ops.NgramLm.perplexity(
+          Tables.documents(s, dir), col("doc_id") % 10 === 0)
+        .orderBy("doc_id")),
+
+    // ---- DSIR importance resampling (hashed-ngram weights) ----
+    // Target = src0 docs, source = the rest; the learned state is two
+    // B-bucket histograms (B=4096 — bounded by the CONSTANT, not the
+    // data, which is what licenses the collect), scoring is map-only
+    // via a folded delta-array literal (ops/Dsir). Exact fixed-point
+    // micro-nat log-weights; selected ⇔ w > 1.
+    "q94_dsir_weights" -> ((s, dir) =>
+      ops.Dsir.importanceWeights(
+          Tables.documents(s, dir), col("source") === "src0")
+        .orderBy("doc_id"))
   )
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
@@ -3849,7 +3874,116 @@ object SparkEntry {
         |         FROM cov GROUP BY doc_id)
         |SELECT a.doc_id, a.n_spans, a.n_dup_spans, b.n_kept_blocks, b.text_dedup
         |FROM agg1 a JOIN agg2 b ON a.doc_id = b.doc_id
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // q93: the oracle re-derives the per-language Laplace bigram LM
+    // (reference = doc_id%10==0) and the fixed-point micro-nat
+    // cross-entropy from gram STRINGS (q49 tokenizer twin); the
+    // engine counts 64-bit gram fingerprints instead — identical
+    // counts absent a 64-bit collision (the accepted q49 tradeoff).
+    // lp(k) = floor(ln(k)*1e6 + 0.5) is bit-identical across engines
+    // over the count domain (BASELINE round 15 sweep), so
+    // xent_micronats is integer-EXACT.
+    "q93_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |lmpos AS (
+        |  SELECT lang, 0 AS kind, unnest(toks) AS g
+        |  FROM t WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT lang, 1 AS kind,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 2),
+        |lm AS (
+        |  SELECT lang, kind, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lmpos GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM lm WHERE kind = 0 GROUP BY 1),
+        |scpos AS (
+        |  SELECT doc_id, lang, 0 AS kind,
+        |         unnest(toks[1:len(toks)-1]) AS g
+        |  FROM t WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, 1 AS kind,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |nk AS (
+        |  SELECT doc_id, lang, kind, g, CAST(COUNT(*) AS BIGINT) AS nk
+        |  FROM scpos GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT nk.doc_id, nk.lang,
+        |    SUM(nk.nk * CASE WHEN nk.kind = 0
+        |      THEN CAST(floor(ln(CAST(COALESCE(lm.c, 0) + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      ELSE -CAST(floor(ln(CAST(COALESCE(lm.c, 0) + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      END) AS xent_micronats
+        |  FROM nk
+        |  LEFT JOIN lm ON lm.lang = nk.lang AND lm.kind = nk.kind AND lm.g = nk.g
+        |  JOIN v ON v.lang = nk.lang
+        |  GROUP BY 1, 2)
+        |SELECT t.doc_id, t.lang,
+        |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_pos,
+        |  sc.xent_micronats,
+        |  CASE WHEN len(toks) >= 2
+        |       THEN round(sc.xent_micronats / (len(toks) - 1) / 1e6, 6) END
+        |    AS xent_per_token
+        |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = t.lang
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // q94: the oracle re-derives the two hashed-gram bucket
+    // histograms (md5 bridge — bit-exact across engines), the
+    // fixed-point delta table, and the per-doc folded log-weight.
+    // Buckets a document references always exist in the histogram
+    // (its own grams were counted), so the bucket join loses nothing.
+    "q94_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |bk AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM g),
+        |hist AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+        |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS sc
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(sc) AS ts FROM hist),
+        |delta AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(tc + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
+        |    CAST(floor(ln(CAST(sc + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS d
+        |  FROM hist),
+        |score AS (
+        |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         SUM(delta.d) AS base
+        |  FROM bk JOIN delta USING (b) GROUP BY bk.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(score.n_grams, 0) AS n_grams,
+        |  COALESCE(score.base, 0) + COALESCE(score.n_grams, 0) *
+        |    (CAST(floor(ln(CAST(tot.ts + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
+        |     CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+        |    AS logw_micronats,
+        |  (COALESCE(score.base, 0) + COALESCE(score.n_grams, 0) *
+        |    (CAST(floor(ln(CAST(tot.ts + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
+        |     CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))) > 0
+        |    AS selected
+        |FROM t LEFT JOIN score ON score.doc_id = t.doc_id, tot
+        |ORDER BY t.doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (Xie et al. 2023, DSIR) —
+  * the model-targeted cousin of the q93 perplexity filter: score every
+  * raw document by how much more likely a TARGET-distribution bag-of-
+  * hashed-ngrams model finds it than a SOURCE (raw-pool) model, and
+  * keep the target-likelier docs. The paper's estimator is exactly a
+  * pair of Laplace-smoothed multinomials over hashed n-gram BUCKETS,
+  * which is what makes it scale-honest: the learned state is 2·B
+  * counts (B = bucket constant, NOT data-sized), so
+  *
+  *   1. one corpus pass aggregates both bucket histograms at once
+  *      (explode → bucket → one groupBy with conditional sums, ≤ B
+  *      result rows — the only shuffle, bounded by B);
+  *   2. the collected histograms become a B-long integer DELTA table
+  *      (lp(t_b+1) − lp(s_b+1) in fixed-point micro-nats, the q93
+  *      discipline — driver-side `Math.log` is bit-identical to the
+  *      engines' over the count domain, BASELINE round 15) shipped as
+  *      ONE array literal;
+  *   3. scoring is MAP-ONLY: a fold over each doc's gram array looks
+  *      up the delta per gram — no join, no exchange, whole-stage
+  *      codegen'd. At 100 TB the scoring pass touches each doc once
+  *      and shuffles nothing; selection plugs into `bounded_topk`
+  *      when a fixed budget is wanted instead of the w > 1 rule.
+  *
+  * Buckets use the md5 bridge (q50/q88 convention) rather than
+  * xxhash64 so a relational oracle reproduces them bit-for-bit:
+  * bucket(g) = ('0x' || substr(md5(g),1,8))::BIGINT % B. Grams are
+  * word 1- and 2-grams from the proven q46/q49 tokenizer
+  * ([[graft.functions.WordTextNgrams]] — gram STRINGS here, since md5
+  * needs the bytes; the per-doc fold reduces each gram to a bucket
+  * int immediately, nothing gram-sized leaves the expression).
+  *
+  * log w(x) in micro-nats = Σ_grams [lp(t_b+1) − lp(s_b+1)]
+  *                        + n_grams · [lp(S+B) − lp(T+B)]
+  * with T/S the gram totals of each histogram — integer-EXACT, so
+  * `selected` (w > 1 ⇔ logw > 0) is reproducible to the bit.
+  */
+object Dsir {
+
+  /** Word 1-gram ++ 2-gram strings of a document. */
+  private def grams(text: Column): Column =
+    concat(Text.ngramsOfText(text, 1), Text.ngramsOfText(text, 2))
+
+  /** md5-bridge bucket in [0, b): re-derivable in ANSI SQL. */
+  private def bucketOf(g: Column, b: Int): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long") % b
+
+  /** Fixed-point ⌊ln(k)·10⁶ + 0.5⌋ — driver-side twin of
+    * [[NgramLm.lpMicroNats]] (bit-identical, BASELINE round-15 sweep). */
+  private def lp(k: Long): Long = {
+    require(k >= 1, s"lp domain is k >= 1, got $k")
+    math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong
+  }
+
+  /** Score every document: (doc_id, n_grams, logw_micronats,
+    * selected). `targetPred` marks the target-distribution slice
+    * (scored too — its docs are simply rows of the pool here);
+    * everything else is the source pool. `buckets` is the hashed
+    * feature dimension (the paper's 10⁴-bucket regime; the default
+    * keeps the oracle's bucket join small). */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    // one pass, both histograms: ≤ `buckets` rows survive the shuffle
+    val hist: Array[Row] = docs
+      .select(targetPred.as("is_t"), explode(grams(col(textCol))).as("g"))
+      .select(col("is_t"), bucketOf(col("g"), buckets).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("t"),
+           sum(when(col("is_t"), 0L).otherwise(1L)).as("s"))
+      .collect()
+    val t = new Array[Long](buckets)
+    val s = new Array[Long](buckets)
+    hist.foreach { r => t(r.getLong(0).toInt) = r.getLong(1); s(r.getLong(0).toInt) = r.getLong(2) }
+    val totalT = t.sum; val totalS = s.sum
+    val delta: Seq[Long] = (0 until buckets).map(b => lp(t(b) + 1) - lp(s(b) + 1))
+    // per-gram fold + the totals term; map-only, no join
+    val deltaLit = typedLit(delta)
+    val constPerGram = lp(totalS + buckets) - lp(totalT + buckets)
+    val g = grams(col(textCol))
+    docs.select(col(idCol),
+        size(g).cast("bigint").as("n_grams"),
+        (aggregate(g, lit(0L),
+           (acc, gram) => acc + element_at(deltaLit, (bucketOf(gram, buckets) + 1).cast("int")))
+         + size(g) * lit(constPerGram)).as("logw_micronats"))
+      .withColumn("selected", col("logw_micronats") > 0)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/Gopher-class
+  * "perplexity filter" (Wenzek et al. 2020 train a per-language LM on
+  * a trusted reference and rank the crawl by cross-entropy; docs that
+  * the reference LM finds surprising are the quality cut). Their KenLM
+  * is a single-node artifact; the scale-safe re-expression is a
+  * Laplace-smoothed hashed-bigram LM built and applied relationally:
+  *
+  *   1. LM build — ONE aggregation over the reference slice:
+  *      `word_text_gram_hashes(text, 1|2)` (the q49 fingerprint
+  *      convention: grams cross exchanges as 8-byte XXH64 longs,
+  *      never strings) exploded to (lang, kind, hash) rows, counted.
+  *      Unigram-vocabulary sizes V(lang) derive from the same result
+  *      — the reference is scanned exactly once.
+  *   2. Scoring — per document, the prev-unigram and bigram multisets
+  *      collapse to per-doc (kind, hash, n_k) counts BEFORE any
+  *      exchange (map-side partial aggregation; within-doc repeats
+  *      never shuffle), left-join the LM once on (lang, kind, hash) —
+  *      broadcast when the LM is small, shuffle on the slim 8-byte
+  *      key when it is not (AQE decides) — and re-aggregate per doc.
+  *
+  * Cross-entropy is computed in FIXED-POINT MICRO-NATS — the
+  * integer-cents discipline applied to logs: lp(k) = ⌊ln(k)·10⁶ +
+  * 0.5⌋ is bit-identical across JVM `Math.log`/`StrictMath.log`,
+  * glibc, and DuckDB for the whole count domain (swept k = 1..5·10⁶,
+  * BASELINE round 15), so per-doc sums are EXACT BIGINTs — no
+  * float-association order hazard in the aggregation, and the oracle
+  * reproduces the score to the bit. Per position i with previous
+  * token w, Laplace-smoothed p(tᵢ|w) = (c₂(w tᵢ)+1)/(c₁(w)+V) gives
+  * the non-negative per-position cost lp(c₁+V) − lp(c₂+1); the two
+  * terms ride the SAME join as the two `kind`s of one union-keyed LM
+  * table, so the plan pays one join, not two.
+  *
+  * Fingerprint-exact like q49: a 64-bit gram collision merges two
+  * counts identically in engine and... oracle counts gram STRINGS, so
+  * a collision WOULD diverge — at ~10⁴–10⁷ distinct grams the
+  * probability is ~n²/2⁶⁵ (vanishing; the accepted q49 tradeoff,
+  * bought back as slim exchanges at 100 TB).
+  */
+object NgramLm {
+
+  /** Fixed-point natural log in micro-nats: ⌊ln(k)·10⁶ + 0.5⌋ as
+    * BIGINT. `k` must be ≥ 1 (counts + Laplace offsets are). */
+  def lpMicroNats(k: Column): Column =
+    floor(log(k.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Per-document (kind, hash) gram entries as ONE array — exploding
+    * it feeds both LM roles through one generator. kind 0 = unigrams,
+    * kind 1 = bigrams. The LM side counts ALL unigram occurrences
+    * (the textbook add-one denominator c₁(w) and vocabulary V);
+    * the scoring side (`prefixOnly`) takes only the prev-token
+    * unigrams of each bigram position, i.e. tokens 0..t−2. */
+  private def entries(text: Column, prefixOnly: Boolean): Column = {
+    val u1 = Text.gramHashesOfText(text, 1)
+    val b2 = Text.gramHashesOfText(text, 2)
+    val unis = if (prefixOnly) slice(u1, lit(1), size(b2)) else u1
+    concat(
+      transform(unis, h => struct(lit(0).as("kind"), h.as("h"))),
+      transform(b2, h => struct(lit(1).as("kind"), h.as("h"))))
+  }
+
+  /** (lang, kind, h, c) counts over the reference slice — the LM:
+    * kind 0 = unigram counts c₁, kind 1 = bigram counts c₂. */
+  def lm(ref: DataFrame, textCol: String = "text", langCol: String = "lang"): DataFrame =
+    ref.select(col(langCol).as("lang"),
+        explode_outer(entries(col(textCol), prefixOnly = false)).as("e"))
+      .filter(col("e").isNotNull)
+      .groupBy(col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Score every document against [[lm]] built from the reference
+    * predicate: (doc_id, lang, n_pos, xent_micronats, xent_per_token)
+    * — n_pos = bigram positions (t−1), xent_micronats the EXACT
+    * integer cross-entropy sum, xent_per_token its per-position
+    * mean in nats rounded to 6 (NULL for docs under 2 tokens). */
+  def perplexity(docs: DataFrame, refPred: Column,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 langCol: String = "lang"): DataFrame = {
+    // The LM is materialized once (vocab-sized, NOT corpus-sized —
+    // the q87 localCheckpoint precedent): without it, Catalyst
+    // re-plans the whole reference explode+aggregate for EACH
+    // consumer, and the V derivation below was re-scanning the
+    // reference corpus (plan-probed: 4 documents scans → 3).
+    val lmDf = lm(docs.filter(refPred), textCol, langCol).localCheckpoint()
+    // vocabulary size per language — ≤ #langs rows, broadcast by size
+    val v = lmDf.filter(col("kind") === 0)
+      .groupBy("lang").agg(count(lit(1)).as("v"))
+    val perDoc = docs
+      .select(col(idCol), col(langCol).as("lang"),
+        explode_outer(entries(col(textCol), prefixOnly = true)).as("e"))
+      .filter(col("e").isNotNull)
+      .groupBy(col(idCol), col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
+      .agg(count(lit(1)).as("nk"))
+      .join(lmDf, Seq("lang", "kind", "h"), "left")
+      // LEFT: a language with no reference docs has no LM — its docs
+      // must score NULL (all-null contribs sum to null) while n_pos
+      // still counts their real bigram positions
+      .join(v, Seq("lang"), "left")
+      .select(col(idCol), col("lang"), col("nk"), col("kind"),
+        when(col("v").isNotNull,
+          col("nk") * when(col("kind") === 0,
+              lpMicroNats(coalesce(col("c"), lit(0L)) + col("v")))
+            .otherwise(-lpMicroNats(coalesce(col("c"), lit(0L)) + lit(1L))))
+          .as("contrib"))
+      .groupBy(col(idCol), col("lang"))
+      // n_pos rides the same aggregation (bigram entries per doc) —
+      // no third tokenization pass for it
+      .agg(sum(col("contrib")).as("xent_micronats"),
+           sum(when(col("kind") === 1, col("nk")).otherwise(0L)).as("n_pos"))
+    // docs under 2 tokens have no entries at all: re-attach them
+    // through a text-free (doc_id, lang)-pruned scan
+    docs.select(col(idCol), col(langCol).as("lang"))
+      .join(perDoc, Seq(idCol, "lang"), "left")
+      .select(col(idCol), col("lang"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"), col("xent_micronats"),
+        when(col("n_pos") > 0,
+          round(col("xent_micronats") / col("n_pos") / lit(1e6), 6))
+          .as("xent_per_token"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.NgramLm
+
+/** LM perplexity semantics: the fixed-point micro-nat log (the
+  * cross-engine-exactness keystone), hand-computed Laplace bigram
+  * cross-entropies pinning the TEXTBOOK formulation (denominator =
+  * full unigram count, V = distinct unigrams — not prefix counts),
+  * OOV behavior, under-2-token and empty docs, and the
+  * language-without-reference regime. */
+class NgramLmSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // lp reference values: ⌊ln(k)·1e6 + 0.5⌋
+  private val lp1 = 0L
+  private val lp2 = 693147L
+  private val lp3 = 1098612L
+  private val lp4 = 1386294L
+
+  test("lpMicroNats matches driver-side Math.log fixed point over a domain sweep") {
+    val ks = (1L to 1000L) ++ Seq(12345L, 999999L, 5000000L, 123456789L)
+    val got = ks.toDF("k").select(NgramLm.lpMicroNats(col("k")).as("lp"))
+      .collect().map(_.getLong(0))
+    val want = ks.map(k => math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong)
+    assert(got.toSeq == want)
+  }
+
+  private def score(docs: Seq[(Long, String, String)]): Map[Long, Row] =
+    NgramLm.perplexity(docs.toDF("doc_id", "text", "lang"), col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("hand-computed Laplace bigram cross-entropy; OOV; short/empty docs; ref-less language") {
+    val rows = score(Seq(
+      (0L, "a b a", "en"),   // the reference: c1(a)=2 (FULL count), c1(b)=1, V=2; c2(a b)=1, c2(b a)=1
+      (1L, "a b c", "en"),   // [lp(2+2)-lp(1+1)] + [lp(1+2)-lp(0+1)]
+      (2L, "q r", "en"),     // OOV prev: lp(0+2)-lp(0+1)
+      (3L, "z", "en"),       // 1 token: no positions
+      (4L, "", "en"),        // empty: no positions
+      (5L, "a b", "fr")))    // no fr reference doc: V undefined → NULL score
+    def xent(id: Long) = if (rows(id).isNullAt(3)) None else Some(rows(id).getLong(3))
+    def nPos(id: Long) = rows(id).getLong(2)
+
+    assert(nPos(1L) == 2 && xent(1L).contains((lp4 - lp2) + (lp3 - lp1)))
+    assert(xent(1L).contains(1791759L)) // pins the textbook (full-count) denominator:
+                                        // the prefix-count variant would read 1504077
+    assert(nPos(2L) == 1 && xent(2L).contains(lp2))
+    assert(nPos(3L) == 0 && xent(3L).isEmpty && rows(3L).isNullAt(4))
+    assert(nPos(4L) == 0 && xent(4L).isEmpty)
+    assert(nPos(5L) == 1 && xent(5L).isEmpty,
+      "a language with no reference docs has no LM — score must be NULL, not 0")
+    // the reference doc scores against its own LM too
+    assert(!rows(0L).isNullAt(3))
+    // per-token mean = xent/n_pos/1e6 rounded to 6 (exact division here)
+    assert(math.abs(rows(1L).getDouble(4) - 1791759.0 / 2 / 1e6) < 5e-7)
+  }
+
+  test("per-language LMs are independent: same text, different lang, different score") {
+    val rows = score(Seq(
+      (0L, "a b a b", "en"),
+      (10L, "x y x y x y", "de"),
+      (1L, "a b", "en"),
+      (2L, "a b", "de")))   // 'a b' is fully OOV under the de LM
+    assert(rows(1L).getLong(3) != rows(2L).getLong(3))
+    // en: c1(a)=2, V=2, c2(a b)=2 → lp(4)-lp(3); de: OOV → lp(0+3)-lp(1) (V=2 for de {x,y}? x,y → V=2) → lp(2)...
+    assert(rows(1L).getLong(3) == lp4 - lp3)
+    assert(rows(2L).getLong(3) == lp2)
+  }
+
+  test("scores are partitioning-invariant (exact integer aggregation, no float order hazard)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} tok${i % 7}", "en"))
+    val base = score(docs).map { case (k, r) => k -> r.getLong(3) }
+    val re = NgramLm.perplexity(
+        docs.toDF("doc_id", "text", "lang").repartition(13), col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(base == re)
+  }
+}

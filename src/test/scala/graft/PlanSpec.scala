@@ -316,6 +316,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("span_h"), "span fingerprint column missing from the plan")
   }
 
+  test("q93: LM perplexity joins on gram fingerprints, never doc pairs; docs scan is pruned") {
+    val p = plan("q93_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
+    // grams cross exchanges as 8-byte fingerprints — the gram-string
+    // generator would show word_text_ngrams instead
+    assert(p.contains("word_text_gram_hashes"), "fingerprint generator missing")
+    assert(!p.contains("word_text_ngrams"), "gram STRINGS must not ride q93 exchanges")
+    // the documents scan feeds doc_id/lang/text only
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("n_chars") && !readSchemas.contains("source"),
+      s"documents scan reads unused columns:\n$readSchemas")
+  }
+
+  test("q94: DSIR scoring is map-only — one histogram pass feeds a folded literal, no join") {
+    val p = plan("q94_dsir_weights")
+    // the returned DataFrame is the SCORING pass (the histogram was
+    // collected at build time, bounded by the bucket constant): a
+    // join or aggregate exchange here means the broadcast-as-literal
+    // design regressed
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n$p")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the output-sort exchange, got $exchanges:\n$p")
+  }
+
   test("q74: bloom prefilter guards the exact-confirm join") {
     val p = plan("q74_incremental_dedup")
     // the batch probes the collected blob BEFORE any join: provably-
