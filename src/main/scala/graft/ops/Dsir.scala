@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Word 1-gram ++ 2-gram strings of a document. */
-  private def grams(text: Column): Column =
-    concat(Text.ngramsOfText(text, 1), Text.ngramsOfText(text, 2))
+  /** Word 1-gram ++ 2-gram strings of a document. NULL text counts as
+    * an empty document (0 grams, weight 0, not selected) — the
+    * relational oracle's unnest-of-NULL emits no rows, so the engine
+    * must not propagate NULL into the score. */
+  private def grams(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    concat(Text.ngramsOfText(t, 1), Text.ngramsOfText(t, 2))
+  }
 
   /** md5-bridge bucket in [0, b): re-derivable in ANSI SQL. */
   private def bucketOf(g: Column, b: Int): Column =

@@ -973,10 +973,15 @@ object EventStreams {
     try {
       val in = fs.open(lock)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+        // read to EOF — a single read() may legally return a PREFIX
+        // (remote-FS streams), and a truncated pid would misclassify
+        // a live owner as dead
+        val buf = new java.io.ByteArrayOutputStream(64)
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        val s = buf.toString("UTF-8").trim
+        if (s.isEmpty) None else Some(s.toLong)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -985,6 +990,61 @@ object EventStreams {
       val h = java.lang.ProcessHandle.of(pid)
       h.isPresent && h.get.isAlive
     }
+
+  /** What the writer-lock file says about its owner right now. */
+  private final case class LockOwnerState(
+      pid: Option[Long], aliveElsewhere: Boolean, fresh: Boolean, mtime: Long)
+
+  private def lockOwnerState(fs: org.apache.hadoop.fs.FileSystem,
+                             lock: org.apache.hadoop.fs.Path): Option[LockOwnerState] =
+    try {
+      val st = fs.getFileStatus(lock)
+      val pid = lockOwnerPid(fs, lock)
+      val self = java.lang.ProcessHandle.current().pid()
+      Some(LockOwnerState(pid,
+        pid.exists(p => pidAliveElsewhere(p, self)),
+        System.currentTimeMillis() - st.getModificationTime <= ingestLockStaleMs,
+        st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The ONE takeover policy, shared by ingest starters and
+    * maintenance so the two sides of the exclusion can never
+    * disagree: an existing lock is honored (refused) iff its
+    * heartbeat is fresh AND it names a live foreign process or its
+    * pid is unreadable (a writer mid-create). Everything else — own
+    * leftover, provably dead pid, stale heartbeat — is takeover-able. */
+  private def lockRefusesUs(st: LockOwnerState): Boolean =
+    st.fresh && (st.aliveElsewhere || st.pid.isEmpty)
+
+  /** Clear `lock` only if it still looks like the version judged
+    * takeover-able (same mtime): a rival that already swapped in its
+    * own FRESH lock must not lose it to our late delete. Returns true
+    * when the judged lock no longer blocks us (deleted, or already
+    * vanished — its owner released); false when a DIFFERENT version
+    * appeared. The re-stat-to-delete gap is the residual race (vs the
+    * previous unbounded judge-to-delete gap); mtime granularity
+    * bounds it further and the fingerprint reseed remains the last
+    * line. */
+  private def deleteIfUnchanged(fs: org.apache.hadoop.fs.FileSystem,
+                                lock: org.apache.hadoop.fs.Path,
+                                judgedMtime: Long): Boolean =
+    (try Some(fs.getFileStatus(lock).getModificationTime)
+     catch { case _: java.io.FileNotFoundException => None }) match {
+      case None => true
+      case Some(m) => m == judgedMtime && { fs.delete(lock, false); true }
+    }
+
+  /** Release a lock this process believes it owns: delete only while
+    * the file still NAMES this pid — after a cross-JVM takeover the
+    * file names the new owner and a late clean-stop release must not
+    * clobber it. Best-effort. */
+  private def releaseOwnLock(fs: org.apache.hadoop.fs.FileSystem,
+                             lock: org.apache.hadoop.fs.Path): Unit =
+    try {
+      if (lockOwnerPid(fs, lock).contains(java.lang.ProcessHandle.current().pid())) {
+        fs.delete(lock, false); ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Take the landing's cross-JVM writer lock or throw — the other
     * half of the single-writer contract (the in-JVM slot cannot see
@@ -1004,17 +1064,20 @@ object EventStreams {
     * the file.
     *
     * HONEST takeover window: the stale-check-then-delete-then-create
-    * is not atomic — two starters racing a stale lock can both
-    * conclude "stale", and the second's create-exclusive fails and is
-    * retried against the first's FRESH lock (refused). The residual
-    * hazard is a live-but-paused writer (GC pause / suspended VM
-    * longer than the threshold): it loses the lock and its next
-    * heartbeat silently recreates it, leaving two writers until its
-    * next fingerprint check reseeds — takeover trades that bounded
-    * window for crash recovery without operator intervention. A
-    * fresh `.maintenance-lock` is refused symmetrically, and the
-    * ingest lock is re-checked against it after creation (either
-    * order of the two creations leaves at most one owner). */
+    * is not atomic. Two starters racing a stale lock can both judge
+    * it stale; the delete is therefore guarded by a re-stat
+    * ([[deleteIfUnchanged]] — only the judged VERSION is deleted, so
+    * a rival's already-swapped-in fresh lock survives and the loser's
+    * next create is refused against it), leaving mtime granularity as
+    * the residual sliver. The remaining real hazard is a
+    * live-but-paused writer (GC pause / suspended VM longer than the
+    * threshold): it loses the lock and its next heartbeat silently
+    * recreates it, leaving two writers until its next fingerprint
+    * check reseeds — takeover trades that bounded window for crash
+    * recovery without operator intervention. A fresh
+    * `.maintenance-lock` is refused symmetrically, and the ingest
+    * lock is re-checked against it after creation (either order of
+    * the two creations leaves at most one owner). */
   private def acquireIngestLock(spark: SparkSession, landingDir: String): IngestLock = {
     val landingPath = new org.apache.hadoop.fs.Path(landingDir)
     val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1044,28 +1107,31 @@ object EventStreams {
           if (attempts > 3)
             throw new IllegalStateException(
               s"could not acquire ingest writer lock '$lock' after $attempts attempts", e)
-          val status =
-            try Some(fs.getFileStatus(lock))
-            catch { case _: java.io.FileNotFoundException => None }
-          status.foreach { st =>
-            val pid = lockOwnerPid(fs, lock)
-            val ownLeftover = pid.contains(self)
-            val dead = pid.exists(p => !pidAliveElsewhere(p, self) && p != self)
-            val stale =
-              System.currentTimeMillis() - st.getModificationTime > ingestLockStaleMs
-            if (!(ownLeftover || dead || stale))
+          lockOwnerState(fs, lock).foreach { st =>
+            if (lockRefusesUs(st))
               throw new IllegalStateException(
-                s"ingest writer lock '$lock' is held by pid ${pid.getOrElse("?")} " +
+                s"ingest writer lock '$lock' is held by pid ${st.pid.getOrElse("?")} " +
                 s"with a fresh heartbeat — another ingest stream (in another JVM) " +
                 "is writing this landing; the carried dedup state tolerates " +
                 "exactly one writer. Stop that stream first, or wait out the " +
                 s"heartbeat staleness window (${ingestLockStaleMs / 1000} s)")
-            fs.delete(lock, false)
+            // delete only the judged version — a rival's fresh
+            // replacement survives, and our next create is refused
+            // against it
+            deleteIfUnchanged(fs, lock, st.mtime)
           }
       }
     }
-    out.write(self.toString.getBytes("UTF-8"))
-    out.close()
+    // a failure between create-exclusive and close would otherwise
+    // orphan an unreadable-pid lock that blocks every foreign starter
+    // for the full staleness window
+    try { out.write(self.toString.getBytes("UTF-8")); out.close() }
+    catch {
+      case t: Throwable =>
+        try { fs.delete(lock, false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
     try refuseIfMaintenance()
     catch {
       case t: Throwable => fs.delete(lock, false); throw t
@@ -1094,8 +1160,10 @@ object EventStreams {
 
   /** One listener per session releases writer locks on clean stream
     * termination (crash release is the takeover rule's job). Deletes
-    * only the lock its own run still owns — a newer writer that took
-    * the landing over in the meantime keeps its lock. */
+    * only the lock its own run still owns — the in-JVM map guard
+    * covers same-process replacement, and [[releaseOwnLock]]'s pid
+    * check covers a CROSS-JVM takeover (the on-disk file then names
+    * the new owner and must survive our late release). */
   private def ensureLockReleaseListener(spark: SparkSession): Unit =
     if (lockListenerSessions.add(spark))
       spark.streams.addListener(
@@ -1109,10 +1177,8 @@ object EventStreams {
             val key = lockByRun.remove(e.runId)
             if (key != null) {
               val h = ingestLocks.get(key)
-              if (h != null && h.runId == e.runId && ingestLocks.remove(key, h)) {
-                try { h.fs.delete(h.path, false); () }
-                catch { case scala.util.control.NonFatal(_) => () }
-              }
+              if (h != null && h.runId == e.runId && ingestLocks.remove(key, h))
+                releaseOwnLock(h.fs, h.path)
             }
           }
         })
@@ -1144,10 +1210,8 @@ object EventStreams {
     } catch {
       case t: Throwable =>
         activeIngests.remove(landingDir, mine)
-        if (ingestLocks.remove(landingDir, flock)) {
-          try { flock.fs.delete(flock.path, false); () }
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
+        if (ingestLocks.remove(landingDir, flock))
+          releaseOwnLock(flock.fs, flock.path)
         throw t
     }
   }
@@ -1196,27 +1260,21 @@ object EventStreams {
       out.close()
       // With the maintenance lock HELD (so a starting stream's
       // post-create re-check sees it), refuse if an ingest stream in
-      // another process is live on this landing: same-JVM streams
-      // were already caught by the in-JVM slot, so a lock naming THIS
-      // pid is a leftover (stopped stream, release listener pending)
-      // and is cleared; a dead pid or stale heartbeat likewise.
-      val iLock = new org.apache.hadoop.fs.Path(
-        parent, s".ingest-writer-lock-${landingPath.getName}")
-      if (fs.exists(iLock)) {
-        val self = java.lang.ProcessHandle.current().pid()
-        val pid = lockOwnerPid(fs, iLock)
-        val fresh =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(iLock).getModificationTime <= ingestLockStaleMs
-          catch { case _: java.io.FileNotFoundException => false }
-        val foreignLive = pid.exists(p => pidAliveElsewhere(p, self)) ||
-          (pid.isEmpty && fresh)
-        if (foreignLive)
+      // another process is live on this landing. The SAME
+      // [[lockRefusesUs]] policy as ingest starters (one rule, the
+      // two sides of the exclusion cannot disagree): own-pid
+      // leftovers (same-JVM streams were already caught by the
+      // in-JVM slot, so this is a stopped stream's pending release),
+      // dead pids, and stale heartbeats are cleared — version-checked,
+      // so a writer that refreshes concurrently keeps its lock and we
+      // refuse instead.
+      val iLock = ingestLockFile(landingPath)
+      lockOwnerState(fs, iLock).foreach { st =>
+        if (lockRefusesUs(st) || !deleteIfUnchanged(fs, iLock, st.mtime))
           throw new IllegalStateException(
             s"ingest writer lock '$iLock' names a live ingest stream in another " +
             "process — maintenance must not run under an active writer; stop " +
             "the stream first")
-        fs.delete(iLock, false)
       }
       body
     } finally { fs.delete(lock, false); () }

@@ -38,6 +38,11 @@ class DsirSpec extends AnyFunSuite with SparkTestSession {
     assert(r(25L).getLong(1) == 0 && r(25L).getLong(2) == 0 && !r(25L).getBoolean(3))
   }
 
+  test("NULL text counts as an empty document (oracle parity: 0 grams, weight 0, not selected)") {
+    val r = run(docs ++ Seq((40L, null.asInstanceOf[String], "srcX")))
+    assert(r(40L).getLong(1) == 0 && r(40L).getLong(2) == 0 && !r(40L).getBoolean(3))
+  }
+
   test("weights are deterministic and partitioning-invariant (exact integer fold)") {
     val a = run(docs).map { case (k, r) => k -> r.getLong(2) }
     val b = Dsir.importanceWeights(

@@ -58,6 +58,11 @@ class NgramLmSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(rows(1L).getDouble(4) - 1791759.0 / 2 / 1e6) < 5e-7)
   }
 
+  test("NULL text scores like an empty document (oracle parity: n_pos 0, NULL xent)") {
+    val rows = score(Seq((0L, "a b a", "en"), (1L, null.asInstanceOf[String], "en")))
+    assert(rows(1L).getLong(2) == 0 && rows(1L).isNullAt(3) && rows(1L).isNullAt(4))
+  }
+
   test("per-language LMs are independent: same text, different lang, different score") {
     val rows = score(Seq(
       (0L, "a b a b", "en"),

@@ -1027,11 +1027,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     EventStreams.compactLanding(spark, landing)
     assert(!java.nio.file.Files.exists(iLock),
       "maintenance should clear a dead writer's leftover lock")
+    // (3b) a LIVE foreign pid with a STALE heartbeat is cleared too —
+    // the ONE takeover policy shared with ingest starters (the two
+    // sides of the exclusion must never disagree)
+    java.nio.file.Files.write(iLock, "1".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(iLock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val saved = EventStreams.ingestLockStaleMs
+    EventStreams.ingestLockStaleMs = 60 * 1000
+    try EventStreams.compactLanding(spark, landing)
+    finally EventStreams.ingestLockStaleMs = saved
+    assert(!java.nio.file.Files.exists(iLock),
+      "maintenance should clear a stale-heartbeat writer lock like an ingest starter would")
     // landing stats reports both lock kinds
     java.nio.file.Files.write(iLock, "1".getBytes("UTF-8"))
     val stats = EventStreams.landingStats(spark, landing)
     assert(stats.writerLockHeld && !stats.lockHeld)
     java.nio.file.Files.delete(iLock)
+  }
+
+  test("cross-JVM writer lock: a clean stop releases only a lock still naming THIS pid") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-xrel").toString
+    val landing = root + "/corpus"
+    val lockFile = java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(in.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-xrel-ck").toString)
+    try { in.addData((1L, "alpha")); q.processAllAvailable() } finally {
+      // simulate a cross-JVM takeover while our stream idles: the
+      // file now names the NEW owner (pid 1) — our clean stop's late
+      // release must leave it alone
+      java.nio.file.Files.write(lockFile, "1".getBytes("UTF-8"))
+      q.stop()
+    }
+    Thread.sleep(2000) // give the async termination listener its chance to misbehave
+    assert(java.nio.file.Files.exists(lockFile) &&
+      new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8").trim == "1",
+      "a late release clobbered the new owner's lock")
+    java.nio.file.Files.delete(lockFile)
   }
 
   test("single-writer guard: a second ingest stream on one landing dir is refused while the first is active") {
