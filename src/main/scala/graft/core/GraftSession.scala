@@ -53,6 +53,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.WordTextNgrams.description)
         ext.injectFunction(graft.functions.WordTextGramHashes.description)
         ext.injectFunction(graft.functions.WordTextGramHashes.distinctDescription)
+        ext.injectFunction(graft.functions.LmEntries.description)
         ext.injectFunction(graft.functions.BoundedTopK.description)
         ext.injectFunction(graft.functions.BloomFilterAgg.description)
         ext.injectFunction(graft.functions.KmvAgg.description)

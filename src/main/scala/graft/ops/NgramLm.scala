@@ -53,15 +53,13 @@ object NgramLm {
     * kind 1 = bigrams. The LM side counts ALL unigram occurrences
     * (the textbook add-one denominator c₁(w) and vocabulary V);
     * the scoring side (`prefixOnly`) takes only the prev-token
-    * unigrams of each bigram position, i.e. tokens 0..t−2. */
-  private def entries(text: Column, prefixOnly: Boolean): Column = {
-    val u1 = Text.gramHashesOfText(text, 1)
-    val b2 = Text.gramHashesOfText(text, 2)
-    val unis = if (prefixOnly) slice(u1, lit(1), size(b2)) else u1
-    concat(
-      transform(unis, h => struct(lit(0).as("kind"), h.as("h"))),
-      transform(b2, h => struct(lit(1).as("kind"), h.as("h"))))
-  }
+    * unigrams of each bigram position, i.e. tokens 0..t−2. One fused
+    * byte scan ([[graft.functions.LmEntries]]) — the compositional
+    * `word_text_gram_hashes(text,1) ++ (text,2)` form tokenized twice
+    * and built three intermediate arrays per document (NgramLmSpec
+    * pins the equivalence). */
+  private def entries(text: Column, prefixOnly: Boolean): Column =
+    call_function("word_lm_entries", text, lit(prefixOnly))
 
   /** (lang, kind, h, c) counts over the reference slice — the LM:
     * kind 0 = unigram counts c₁, kind 1 = bigram counts c₂. */
@@ -89,20 +87,38 @@ object NgramLm {
     // vocabulary size per language — ≤ #langs rows, broadcast by size
     val v = lmDf.filter(col("kind") === 0)
       .groupBy("lang").agg(count(lit(1)).as("v"))
+    // The position stream pays exactly TWO exchanges when the LM is
+    // big (the LM join's, AQE-converted to broadcast when it is
+    // small, and the final doc regroup's). v MUST be an explicit
+    // broadcast: it is ≤ #langs rows by construction, but keyed by
+    // lang — the few-groups trap — and the checkpointed LM carries no
+    // stats, so left to the planner this was a lang-keyed
+    // SortMergeJoin funneling the whole stream through #langs
+    // partitions (sf10 probe: 70 s → 8 s). A per-doc gram pre-count
+    // was tried and removed: it bought ~25 % fewer join-input rows
+    // for a THIRD full-stream exchange (its (doc, gram) grouping
+    // cannot serve the (lang, kind, h) join key).
+    // q49-style regime gate: the checkpointed LM carries no stats, so
+    // the planner would SMJ unconditionally — which at the probe's
+    // sf10 means exchanging the full position stream against a ~4M-row
+    // LM that fits a broadcast with room to spare. Counting the
+    // materialized RDD is a metadata-cheap job; ≲8M entries ≈ 200 MB
+    // broadcast (executor-safe), past which the shuffle join is the
+    // right plan and the count bought the certainty.
+    val lmJoin = if (lmDf.count() <= 8L * 1000 * 1000) broadcast(lmDf) else lmDf
     val perDoc = docs
       .select(col(idCol), col(langCol).as("lang"),
         explode_outer(entries(col(textCol), prefixOnly = true)).as("e"))
       .filter(col("e").isNotNull)
-      .groupBy(col(idCol), col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
-      .agg(count(lit(1)).as("nk"))
-      .join(lmDf, Seq("lang", "kind", "h"), "left")
+      .select(col(idCol), col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
+      .join(lmJoin, Seq("lang", "kind", "h"), "left")
       // LEFT: a language with no reference docs has no LM — its docs
       // must score NULL (all-null contribs sum to null) while n_pos
       // still counts their real bigram positions
-      .join(v, Seq("lang"), "left")
-      .select(col(idCol), col("lang"), col("nk"), col("kind"),
+      .join(broadcast(v), Seq("lang"), "left")
+      .select(col(idCol), col("lang"), col("kind"),
         when(col("v").isNotNull,
-          col("nk") * when(col("kind") === 0,
+          when(col("kind") === 0,
               lpMicroNats(coalesce(col("c"), lit(0L)) + col("v")))
             .otherwise(-lpMicroNats(coalesce(col("c"), lit(0L)) + lit(1L))))
           .as("contrib"))
@@ -110,7 +126,7 @@ object NgramLm {
       // n_pos rides the same aggregation (bigram entries per doc) —
       // no third tokenization pass for it
       .agg(sum(col("contrib")).as("xent_micronats"),
-           sum(when(col("kind") === 1, col("nk")).otherwise(0L)).as("n_pos"))
+           sum(when(col("kind") === 1, 1L).otherwise(0L)).as("n_pos"))
     // docs under 2 tokens have no entries at all: re-attach them
     // through a text-free (doc_id, lang)-pruned scan
     docs.select(col(idCol), col(langCol).as("lang"))

@@ -58,6 +58,29 @@ class NgramLmSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(rows(1L).getDouble(4) - 1791759.0 / 2 / 1e6) < 5e-7)
   }
 
+  test("word_lm_entries ≡ the compositional gram-hash form (fused single scan, both modes)") {
+    val texts = Seq("", "a", "a b", "a b c", "  Mixed CASE  tokens,42 and-more ",
+      "日本語 then ascii", "a  b\t\tc\nd", "x" * 300 + " y") ++
+      (0 until 200).map(i => Seq.fill(1 + i % 9)(s"t${i % 13}").mkString(" "))
+    val df = texts.toDF("text")
+    for (prefix <- Seq(true, false)) {
+      val got = df.selectExpr(s"word_lm_entries(text, $prefix) AS e").collect()
+        .map(_.getSeq[Row](0).map(r => (r.getInt(0), r.getLong(1))).sorted)
+      val want = df.select(
+          concat(
+            transform(
+              if (prefix)
+                slice(graft.ops.Text.gramHashesOfText(col("text"), 1), lit(1),
+                      size(graft.ops.Text.gramHashesOfText(col("text"), 2)))
+              else graft.ops.Text.gramHashesOfText(col("text"), 1),
+              h => struct(lit(0).as("kind"), h.as("h"))),
+            transform(graft.ops.Text.gramHashesOfText(col("text"), 2),
+              h => struct(lit(1).as("kind"), h.as("h")))).as("e"))
+        .collect().map(_.getSeq[Row](0).map(r => (r.getInt(0), r.getLong(1))).sorted)
+      assert(got.toSeq == want.toSeq, s"prefix_only=$prefix")
+    }
+  }
+
   test("NULL text scores like an empty document (oracle parity: n_pos 0, NULL xent)") {
     val rows = score(Seq((0L, "a b a", "en"), (1L, null.asInstanceOf[String], "en")))
     assert(rows(1L).getLong(2) == 0 && rows(1L).isNullAt(3) && rows(1L).isNullAt(4))

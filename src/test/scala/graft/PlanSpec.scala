@@ -320,9 +320,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q93_lm_perplexity")
     assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
-    // grams cross exchanges as 8-byte fingerprints — the gram-string
-    // generator would show word_text_ngrams instead
-    assert(p.contains("word_text_gram_hashes"), "fingerprint generator missing")
+    // grams cross exchanges as 8-byte fingerprints via the fused
+    // single-scan generator — the gram-string generator would show
+    // word_text_ngrams instead
+    assert(p.contains("word_lm_entries"), "fused fingerprint generator missing")
     assert(!p.contains("word_text_ngrams"), "gram STRINGS must not ride q93 exchanges")
     // the documents scan feeds doc_id/lang/text only
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
