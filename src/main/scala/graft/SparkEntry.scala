@@ -1917,6 +1917,17 @@ object SparkEntry {
     "q94_dsir_weights" -> ((s, dir) =>
       ops.Dsir.importanceWeights(
           Tables.documents(s, dir), col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // ---- deterministic epoch shuffle + shard packing ----
+    // The per-epoch "global shuffle": permutation position = 60-bit
+    // md5 of (epoch salt, doc_id) — RNG-free, engine-stable — and
+    // q51's greedy token packing applied in PERMUTED order via the
+    // composite-key PrefixSum (range exchange + broadcast offsets,
+    // never a single-partition window).
+    "q95_epoch_shuffle" -> ((s, dir) =>
+      ops.EpochShuffle.shuffleAndPack(
+          Tables.documents(s, dir), epoch = 7, tokensPerShard = 2000L)
         .orderBy("doc_id"))
   )
 
@@ -3983,7 +3994,26 @@ object SparkEntry {
         |     CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))) > 0
         |    AS selected
         |FROM t LEFT JOIN score ON score.doc_id = t.doc_id, tot
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // q95: the oracle re-derives the epoch-7 permutation key (60-bit
+    // md5 — bit-exact across engines), the running total in permuted
+    // order, and the greedy shard rule as one window.
+    "q95_epoch_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS epoch_key,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, epoch_key, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY epoch_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY epoch_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -23,8 +23,17 @@ object PrefixSum {
     * make the within-tie running order nondeterministic). The value
     * column must be integral (sums as long). */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+                   cumCol: String): DataFrame =
+    runningTotal(df, Seq(orderCol), valueCol, cumCol)
+
+  /** Composite-key form: the running total follows the lexicographic
+    * order of `orderCols` (their COMBINATION must be unique per row —
+    * how [[graft.ops.EpochShuffle]] orders by a 60-bit permutation
+    * key with the row id as the exactness tiebreak). */
+  def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
                    cumCol: String): DataFrame = {
-    val parts = df.repartitionByRange(col(orderCol))
+    require(orderCols.nonEmpty, "need at least one order column")
+    val parts = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     // Single-partition by design — it orders the P per-chunk totals
     // (P = shuffle partitions), never data rows. The pmod(pid, 1)
@@ -41,7 +50,7 @@ object PrefixSum {
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
     parts
       .withColumn("__run", sum(col(valueCol)).over(
-        Window.partitionBy("__pid").orderBy(orderCol)
+        Window.partitionBy("__pid").orderBy(orderCols.head, orderCols.tail: _*)
           .rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(meta), "__pid")
       .withColumn(cumCol, col("__run") + col("__off"))

@@ -186,6 +186,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            s"found globally-ordered window over the data in:\n$p")
   }
 
+  test("q95: epoch shuffle keeps the distributed-prefix-sum shape under the composite key") {
+    val p = plan("q95_epoch_shuffle")
+    assert(p.contains("windowspecdefinition(__pid"),
+           s"expected chunk-keyed window in:\n$p")
+    assert(!p.contains("windowspecdefinition(epoch_key#"),
+           s"found globally-ordered window over the data in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+  }
+
   test("q84: real-token shard packing — native count in the scan projection, chunk-keyed window") {
     val p = plan("q84_bpe_shards")
     // the tokenizer is the native expression evaluated in the scan's
