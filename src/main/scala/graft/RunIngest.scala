@@ -85,6 +85,17 @@ object RunIngest {
       |                                once), encoded with codebooks trained
       |                                ONCE from --train; --corpus is the index
       |                                dir (defaults coarse-k 4, m 4, ksub 16)
+      |   or: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR --mode quality
+      |                       --ref PATH --max-xent X [--lang-col NAME]
+      |                                frozen-LM quality gate: train the
+      |                                per-language bigram LM ONCE from the
+      |                                --ref parquet corpus, score every
+      |                                streamed doc, land (batch=<id>,
+      |                                exactly-once) only docs at or under
+      |                                X cross-entropy nats/token; docs the
+      |                                gate cannot score (under 2 tokens, a
+      |                                language absent from --ref) are
+      |                                rejected, not waved through
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
       |                                part files (default 4; per leaf on a
@@ -292,7 +303,7 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both", "semantic", "full", "index").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic", "full", "index", "quality").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
       return 2
     }
@@ -303,9 +314,14 @@ object RunIngest {
        else if (mode == "full") Nil
        else if (mode == "index")
          Seq("text-col", "tau", "partition-by").filter(opts.contains)
+       else if (mode == "quality")
+         Seq("vec-col", "tau", "partition-by").filter(opts.contains)
        else Seq("vec-col", "tau").filter(opts.contains)) ++
       (if (mode != "index")
          Seq("train", "coarse-k", "m", "ksub").filter(opts.contains)
+       else Nil) ++
+      (if (mode != "quality")
+         Seq("ref", "max-xent", "lang-col").filter(opts.contains)
        else Nil)
     if (wrongModeFlags.nonEmpty) {
       System.err.println(
@@ -318,6 +334,20 @@ object RunIngest {
         "(codebooks are trained once from a fixed source, not the stream)\n$usage")
       return 2
     }
+    if (mode == "quality" && !(opts.contains("ref") && opts.contains("max-xent"))) {
+      System.err.println(s"[ingest] --mode quality requires --ref PATH and " +
+        "--max-xent X (the LM is trained once from a fixed reference, " +
+        "not the stream)\n$usage")
+      return 2
+    }
+    val maxXent = opts.get("max-xent").map(_.toDoubleOption) match {
+      case Some(None) =>
+        System.err.println(s"[ingest] --max-xent needs a number\n$usage")
+        return 2
+      case Some(Some(x)) => x
+      case None => 0.0 // unused outside quality mode
+    }
+    val langCol = opts.getOrElse("lang-col", "lang")
     val textCol = opts.getOrElse("text-col", "text")
     val idCol = opts.getOrElse("id-col", "doc_id")
     val vecCol = opts.getOrElse("vec-col", "embedding")
@@ -365,6 +395,7 @@ object RunIngest {
       val keyCols = mode match {
         case "semantic" | "index" => Seq(vecCol, idCol)
         case "full"               => Seq(textCol, vecCol, idCol)
+        case "quality"            => Seq(textCol, idCol, langCol)
         case _                    => Seq(textCol, idCol)
       }
       val absent = keyCols.filterNot(schema.fieldNames.contains)
@@ -381,6 +412,9 @@ object RunIngest {
         case "index" => EventStreams.ingestIndex(docs, opts("corpus"), opts("checkpoint"),
           trainingSource = spark.read.parquet(opts("train")),
           coarseK = coarseK, m = pqM, ksub = pqKsub, idCol = idCol, vecCol = vecCol)
+        case "quality" => EventStreams.ingestQuality(docs, opts("corpus"), opts("checkpoint"),
+          reference = spark.read.parquet(opts("ref")),
+          maxXentPerToken = maxXent, textCol = textCol, idCol = idCol, langCol = langCol)
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
@@ -412,7 +446,7 @@ object RunIngest {
   private val valueFlags =
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "vec-col", "tau", "target-files",
         "leaf-parallel", "partition-col", "before", "partition-by",
-        "train", "coarse-k", "m", "ksub")
+        "train", "coarse-k", "m", "ksub", "ref", "max-xent", "lang-col")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

@@ -70,6 +70,27 @@ object NgramLm {
       .groupBy(col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
       .agg(count(lit(1)).as("c"))
 
+  /** A materialized LM ready to score against: the counts table and
+    * its per-language vocabulary sizes, built once ([[train]]) and
+    * reusable across any number of scoring passes — including every
+    * micro-batch of a streaming quality gate, where re-deriving the
+    * LM per batch would re-scan the reference corpus each time. */
+  final case class TrainedLm(counts: DataFrame, vocab: DataFrame, entries: Long)
+
+  /** Build and MATERIALIZE the LM from a reference corpus
+    * (vocab-sized, NOT corpus-sized — the q87 localCheckpoint
+    * precedent): without the checkpoint, Catalyst re-plans the whole
+    * reference explode+aggregate for EACH consumer, and the
+    * vocabulary derivation was re-scanning the reference corpus
+    * (plan-probed: 4 documents scans → 3). */
+  def train(ref: DataFrame, textCol: String = "text",
+            langCol: String = "lang"): TrainedLm = {
+    val lmDf = lm(ref, textCol, langCol).localCheckpoint()
+    TrainedLm(lmDf,
+      lmDf.filter(col("kind") === 0).groupBy("lang").agg(count(lit(1)).as("v")),
+      lmDf.count())
+  }
+
   /** Score every document against [[lm]] built from the reference
     * predicate: (doc_id, lang, n_pos, xent_micronats, xent_per_token)
     * — n_pos = bigram positions (t−1), xent_micronats the EXACT
@@ -77,16 +98,16 @@ object NgramLm {
     * mean in nats rounded to 6 (NULL for docs under 2 tokens). */
   def perplexity(docs: DataFrame, refPred: Column,
                  textCol: String = "text", idCol: String = "doc_id",
-                 langCol: String = "lang"): DataFrame = {
-    // The LM is materialized once (vocab-sized, NOT corpus-sized —
-    // the q87 localCheckpoint precedent): without it, Catalyst
-    // re-plans the whole reference explode+aggregate for EACH
-    // consumer, and the V derivation below was re-scanning the
-    // reference corpus (plan-probed: 4 documents scans → 3).
-    val lmDf = lm(docs.filter(refPred), textCol, langCol).localCheckpoint()
-    // vocabulary size per language — ≤ #langs rows, broadcast by size
-    val v = lmDf.filter(col("kind") === 0)
-      .groupBy("lang").agg(count(lit(1)).as("v"))
+                 langCol: String = "lang"): DataFrame =
+    score(docs, train(docs.filter(refPred), textCol, langCol),
+      textCol, idCol, langCol)
+
+  /** [[perplexity]] against an already-[[train]]ed LM. */
+  def score(docs: DataFrame, trained: TrainedLm,
+            textCol: String = "text", idCol: String = "doc_id",
+            langCol: String = "lang"): DataFrame = {
+    val lmDf = trained.counts
+    val v = trained.vocab
     // The position stream pays exactly TWO exchanges when the LM is
     // big (the LM join's, AQE-converted to broadcast when it is
     // small, and the final doc regroup's). v MUST be an explicit
@@ -101,11 +122,11 @@ object NgramLm {
     // q49-style regime gate: the checkpointed LM carries no stats, so
     // the planner would SMJ unconditionally — which at the probe's
     // sf10 means exchanging the full position stream against a ~4M-row
-    // LM that fits a broadcast with room to spare. Counting the
-    // materialized RDD is a metadata-cheap job; ≲8M entries ≈ 200 MB
-    // broadcast (executor-safe), past which the shuffle join is the
-    // right plan and the count bought the certainty.
-    val lmJoin = if (lmDf.count() <= 8L * 1000 * 1000) broadcast(lmDf) else lmDf
+    // LM that fits a broadcast with room to spare. The entry count
+    // was taken once at train time (metadata-cheap on the
+    // materialized RDD); ≲8M entries ≈ 200 MB broadcast
+    // (executor-safe), past which the shuffle join is the right plan.
+    val lmJoin = if (trained.entries <= 8L * 1000 * 1000) broadcast(lmDf) else lmDf
     val perDoc = docs
       .select(col(idCol), col(langCol).as("lang"),
         explode_outer(entries(col(textCol), prefixOnly = true)).as("e"))

@@ -2267,6 +2267,57 @@ object EventStreams {
     }
   }
 
+  /** Streaming quality gate — the CCNet deployment shape of q93's LM
+    * perplexity filter: the per-language Laplace bigram LM is trained
+    * ONCE from a static reference corpus ([[graft.ops.NgramLm.train]]
+    * — materialized vocab-sized state, the frozen-LM discipline the
+    * paper uses; re-deriving it per micro-batch would re-scan the
+    * reference every batch), then every micro-batch is scored against
+    * it and only documents at or under `maxXentPerToken` land,
+    * carrying their scores. UNSCORABLE documents — under 2 tokens, or
+    * a language absent from the reference — are REJECTED, not waved
+    * through: a quality gate that cannot judge a document must not
+    * admit it (the conservative CCNet reading; flip by filtering the
+    * scored frame yourself if a pipeline wants pass-through).
+    *
+    * Landing layout and exactly-once match [[ingestIndex]]: each
+    * batch lands under `batch=<id>` in overwrite mode with the re-run
+    * committer, so a crashed attempt's partial output is cleared by
+    * its own retry — no dedup-on-read. Takes the landing's
+    * single-writer slot + cross-JVM writer lock like every ingest
+    * entry. No carried state: the LM is frozen, so batches are
+    * independent and the gate composes BEFORE the dedup family (score
+    * first — rejects never pay signature or bloom work). */
+  def ingestQuality(docs: DataFrame, landingDir: String, checkpointDir: String,
+                    reference: DataFrame, maxXentPerToken: Double,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    langCol: String = "lang")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fields = docs.schema.fieldNames.toSet
+    require(Seq(textCol, idCol, langCol).forall(fields.contains),
+      s"stream schema must contain '$textCol', '$idCol', '$langCol'; got " +
+      docs.schema.fieldNames.mkString(", "))
+    require(!fields.contains("batch"),
+      "stream schema must not carry 'batch' — it is the landing's partition column")
+    require(!maxXentPerToken.isNaN, "maxXentPerToken must be a number")
+    val trained = graft.ops.NgramLm.train(reference, textCol, langCol)
+    val key = landingKey(docs.sparkSession, landingDir)
+    startGuarded(docs.sparkSession, key) {
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeatIngestLock(key)
+          val scored = graft.ops.NgramLm.score(batch, trained, textCol, idCol, langCol)
+            .select(col(idCol), col("n_pos"), col("xent_micronats"), col("xent_per_token"))
+          batch.join(scored, Seq(idCol))
+            .filter(col("xent_per_token") <= maxXentPerToken)
+            .write.mode("overwrite").parquet(s"$key/batch=$batchId")
+          ()
+        }
+        .start()
+    }
+  }
+
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are

@@ -125,6 +125,39 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     assert(RunIngest.execute(spark, run ++ Array("--tau", "0.5")) == 2)
   }
 
+  test("--mode quality: frozen-LM gate across --once runs; flag hygiene") {
+    val arrivals = Files.createTempDirectory("graft-cli-qg-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-qg").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-qg-ckpt").toString
+    val ref = Files.createTempDirectory("graft-cli-qg-ref").toString + "/ref"
+    (0L until 20L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog again", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(ref)
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--mode", "quality", "--ref", ref, "--max-xent", "2.0")
+    Seq((100L, "the quick brown fox jumps over the lazy dog", "en"),
+        (101L, "zxq wvk pqr mnb asd fgh jkl qwe rty uio", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    Seq((102L, "the lazy dog jumps over the quick brown fox", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    val landed = spark.read.parquet(corpus)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 102L), "gate must admit reference-like docs and reject garbage")
+    assert(landed.columns.contains("xent_per_token"), "scores land with the docs")
+    // flag hygiene: quality needs --ref and --max-xent; both refused elsewhere
+    assert(RunIngest.execute(spark,
+      run.filterNot(a => a == "--ref" || a == ref)) == 2)
+    assert(RunIngest.execute(spark,
+      run.filterNot(a => a == "--max-xent" || a == "2.0")) == 2)
+    assert(RunIngest.execute(spark, Array("--in", arrivals, "--corpus", corpus,
+      "--checkpoint", ckpt, "--once", "--mode", "both", "--ref", ref)) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--tau", "0.5")) == 2)
+    assert(RunIngest.execute(spark,
+      run.updated(run.indexOf("--max-xent") + 1, "lots")) == 2)
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString

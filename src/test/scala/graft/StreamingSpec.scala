@@ -1046,6 +1046,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     java.nio.file.Files.delete(iLock)
   }
 
+  test("quality gate: frozen-LM scoring admits reference-like docs, rejects OOV garbage and unscorables; stream ≡ batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-qg").toString
+    val landing = root + "/corpus"
+    // the reference LM speaks a tight vocabulary
+    val ref = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again", "en"))
+      .toDF("doc_id", "text", "lang")
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.ingestQuality(
+      in.toDF().toDF("doc_id", "text", "lang"), landing,
+      java.nio.file.Files.createTempDirectory("graft-qg-ck").toString,
+      ref, maxXentPerToken = 2.0)  // OOV-garbage floor here is ln(V)=ln 10 ≈ 2.30 nats/token;
+                                   // reference-like docs read 0.4–0.9
+    try {
+      in.addData(
+        (100L, "the quick brown fox jumps over the lazy dog", "en"),   // reference-like
+        (101L, "zxq wvk pqr mnb asd fgh jkl qwe rty uio", "en"),       // OOV garbage
+        (102L, "shorty", "en"),                                        // unscorable: 1 token
+        (103L, "the quick brown fox", "fr"))                           // unscorable: no fr LM
+      q.processAllAvailable()
+      in.addData((104L, "the lazy dog jumps over the quick brown fox", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(landing)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 104L),
+      "only reference-like docs may land; OOV garbage and unscorables are rejected")
+    // the landed scores equal the batch twin's (same frozen LM, exact integers)
+    val trained = graft.ops.NgramLm.train(ref)
+    val twin = graft.ops.NgramLm.score(
+        Seq((100L, "the quick brown fox jumps over the lazy dog", "en"),
+            (104L, "the lazy dog jumps over the quick brown fox", "en"))
+          .toDF("doc_id", "text", "lang"), trained)
+      .select("doc_id", "xent_micronats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    landed.select("doc_id", "xent_micronats").collect().foreach { r =>
+      assert(r.getLong(1) == twin(r.getLong(0)), s"score drift on doc ${r.getLong(0)}")
+    }
+    // it is an ingest stream: the landing took the writer-lock surface
+    // (release is async on the termination listener — poll briefly)
+    val lockFile = java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus")
+    val deadline = System.currentTimeMillis() + 15000
+    while (java.nio.file.Files.exists(lockFile) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "clean stop must release the writer lock")
+  }
+
   test("cross-JVM writer lock: a clean stop releases only a lock still naming THIS pid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
