@@ -330,21 +330,22 @@ object RunIngest {
       return 2
     }
     if (mode == "index" && !opts.contains("train")) {
-      System.err.println(s"[ingest] --mode index requires --train PATH " +
-        "(codebooks are trained once from a fixed source, not the stream)\n$usage")
+      System.err.println("[ingest] --mode index requires --train PATH " +
+        s"(codebooks are trained once from a fixed source, not the stream)\n$usage")
       return 2
     }
     if (mode == "quality" && !(opts.contains("ref") && opts.contains("max-xent"))) {
-      System.err.println(s"[ingest] --mode quality requires --ref PATH and " +
+      System.err.println("[ingest] --mode quality requires --ref PATH and " +
         "--max-xent X (the LM is trained once from a fixed reference, " +
-        "not the stream)\n$usage")
+        s"not the stream)\n$usage")
       return 2
     }
     val maxXent = opts.get("max-xent").map(_.toDoubleOption) match {
-      case Some(None) =>
-        System.err.println(s"[ingest] --max-xent needs a number\n$usage")
+      case Some(Some(x)) if !x.isNaN && x >= 0 => x
+      case Some(_) =>
+        System.err.println("[ingest] --max-xent needs a non-negative number " +
+          s"(per-token cross-entropy is non-negative)\n$usage")
         return 2
-      case Some(Some(x)) => x
       case None => 0.0 // unused outside quality mode
     }
     val langCol = opts.getOrElse("lang-col", "lang")

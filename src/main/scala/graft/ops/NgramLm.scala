@@ -10,18 +10,22 @@ import org.apache.spark.sql.functions._
   * is a single-node artifact; the scale-safe re-expression is a
   * Laplace-smoothed hashed-bigram LM built and applied relationally:
   *
-  *   1. LM build — ONE aggregation over the reference slice:
-  *      `word_text_gram_hashes(text, 1|2)` (the q49 fingerprint
-  *      convention: grams cross exchanges as 8-byte XXH64 longs,
-  *      never strings) exploded to (lang, kind, hash) rows, counted.
-  *      Unigram-vocabulary sizes V(lang) derive from the same result
-  *      — the reference is scanned exactly once.
-  *   2. Scoring — per document, the prev-unigram and bigram multisets
-  *      collapse to per-doc (kind, hash, n_k) counts BEFORE any
-  *      exchange (map-side partial aggregation; within-doc repeats
-  *      never shuffle), left-join the LM once on (lang, kind, hash) —
-  *      broadcast when the LM is small, shuffle on the slim 8-byte
-  *      key when it is not (AQE decides) — and re-aggregate per doc.
+  *   1. LM build ([[train]]) — ONE aggregation over the reference:
+  *      the fused `word_lm_entries` generator
+  *      ([[graft.functions.LmEntries]] — one byte scan; the q49
+  *      fingerprint convention: grams cross exchanges as 8-byte XXH64
+  *      longs, never strings) exploded to (lang, kind, hash) rows,
+  *      counted, MATERIALIZED (vocab-sized). Vocabulary sizes V(lang)
+  *      derive from the materialized result — the reference is
+  *      scanned exactly once.
+  *   2. Scoring ([[score]]) — the position stream (prev-unigram +
+  *      bigram entries per doc) left-joins the LM once on
+  *      (lang, kind, hash) — broadcast under the 8M-entry regime gate
+  *      (the materialized RDD carries no stats, so the choice is
+  *      explicit, sized at train time), shuffle on the slim 8-byte
+  *      key above it — then one partial-aggregated doc regroup.
+  *      Two exchanges total in the big-LM regime, one in the
+  *      broadcast regime.
   *
   * Cross-entropy is computed in FIXED-POINT MICRO-NATS — the
   * integer-cents discipline applied to logs: lp(k) = ⌊ln(k)·10⁶ +

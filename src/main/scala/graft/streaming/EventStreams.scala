@@ -2272,8 +2272,11 @@ object EventStreams {
     * ONCE from a static reference corpus ([[graft.ops.NgramLm.train]]
     * — materialized vocab-sized state, the frozen-LM discipline the
     * paper uses; re-deriving it per micro-batch would re-scan the
-    * reference every batch), then every micro-batch is scored against
-    * it and only documents at or under `maxXentPerToken` land,
+    * reference every batch), then every micro-batch ROW is scored
+    * independently against it (synthetic per-row key — duplicate doc
+    * ids are legitimate pre-dedup input and must neither merge their
+    * scores nor fan out on the re-attach) and only rows at or under
+    * `maxXentPerToken` land,
     * carrying their scores. UNSCORABLE documents — under 2 tokens, or
     * a language absent from the reference — are REJECTED, not waved
     * through: a quality gate that cannot judge a document must not
@@ -2300,18 +2303,40 @@ object EventStreams {
     require(!fields.contains("batch"),
       "stream schema must not carry 'batch' — it is the landing's partition column")
     require(!maxXentPerToken.isNaN, "maxXentPerToken must be a number")
-    val trained = graft.ops.NgramLm.train(reference, textCol, langCol)
+    require(maxXentPerToken >= 0,
+      s"per-token cross-entropy is non-negative, so a threshold of " +
+      s"$maxXentPerToken would reject every document")
+    require(!docs.schema.fieldNames.contains("__qid"),
+      "stream schema must not carry '__qid' — the gate's working column")
     val key = landingKey(docs.sparkSession, landingDir)
     startGuarded(docs.sparkSession, key) {
+      // train INSIDE the guard: a refused start (foreign writer lock)
+      // must fail before paying the reference scan + materialization
+      val trained = graft.ops.NgramLm.train(reference, textCol, langCol)
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           heartbeatIngestLock(key)
-          val scored = graft.ops.NgramLm.score(batch, trained, textCol, idCol, langCol)
-            .select(col(idCol), col("n_pos"), col("xent_micronats"), col("xent_per_token"))
-          batch.join(scored, Seq(idCol))
-            .filter(col("xent_per_token") <= maxXentPerToken)
-            .write.mode("overwrite").parquet(s"$key/batch=$batchId")
+          // The gate sits BEFORE the dedup family, so repeated doc ids
+          // in one batch are legitimate input: each ROW is scored
+          // independently under a synthetic per-row key (an id-keyed
+          // join would merge duplicate ids' entries and cross-multiply
+          // a doc id appearing under two languages). The persist is
+          // load-bearing twice over — it pins the synthetic ids so the
+          // score side and the join side see the SAME assignment (each
+          // use of an unpersisted batch re-plans the source, which may
+          // renumber), and it halves the per-batch input scans.
+          val keyed = batch.withColumn("__qid", monotonically_increasing_id()).persist()
+          try {
+            val scored = graft.ops.NgramLm.score(keyed, trained, textCol, "__qid", langCol)
+              .select(col("__qid"), col("n_pos"), col("xent_micronats"),
+                col("xent_per_token"))
+            keyed.join(scored, Seq("__qid"))
+              .filter(col("xent_per_token") <= maxXentPerToken)
+              .drop("__qid")
+              .write.options(graft.core.Committers.forRerun(overwrite = true))
+              .mode("overwrite").parquet(s"$key/batch=$batchId")
+          } finally { keyed.unpersist(); () }
           ()
         }
         .start()

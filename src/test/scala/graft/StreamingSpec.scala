@@ -1096,6 +1096,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       "clean stop must release the writer lock")
   }
 
+  test("quality gate: duplicate doc ids in one batch score per ROW — no merge, no fan-out, per-lang verdicts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-qgdup").toString
+    val ref = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again", "en"))
+      .toDF("doc_id", "text", "lang")
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.ingestQuality(
+      in.toDF().toDF("doc_id", "text", "lang"), root + "/corpus",
+      java.nio.file.Files.createTempDirectory("graft-qgdup-ck").toString,
+      ref, maxXentPerToken = 2.0)
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", "en"),
+        (1L, "the quick brown fox jumps over the lazy dog", "en"), // exact repost (pre-dedup input)
+        (2L, "the quick brown fox jumps over the lazy dog", "en"), // same id, two langs:
+        (2L, "the quick brown fox jumps over the lazy dog", "fr")) //   fr has no LM → rejected
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(root + "/corpus")
+      .select("doc_id", "lang", "xent_micronats").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the repost lands TWICE (dedup is downstream's job), each copy
+    // with the single-doc score — an id-keyed join would have merged
+    // (doubled) the score and fanned 2×2 rows
+    val single = graft.ops.NgramLm.score(
+        Seq((9L, "the quick brown fox jumps over the lazy dog", "en"))
+          .toDF("doc_id", "text", "lang"),
+        graft.ops.NgramLm.train(ref))
+      .select("xent_micronats").head().getLong(0)
+    assert(landed.count(x => x._1 == 1L) == 2)
+    assert(landed.filter(_._1 == 1L).forall(_._3 == single),
+      "each duplicate row must carry the single-doc score, not a merged one")
+    // of the two-lang pair, only the en row survives, with its own score
+    assert(landed.filter(_._1 == 2L).map(_._2).toSeq == Seq("en"))
+    assert(landed.filter(_._1 == 2L).head._3 == single)
+  }
+
   test("cross-JVM writer lock: a clean stop releases only a lock still naming THIS pid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
