@@ -30,6 +30,10 @@ class FunctionsSqlSpec extends AnyFunSuite with SparkTestSession {
           .asInstanceOf[scala.collection.Seq[_]].size)
     assert(one("SELECT word_chunks('a b c d', 2)")
       .asInstanceOf[scala.collection.Seq[_]].size == 2)
+    assert(one("SELECT size(word_spans('a b c d e', 4, 2))") == 3)
+    // full form: t unigrams + t-1 bigrams; prefix form: 2(t-1)
+    assert(one("SELECT size(word_lm_entries('a b c', false))") == 5)
+    assert(one("SELECT size(word_lm_entries('a b c', true))") == 4)
     assert(one("SELECT word_marker_counts('the cat saw the dog', array('the', 'cat'))")
       .asInstanceOf[scala.collection.Seq[Long]] == Seq(2L, 1L))
     // 'a b' repeats 3x in 5 bigrams
