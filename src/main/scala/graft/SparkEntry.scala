@@ -1928,7 +1928,28 @@ object SparkEntry {
     "q95_epoch_shuffle" -> ((s, dir) =>
       ops.EpochShuffle.shuffleAndPack(
           Tables.documents(s, dir), epoch = 7, tokensPerShard = 2000L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- mergeable quantile sketch (bottom-k sampling) ----
+    // Per-source n_chars quantiles from deterministic bottom-k value
+    // samples (ops/QuantileSketch): built per (source, doc_id%4
+    // SHARD), then MERGED per source — while the oracle computes the
+    // global bottom-k sample directly, so the green hash IS the
+    // mergeability proof (bottom-k of bottom-k's ≡ global bottom-k;
+    // the q56 equivalence trick). Estimates are exact below k=32 and
+    // integer-exact always (index rule, no interpolation).
+    "q96_quantile_sketch" -> ((s, dir) => {
+      val shards = ops.QuantileSketch.build(
+        Tables.documents(s, dir)
+          .withColumn("shard", col("doc_id") % 4),
+        Seq("source", "shard"), "doc_id", "n_chars", k = 32)
+      val merged = ops.QuantileSketch.merge(shards, Seq("source"), k = 32)
+      merged.select(col("source"), col("n_rows").as("n_docs"),
+          size(col("sketch")).cast("bigint").as("n_sample"),
+          ops.QuantileSketch.quantile(col("sketch"), 0.5).as("p50_est"),
+          ops.QuantileSketch.quantile(col("sketch"), 0.9).as("p90_est"))
+        .orderBy("source")
+    })
   )
 
   /** Committed dirty sea_surface fixture exercising every clean-stage
@@ -4013,7 +4034,32 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY epoch_key, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
         |FROM t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q96: the oracle ranks every doc by its md5 sampling key and
+    // takes the GLOBAL per-source bottom-32 sample; the engine builds
+    // per-shard sketches and merges them — equal results prove the
+    // mergeable property (bottom-k of bottom-k's ≡ global bottom-k).
+    "q96_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |s AS (
+        |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |    list_sort(list(n_chars)) AS vals
+        |  FROM r WHERE rn <= 32 GROUP BY source)
+        |SELECT source, n_docs, n_sample,
+        |  vals[CAST(floor(0.5 * (n_sample - 1)) AS BIGINT) + 1] AS p50_est,
+        |  vals[CAST(floor(0.9 * (n_sample - 1)) AS BIGINT) + 1] AS p90_est
+        |FROM s
+        |ORDER BY source""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

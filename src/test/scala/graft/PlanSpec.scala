@@ -195,6 +195,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
   }
 
+  test("q96: quantile sketches ride bounded_topk buffers — no window, no join, no row shuffle") {
+    val p = plan("q96_quantile_sketch")
+    assert(p.contains("bounded_topk"), "sketch aggregate missing")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded_topk must plan as ObjectHashAggregate (map-side partial sketches)")
+    assert(!p.contains("Window"), "a window-ranked sample is the row-shuffle scale trap")
+    assert(!p.contains("Join") || p.contains("BroadcastHashJoin"),
+      s"only the tiny count↔sketch broadcast join is allowed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
+  }
+
   test("q84: real-token shard packing — native count in the scan projection, chunk-keyed window") {
     val p = plan("q84_bpe_shards")
     // the tokenizer is the native expression evaluated in the scan's
