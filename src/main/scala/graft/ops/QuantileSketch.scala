@@ -35,50 +35,74 @@ object QuantileSketch {
   def sampleKey(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
-  private def entry(id: Column, value: Column): Column =
-    struct(sampleKey(id).as("h"), id.as("id"), value.as("v"))
-
   /** Per-group sketches: one row per `groupCols` combination with
-    * `n_rows` (exact) and `sketch` = the bottom-k (h, id, v) entries,
-    * smallest hash first (ties by id — a total order, so the sketch
-    * is unique). */
+    * `n_rows` (exact), `sketch` = the bottom-k (h, id, v) entries
+    * (smallest hash first, ties by id — a total order, so the sketch
+    * is unique), and `sketch_k` = the build bound, carried so
+    * [[merge]] can verify compatibility (the kmv_union_agg
+    * header-check convention). NULL ids or values are REFUSED
+    * relationally (the sketch-family hardening rule): a null id has
+    * no deterministic rank and a null value sorts differently across
+    * engines — both would silently break the oracle contract. */
   def build(df: DataFrame, groupCols: Seq[String], idCol: String,
             valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need a positive sample bound, got $k")
-    val e = entry(col(idCol), col(valueCol))
-    df.groupBy(groupCols.map(col): _*)
+    // h is projected ONCE per row (the aggregate's payload and order
+    // expressions evaluate independently — an inline getField would
+    // pay the md5 twice per row after extract-value simplification)
+    val guarded = df.select(
+      groupCols.map(col) :+
+        when(col(idCol).isNull || col(valueCol).isNull,
+          raise_error(lit(s"quantile sketch refuses null $idCol/$valueCol rows")))
+          .otherwise(sampleKey(col(idCol))).as("__h") :+
+        col(idCol).as("__id") :+ col(valueCol).as("__v"): _*)
+    guarded.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         call_function("bounded_topk",
-          e, -e.getField("h"), col(idCol), lit(k)).as("sketch"))
+          struct(col("__h").as("h"), col("__id").as("id"), col("__v").as("v")),
+          -col("__h"), col("__id"), lit(k)).as("sketch"))
+      .withColumn("sketch_k", lit(k))
   }
 
   /** Re-aggregate per-shard sketches to coarser groups: bottom-k of
-    * the union of bottom-k's ≡ bottom-k of the union (the mergeable
-    * property). Returns (groupCols, n_rows, sketch) like [[build]] —
-    * the exact count sums BEFORE the entry explode so it never
-    * multiplies by sketch size; exchanges again carry only sketch
-    * buffers and one long. */
+    * the union of bottom-k's ≡ bottom-k of the union — but ONLY at or
+    * below the bound the inputs were built with (a k-16 sketch does
+    * not contain the global bottom-32), so inputs whose `sketch_k` is
+    * under the requested k are refused relationally. ONE aggregation
+    * over the position-exploded entries computes the merged sketch
+    * AND the exact count (n_rows rides the pos-0 entry — every group
+    * has one, since k ≥ 1 and empty groups produce no sketch row);
+    * exchanges carry only sketch buffers and one long, and the plan
+    * has no join for PlanSpec to whitelist. */
   def merge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"need a positive sample bound, got $k")
     val gc = groupCols.map(col)
-    val counts = sketches.groupBy(gc: _*).agg(sum(col("n_rows")).as("n_rows"))
-    val merged = sketches
-      .select(gc :+ explode(col("sketch")).as("e"): _*)
+    sketches
+      .select(gc ++ Seq(
+        when(col("sketch_k") < k,
+          raise_error(concat(lit(s"cannot merge at k=$k sketches built with k="),
+            col("sketch_k").cast("string"),
+            lit(" — the union of smaller bottom-k's is not the global bottom-k"))))
+          .otherwise(col("n_rows")).as("n_rows"),
+        posexplode(col("sketch")).as(Seq("pos", "e"))): _*)
       .groupBy(gc: _*)
-      .agg(call_function("bounded_topk",
-        col("e"), -col("e.h"), col("e.id"), lit(k)).as("sketch"))
-    counts.join(merged, groupCols)
+      .agg(
+        sum(when(col("pos") === 0, col("n_rows")).otherwise(0L)).as("n_rows"),
+        call_function("bounded_topk",
+          col("e"), -col("e.h"), col("e.id"), lit(k)).as("sketch"))
+      .withColumn("sketch_k", lit(k))
   }
 
   /** Empirical quantile of a sketch column at `q`: the value at
     * 1-based index ⌊q·(nₛ−1)⌋+1 of the sorted sampled values — a
     * deterministic integer index rule both engines compute identically
     * (one IEEE multiply + floor; no interpolation, so integer-typed
-    * values stay integers and the oracle compare is exact). */
+    * values stay integers and the oracle compare is exact). NULL for
+    * an empty sketch (no sample, no estimate). */
   def quantile(sketch: Column, q: Double): Column = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
     val vals = array_sort(transform(sketch, _.getField("v")))
-    element_at(vals,
-      (floor(lit(q) * (size(vals) - 1)) + 1).cast("int"))
+    when(size(vals) > 0,
+      element_at(vals, (floor(lit(q) * (size(vals) - 1)) + 1).cast("int")))
   }
 }

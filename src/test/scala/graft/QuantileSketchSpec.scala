@@ -77,4 +77,37 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(intercept[IllegalArgumentException](
       sk.select(QuantileSketch.quantile(col("sketch"), 1.5))).getMessage.contains("[0,1]"))
   }
+
+  test("null ids/values are refused, not silently sampled (sketch-family hardening rule)") {
+    val docs = Seq((Some(1L), "g", Some(5L)), (None, "g", Some(7L)))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception](
+      QuantileSketch.build(docs, Seq("g"), "id", "v", 4).collect())
+    assert(e.getMessage != null && e.getMessage.contains("refuses null"),
+      s"got: ${e.getMessage}")
+    val e2 = intercept[Exception](
+      QuantileSketch.build(Seq((Some(1L), "g", None: Option[Long])).toDF("id", "g", "v"),
+        Seq("g"), "id", "v", 4).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("refuses null"))
+  }
+
+  test("merging above the build bound is refused (a k-4 sketch does not hold the global bottom-8)") {
+    val docs = (0L until 100L).map(i => (i, "g", i)).toDF("id", "g", "v")
+    val shards = QuantileSketch.build(docs.withColumn("shard", col("id") % 3),
+      Seq("g", "shard"), "id", "v", k = 4)
+    val e = intercept[Exception](
+      QuantileSketch.merge(shards, Seq("g"), k = 8).collect())
+    assert(e.getMessage != null && e.getMessage.contains("cannot merge"),
+      s"got: ${e.getMessage}")
+    // merging at or below the build bound stays legal
+    assert(QuantileSketch.merge(shards, Seq("g"), k = 4).count() == 1)
+    assert(QuantileSketch.merge(shards, Seq("g"), k = 2).count() == 1)
+  }
+
+  test("quantile of an empty sketch is NULL, not an index error") {
+    val sk = QuantileSketch.build(
+        Seq((1L, "g", 1L)).toDF("id", "g", "v"), Seq("g"), "id", "v", 4)
+      .withColumn("sketch", filter(col("sketch"), _ => lit(false)))
+    assert(sk.select(QuantileSketch.quantile(col("sketch"), 0.5)).head().isNullAt(0))
+  }
 }
