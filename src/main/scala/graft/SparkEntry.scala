@@ -1903,9 +1903,14 @@ object SparkEntry {
     // (kinds 0/1 = prev-unigram/bigram), grams as 8-byte XXH64
     // fingerprints (q49 convention), per-doc counts collapse before
     // any exchange.
+    // Carrier hashes integer columns only: the library also emits the
+    // human-facing rounded-double xent_per_token, but round-half ties
+    // are engine-specific, so the cross-engine gate rides
+    // xent_micronats_per_pos (exact integer division).
     "q93_lm_perplexity" -> ((s, dir) =>
       ops.NgramLm.perplexity(
           Tables.documents(s, dir), col("doc_id") % 10 === 0)
+        .drop("xent_per_token")
         .orderBy("doc_id")),
 
     // ---- DSIR importance resampling (hashed-ngram weights) ----
@@ -2771,7 +2776,7 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
 
     "q44_pivot" ->
-      """SELECT date_trunc('day', ts) AS day,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
         |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
         |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
@@ -3041,7 +3046,7 @@ object SparkEntry {
 
     "q63_moving_avg" ->
       """WITH d AS (
-        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
         |  FROM events
@@ -3950,10 +3955,10 @@ object SparkEntry {
         |  FROM scpos GROUP BY 1, 2, 3, 4),
         |sc AS (
         |  SELECT nk.doc_id, nk.lang,
-        |    SUM(nk.nk * CASE WHEN nk.kind = 0
+        |    CAST(SUM(nk.nk * CASE WHEN nk.kind = 0
         |      THEN CAST(floor(ln(CAST(COALESCE(lm.c, 0) + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
         |      ELSE -CAST(floor(ln(CAST(COALESCE(lm.c, 0) + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
-        |      END) AS xent_micronats
+        |      END) AS BIGINT) AS xent_micronats
         |  FROM nk
         |  LEFT JOIN lm ON lm.lang = nk.lang AND lm.kind = nk.kind AND lm.g = nk.g
         |  JOIN v ON v.lang = nk.lang
@@ -3962,8 +3967,8 @@ object SparkEntry {
         |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_pos,
         |  sc.xent_micronats,
         |  CASE WHEN len(toks) >= 2
-        |       THEN round(sc.xent_micronats / (len(toks) - 1) / 1e6, 6) END
-        |    AS xent_per_token
+        |       THEN CAST(sc.xent_micronats // (len(toks) - 1) AS BIGINT) END
+        |    AS xent_micronats_per_pos
         |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = t.lang
         |ORDER BY t.doc_id""".stripMargin,
 
@@ -4002,20 +4007,20 @@ object SparkEntry {
         |  FROM hist),
         |score AS (
         |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |         SUM(delta.d) AS base
-        |  FROM bk JOIN delta USING (b) GROUP BY bk.doc_id)
-        |SELECT t.doc_id,
-        |  COALESCE(score.n_grams, 0) AS n_grams,
-        |  COALESCE(score.base, 0) + COALESCE(score.n_grams, 0) *
-        |    (CAST(floor(ln(CAST(tot.ts + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
-        |     CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
-        |    AS logw_micronats,
-        |  (COALESCE(score.base, 0) + COALESCE(score.n_grams, 0) *
-        |    (CAST(floor(ln(CAST(tot.ts + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
-        |     CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))) > 0
-        |    AS selected
-        |FROM t LEFT JOIN score ON score.doc_id = t.doc_id, tot
-        |ORDER BY t.doc_id""".stripMargin,
+        |         CAST(SUM(delta.d) AS BIGINT) AS base
+        |  FROM bk JOIN delta USING (b) GROUP BY bk.doc_id),
+        |w AS (
+        |  SELECT t.doc_id,
+        |    CAST(COALESCE(score.n_grams, 0) AS BIGINT) AS n_grams,
+        |    CAST(COALESCE(score.base, 0) + COALESCE(score.n_grams, 0) *
+        |      (CAST(floor(ln(CAST(tot.ts + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) -
+        |       CAST(floor(ln(CAST(tot.tt + 4096 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS logw_micronats
+        |  FROM t LEFT JOIN score ON score.doc_id = t.doc_id, tot)
+        |SELECT doc_id, n_grams, logw_micronats,
+        |  CAST(logw_micronats > 0 AS BIGINT) AS selected
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
 
     // q95: the oracle re-derives the epoch-7 permutation key (60-bit
     // md5 — bit-exact across engines), the running total in permuted

@@ -62,7 +62,9 @@ object Dsir {
   }
 
   /** Score every document: (doc_id, n_grams, logw_micronats,
-    * selected). `targetPred` marks the target-distribution slice
+    * selected) — selected is BIGINT 0/1 (= logw_micronats > 0), not
+    * BOOLEAN, so every output column hashes as a plain integer
+    * cross-engine. `targetPred` marks the target-distribution slice
     * (scored too — its docs are simply rows of the pool here);
     * everything else is the source pool. `buckets` is the hashed
     * feature dimension (the paper's 10⁴-bucket regime; the default
@@ -93,6 +95,8 @@ object Dsir {
         (aggregate(g, lit(0L),
            (acc, gram) => acc + element_at(deltaLit, (bucketOf(gram, buckets) + 1).cast("int")))
          + size(g) * lit(constPerGram)).as("logw_micronats"))
-      .withColumn("selected", col("logw_micronats") > 0)
+      // BIGINT 0/1, not BOOLEAN: integer-only output columns keep
+      // cross-engine hashes canonicalization-free (round-15 lesson)
+      .withColumn("selected", (col("logw_micronats") > 0).cast("bigint"))
   }
 }

@@ -96,10 +96,15 @@ object NgramLm {
   }
 
   /** Score every document against [[lm]] built from the reference
-    * predicate: (doc_id, lang, n_pos, xent_micronats, xent_per_token)
-    * — n_pos = bigram positions (t−1), xent_micronats the EXACT
-    * integer cross-entropy sum, xent_per_token its per-position
-    * mean in nats rounded to 6 (NULL for docs under 2 tokens). */
+    * predicate: (doc_id, lang, n_pos, xent_micronats,
+    * xent_micronats_per_pos, xent_per_token) — n_pos = bigram
+    * positions (t−1), xent_micronats the EXACT integer cross-entropy
+    * sum, xent_micronats_per_pos its integer-division per-position
+    * form (exact, engine-stable: the sum is provably ≥ 0 so floor and
+    * truncating division agree), xent_per_token the human-facing
+    * per-position mean in nats rounded to 6 (both NULL for docs under
+    * 2 tokens). Cross-engine carriers should hash the integer column,
+    * not the double (round-half ties are engine-specific). */
   def perplexity(docs: DataFrame, refPred: Column,
                  textCol: String = "text", idCol: String = "doc_id",
                  langCol: String = "lang"): DataFrame =
@@ -158,6 +163,8 @@ object NgramLm {
       .join(perDoc, Seq(idCol, "lang"), "left")
       .select(col(idCol), col("lang"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"), col("xent_micronats"),
+        when(col("n_pos") > 0, expr("xent_micronats div n_pos"))
+          .as("xent_micronats_per_pos"),
         when(col("n_pos") > 0,
           round(col("xent_micronats") / col("n_pos") / lit(1e6), 6))
           .as("xent_per_token"))

@@ -29,18 +29,18 @@ class DsirSpec extends AnyFunSuite with SparkTestSession {
 
   test("target-like docs weigh positive, source-like negative, empty neutral; gram counts are 2t-1") {
     val r = run(docs)
-    assert(r(0L).getLong(2) > 0 && r(0L).getBoolean(3))
-    assert(r(8L).getLong(2) < 0 && !r(8L).getBoolean(3))
+    assert(r(0L).getLong(2) > 0 && r(0L).getLong(3) == 1)
+    assert(r(8L).getLong(2) < 0 && r(8L).getLong(3) == 0)
     // 5 tokens → 5 unigrams + 4 bigrams
     assert(r(0L).getLong(1) == 9 && r(8L).getLong(1) == 9)
     // the mixed doc sits strictly between the pure ones
     assert(r(24L).getLong(2) > r(8L).getLong(2) && r(24L).getLong(2) < r(0L).getLong(2))
-    assert(r(25L).getLong(1) == 0 && r(25L).getLong(2) == 0 && !r(25L).getBoolean(3))
+    assert(r(25L).getLong(1) == 0 && r(25L).getLong(2) == 0 && r(25L).getLong(3) == 0)
   }
 
   test("NULL text counts as an empty document (oracle parity: 0 grams, weight 0, not selected)") {
     val r = run(docs ++ Seq((40L, null.asInstanceOf[String], "srcX")))
-    assert(r(40L).getLong(1) == 0 && r(40L).getLong(2) == 0 && !r(40L).getBoolean(3))
+    assert(r(40L).getLong(1) == 0 && r(40L).getLong(2) == 0 && r(40L).getLong(3) == 0)
   }
 
   test("weights are deterministic and partitioning-invariant (exact integer fold)") {

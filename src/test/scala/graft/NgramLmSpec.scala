@@ -48,14 +48,16 @@ class NgramLmSpec extends AnyFunSuite with SparkTestSession {
     assert(xent(1L).contains(1791759L)) // pins the textbook (full-count) denominator:
                                         // the prefix-count variant would read 1504077
     assert(nPos(2L) == 1 && xent(2L).contains(lp2))
-    assert(nPos(3L) == 0 && xent(3L).isEmpty && rows(3L).isNullAt(4))
+    assert(nPos(3L) == 0 && xent(3L).isEmpty && rows(3L).isNullAt(4) && rows(3L).isNullAt(5))
     assert(nPos(4L) == 0 && xent(4L).isEmpty)
     assert(nPos(5L) == 1 && xent(5L).isEmpty,
       "a language with no reference docs has no LM — score must be NULL, not 0")
     // the reference doc scores against its own LM too
     assert(!rows(0L).isNullAt(3))
+    // integer per-position form = xent div n_pos (1791759 div 2 = 895879)
+    assert(rows(1L).getLong(4) == 895879L)
     // per-token mean = xent/n_pos/1e6 rounded to 6 (exact division here)
-    assert(math.abs(rows(1L).getDouble(4) - 1791759.0 / 2 / 1e6) < 5e-7)
+    assert(math.abs(rows(1L).getDouble(5) - 1791759.0 / 2 / 1e6) < 5e-7)
   }
 
   test("word_lm_entries ≡ the compositional gram-hash form (fused single scan, both modes)") {

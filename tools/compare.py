@@ -5,12 +5,53 @@ DuckDB over the same scale-factor tables, and compare values exactly.
 
 Comparison model (conservative superset of the driver's): columns sorted
 by name, rows sorted by all columns, values must match exactly (doubles
-bit-for-bit after float64 normalization, timestamps normalized to us).
+bit-for-bit after float64 normalization, timestamps normalized to us) —
+AND logical types must match (DuckDB DESCRIBE vs the parquet arrow
+schema, modulo the documented timestamp normalization). The type gate
+exists because pandas coercion once hid a HUGEINT-vs-BIGINT skew
+(uncast SUM(BIGINT) in an oracle) that the driver's type-aware hash
+caught: values identical, types not (round 15, q93/q94).
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
+
+# DuckDB logical type -> acceptable arrow types in the Spark dump.
+# Anything NOT in this table (HUGEINT above all) is a convention
+# violation and fails loudly.
+DUCK2ARROW = {
+    "BIGINT": {"int64"}, "INTEGER": {"int32"}, "SMALLINT": {"int16"},
+    "TINYINT": {"int8"}, "DOUBLE": {"double"}, "FLOAT": {"float"},
+    "BOOLEAN": {"bool"}, "VARCHAR": {"string", "large_string"},
+    "BLOB": {"binary", "large_binary"}, "DATE": {"date32[day]"},
+}
+
+def type_mismatches(con, sql, parquet_file):
+    """Compare DuckDB's result types against the Spark dump's arrow
+    schema; returns a list of human-readable mismatch strings."""
+    duck = {name: dtype for name, dtype, *_ in
+            con.execute(f"DESCRIBE {sql}").fetchall()}
+    arrow = {f.name: str(f.type) for f in pq.read_schema(parquet_file)}
+    bad = []
+    for c in sorted(set(duck) & set(arrow)):
+        d, a = duck[c].upper(), arrow[c]
+        if d.startswith("TIMESTAMP"):        # documented normalization
+            ok = a.startswith("timestamp")
+        elif d.startswith("DECIMAL"):
+            m = re.match(r"DECIMAL\((\d+),(\d+)\)", d)
+            ok = bool(m) and a in (f"decimal128({m[1]}, {m[2]})",
+                                   f"decimal256({m[1]}, {m[2]})")
+        elif d.endswith("[]"):               # element-type check, one level
+            inner = DUCK2ARROW.get(d[:-2], set())
+            ok = bool(re.match(r"(large_)?list<", a)) and any(
+                t in a for t in inner) if inner else a.startswith("l")
+        else:
+            ok = a in DUCK2ARROW.get(d, set())
+        if not ok:
+            bad.append(f"{c}: oracle {duck[c]} vs spark {arrow[c]}")
+    return bad
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -43,10 +84,14 @@ def main(sfdir: str, outdir: str) -> None:
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            tbad = type_mismatches(con, oracles[name], files[0])
             got = norm(pd.read_parquet(f"{outdir}/{name}"))
             want = norm(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if tbad:
+            print(f"FAIL {name}: type skew — " + "; ".join(tbad[:3]))
+            n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue
