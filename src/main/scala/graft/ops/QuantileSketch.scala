@@ -71,7 +71,9 @@ object QuantileSketch {
     * under the requested k are refused relationally. ONE aggregation
     * over the position-exploded entries computes the merged sketch
     * AND the exact count (n_rows rides the pos-0 entry — every group
-    * has one, since k ≥ 1 and empty groups produce no sketch row);
+    * has one, since k ≥ 1 and empty groups produce no sketch row;
+    * null/empty sketch arrays, which build can never emit, are
+    * REFUSED loudly rather than silently dropping their n_rows);
     * exchanges carry only sketch buffers and one long, and the plan
     * has no join for PlanSpec to whitelist. */
   def merge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
@@ -84,7 +86,19 @@ object QuantileSketch {
             col("sketch_k").cast("string"),
             lit(" — the union of smaller bottom-k's is not the global bottom-k"))))
           .otherwise(col("n_rows")).as("n_rows"),
-        posexplode(col("sketch")).as(Seq("pos", "e"))): _*)
+        // the guard lives INSIDE the generator's input, so it is
+        // evaluated for every input row: a bare posexplode of an empty
+        // array yields no rows at all, which would silently drop the
+        // row's n_rows from the merged count (and vanish an all-empty
+        // group) instead of refusing corrupt input loudly — build
+        // (k ≥ 1) can never emit an empty sketch, so one can only mean
+        // a hand-assembled or damaged frame
+        posexplode(
+          when(col("sketch").isNull || size(col("sketch")) === 0,
+            raise_error(lit("quantile sketch merge refuses null/empty " +
+              "sketch arrays — build (k >= 1) never emits them, so one " +
+              "means a corrupt or hand-assembled input")))
+            .otherwise(col("sketch"))).as(Seq("pos", "e"))): _*)
       .groupBy(gc: _*)
       .agg(
         sum(when(col("pos") === 0, col("n_rows")).otherwise(0L)).as("n_rows"),

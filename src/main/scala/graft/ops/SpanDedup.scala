@@ -50,11 +50,14 @@ object SpanDedup {
   /** (doc_id, pos, block, span_h) rows: block `pos` = words
     * [pos·s, (pos+1)·s), span_h = fingerprint of words
     * [pos·s, pos·s + w). Every document yields ≥1 row (an empty text
-    * is one empty block), so fully-deduplicated documents still
-    * appear in the report. */
+    * is one empty block, and a NULL text scores as an empty document —
+    * word_spans of a NULL would otherwise explode to a filtered-out
+    * null row and silently drop the doc from the report), so
+    * fully-deduplicated documents still appear in the report. */
   def spans(docs: DataFrame, textCol: String, idCol: String, w: Int, s: Int): DataFrame =
     docs.select(col(idCol),
-        posexplode_outer(call_function("word_spans", col(textCol), lit(w), lit(s)))
+        posexplode_outer(call_function("word_spans",
+            coalesce(col(textCol), lit("")), lit(w), lit(s)))
           .as(Seq("pos", "sc")))
       .filter(col("pos").isNotNull)
       .select(col(idCol), col("pos"), col("sc.block").as("block"),

@@ -1005,7 +1005,17 @@ object EventStreams {
         pid.exists(p => pidAliveElsewhere(p, self)),
         System.currentTimeMillis() - st.getModificationTime <= ingestLockStaleMs,
         st.getModificationTime))
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case scala.util.control.NonFatal(_) =>
+        // The judge failed for a reason OTHER than absence (transient
+        // IO, permissions): refuse by default. fresh + unreadable pid
+        // is exactly the shape lockRefusesUs honors, so an fs hiccup
+        // can never license a takeover — nor let maintenance run under
+        // a possibly-live writer. mtime = -1 also makes
+        // deleteIfUnchanged a guaranteed no-op on this state.
+        Some(LockOwnerState(None, aliveElsewhere = false, fresh = true, mtime = -1L))
+    }
 
   /** The ONE takeover policy, shared by ingest starters and
     * maintenance so the two sides of the exclusion can never
@@ -1140,21 +1150,42 @@ object EventStreams {
   }
 
   /** Refresh the writer lock's heartbeat mtime (called at the top of
-    * every micro-batch). Best-effort: a lock-metadata hiccup must not
-    * fail a data batch. Recreates the file if an operator (or a
-    * mistaken takeover — see the window note on
-    * [[acquireIngestLock]]) removed it. */
+    * every micro-batch). Best-effort for fs HICCUPS (a lock-metadata
+    * read/write error must not fail a data batch), but a POSITIVE
+    * foreign-pid reading is a fence, not a hiccup: after a cross-JVM
+    * takeover the file names the new owner, and the displaced
+    * writer's heartbeat must neither refresh nor recreate it — doing
+    * so would silently extend the documented two-writer window
+    * forever. Instead the displaced writer fails its batch loudly
+    * (stopping its stream), which CLOSES the live-but-paused-writer
+    * window described on [[acquireIngestLock]]. The file is recreated
+    * only when it is absent (operator deletion — no rival owner to
+    * clobber). */
   private def heartbeatIngestLock(landingDir: String): Unit = {
     val h = ingestLocks.get(landingDir)
     if (h != null) {
-      try {
-        if (h.fs.exists(h.path)) h.fs.setTimes(h.path, System.currentTimeMillis(), -1)
-        else {
-          val o = h.fs.create(h.path, true)
-          o.write(java.lang.ProcessHandle.current().pid().toString.getBytes("UTF-8"))
-          o.close()
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      val self = java.lang.ProcessHandle.current().pid()
+      val fenced =
+        try {
+          if (h.fs.exists(h.path)) {
+            lockOwnerPid(h.fs, h.path) match {
+              case Some(p) if p != self => true
+              case Some(_) =>
+                h.fs.setTimes(h.path, System.currentTimeMillis(), -1); false
+              case None => false // unreadable mid-write: skip, next batch retries
+            }
+          } else {
+            val o = h.fs.create(h.path, true)
+            o.write(self.toString.getBytes("UTF-8"))
+            o.close(); false
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (fenced)
+        throw new IllegalStateException(
+          s"ingest writer lock '${h.path}' now names a different pid — this " +
+          "writer was fenced by a cross-JVM takeover (its heartbeat went stale, " +
+          "or an operator forced the lock); failing the batch instead of " +
+          "writing alongside the new owner")
     }
   }
 
@@ -2308,6 +2339,16 @@ object EventStreams {
       s"$maxXentPerToken would reject every document")
     require(!docs.schema.fieldNames.contains("__qid"),
       "stream schema must not carry '__qid' — the gate's working column")
+    // the gate lands its score columns alongside the stream's own; a
+    // stream already carrying one of those names would otherwise die
+    // with an ambiguous-reference error on every micro-batch instead
+    // of refusing loudly at start (round-14 reserved-column discipline)
+    Seq("n_pos", "xent_micronats", "xent_micronats_per_pos", "xent_per_token")
+      .foreach { c =>
+        require(!fields.contains(c),
+          s"stream schema must not carry '$c' — the quality gate lands it " +
+          "as a score column")
+      }
     val key = landingKey(docs.sparkSession, landingDir)
     startGuarded(docs.sparkSession, key) {
       // train INSIDE the guard: a refused start (foreign writer lock)
@@ -2330,7 +2371,7 @@ object EventStreams {
           try {
             val scored = graft.ops.NgramLm.score(keyed, trained, textCol, "__qid", langCol)
               .select(col("__qid"), col("n_pos"), col("xent_micronats"),
-                col("xent_per_token"))
+                col("xent_micronats_per_pos"), col("xent_per_token"))
             keyed.join(scored, Seq("__qid"))
               .filter(col("xent_per_token") <= maxXentPerToken)
               .drop("__qid")

@@ -104,6 +104,22 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestSession {
     assert(QuantileSketch.merge(shards, Seq("g"), k = 2).count() == 1)
   }
 
+  test("merge refuses null/empty sketch arrays instead of silently dropping their n_rows") {
+    val docs = (0L until 10L).map(i => (i, "g", i)).toDF("id", "g", "v")
+    val good = QuantileSketch.build(docs, Seq("g"), "id", "v", k = 4)
+    // a bare posexplode would emit ZERO rows for these, vanishing the
+    // row's count (and an all-empty group entirely) from the merge
+    for (broken <- Seq(
+        good.withColumn("sketch", filter(col("sketch"), _ => lit(false))),
+        good.withColumn("sketch",
+          lit(null).cast(good.schema("sketch").dataType)))) {
+      val e = intercept[Exception](
+        QuantileSketch.merge(broken, Seq("g"), k = 4).collect())
+      assert(e.getMessage != null && e.getMessage.contains("refuses null/empty"),
+        s"got: ${e.getMessage}")
+    }
+  }
+
   test("quantile of an empty sketch is NULL, not an index error") {
     val sk = QuantileSketch.build(
         Seq((1L, "g", 1L)).toDF("id", "g", "v"), Seq("g"), "id", "v", 4)

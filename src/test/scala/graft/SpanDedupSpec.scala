@@ -112,6 +112,14 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(e(1L) == ((1L, 1L, 0L, "")))
   }
 
+  test("a NULL-text document scores as an empty document instead of vanishing from the report") {
+    val r = run(Seq((0L, ""), (1L, null.asInstanceOf[String])), w = 4, s = 2)
+    assert(r.contains(1L), "every input document must yield a report row")
+    // it shares the empty doc's (single empty block) span group
+    assert(r(0L) == ((1L, 0L, 1L, "")))
+    assert(r(1L) == ((1L, 1L, 0L, "")))
+  }
+
   test("s = w degenerates to ChunkDedup's grid") {
     val docs = Seq(
       (0L, "h1 h2 h3 h4 body a b c"),

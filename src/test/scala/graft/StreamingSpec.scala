@@ -996,6 +996,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally EventStreams.ingestLockStaleMs = saved
   }
 
+  test("cross-JVM writer lock: a displaced writer is FENCED — its heartbeat neither refreshes nor clobbers the usurper's lock, and the batch fails loudly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val landing = root + "/corpus"
+    val lockFile = java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(in.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-fence-ck").toString)
+    try {
+      in.addData((1L, "alpha")); q.processAllAvailable()
+      // simulate a cross-JVM takeover: the file now names a live
+      // foreign process (pid 1). A real usurper writes through the
+      // Hadoop fs (fresh .crc sidecar); this nio shortcut must drop
+      // the stale sidecar or the displaced writer's read would fail
+      // checksum instead of seeing the foreign pid.
+      java.nio.file.Files.deleteIfExists(
+        lockFile.resolveSibling("." + lockFile.getFileName + ".crc"))
+      java.nio.file.Files.write(lockFile, "1".getBytes("UTF-8"))
+      val before = java.nio.file.Files.getLastModifiedTime(lockFile).toMillis
+      in.addData((2L, "beta"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("fenced"), err.getMessage)
+      val pid = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8").trim
+      assert(pid == "1", "the fenced writer must not clobber the new owner's lock")
+      assert(java.nio.file.Files.getLastModifiedTime(lockFile).toMillis == before,
+        "the fenced writer must not refresh the new owner's heartbeat")
+    } finally q.stop()
+  }
+
   test("cross-JVM writer lock: maintenance and ingest exclude each other across processes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -1483,6 +1515,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(intercept[IllegalArgumentException] {
       EventStreams.ingestDedup(withProbe, base + "/e", base + "/cke")
     }.getMessage.contains("maybe_dup"))
+    // the quality gate lands score columns alongside the stream's own:
+    // a stream already carrying one would die with an ambiguous
+    // reference on every micro-batch instead of refusing at start
+    val ref = Seq((100L, "clean reference text", "en")).toDF("doc_id", "text", "lang")
+    for (c <- Seq("n_pos", "xent_micronats", "xent_micronats_per_pos", "xent_per_token")) {
+      val inQ = MemoryStream[(Long, String, String, Long)]
+      val withScore = inQ.toDF().toDF("doc_id", "text", "lang", c)
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestQuality(withScore, base + s"/q-$c", base + s"/ckq-$c",
+          ref, maxXentPerToken = 10.0)
+      }.getMessage.contains(c))
+    }
   }
 
   test("a narrower ingest mode refuses a landing carrying a richer mode's state") {
