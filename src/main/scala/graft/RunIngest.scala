@@ -96,6 +96,18 @@ object RunIngest {
       |                                gate cannot score (under 2 tokens, a
       |                                language absent from --ref) are
       |                                rejected, not waved through
+      |   or: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR --mode dsir
+      |                       --train PATH --target-pred EXPR [--min-logw N]
+      |                                frozen DSIR importance gate: train the
+      |                                two hashed-ngram bucket histograms ONCE
+      |                                from the --train parquet corpus (EXPR, a
+      |                                SQL boolean over its columns, marks the
+      |                                target-distribution slice; the rest is
+      |                                the source pool), score every streamed
+      |                                doc map-only, land (batch=<id>,
+      |                                exactly-once) only docs with integer
+      |                                log-weight >= N micro-nats (default 0,
+      |                                the paper's w > 1 rule)
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
       |                                part files (default 4; per leaf on a
@@ -303,7 +315,7 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both", "semantic", "full", "index", "quality").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic", "full", "index", "quality", "dsir").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
       return 2
     }
@@ -316,12 +328,19 @@ object RunIngest {
          Seq("text-col", "tau", "partition-by").filter(opts.contains)
        else if (mode == "quality")
          Seq("vec-col", "tau", "partition-by").filter(opts.contains)
+       else if (mode == "dsir")
+         Seq("vec-col", "tau", "partition-by").filter(opts.contains)
        else Seq("vec-col", "tau").filter(opts.contains)) ++
+      (if (mode != "index" && mode != "dsir")
+         Seq("train").filter(opts.contains) else Nil) ++
       (if (mode != "index")
-         Seq("train", "coarse-k", "m", "ksub").filter(opts.contains)
+         Seq("coarse-k", "m", "ksub").filter(opts.contains)
        else Nil) ++
       (if (mode != "quality")
          Seq("ref", "max-xent", "lang-col").filter(opts.contains)
+       else Nil) ++
+      (if (mode != "dsir")
+         Seq("target-pred", "min-logw").filter(opts.contains)
        else Nil)
     if (wrongModeFlags.nonEmpty) {
       System.err.println(
@@ -339,6 +358,20 @@ object RunIngest {
         "--max-xent X (the LM is trained once from a fixed reference, " +
         s"not the stream)\n$usage")
       return 2
+    }
+    if (mode == "dsir" && !(opts.contains("train") && opts.contains("target-pred"))) {
+      System.err.println("[ingest] --mode dsir requires --train PATH and " +
+        "--target-pred EXPR (the histograms are trained once from a fixed " +
+        s"corpus, not the stream)\n$usage")
+      return 2
+    }
+    val minLogw = opts.get("min-logw").map(_.toLongOption) match {
+      case Some(Some(n)) => n
+      case Some(None) =>
+        System.err.println("[ingest] --min-logw needs an integer " +
+          s"(fixed-point micro-nats)\n$usage")
+        return 2
+      case None => 0L
     }
     val maxXent = opts.get("max-xent").map(_.toDoubleOption) match {
       case Some(Some(x)) if !x.isNaN && x >= 0 => x
@@ -397,6 +430,7 @@ object RunIngest {
         case "semantic" | "index" => Seq(vecCol, idCol)
         case "full"               => Seq(textCol, vecCol, idCol)
         case "quality"            => Seq(textCol, idCol, langCol)
+        case "dsir"               => Seq(textCol, idCol)
         case _                    => Seq(textCol, idCol)
       }
       val absent = keyCols.filterNot(schema.fieldNames.contains)
@@ -416,6 +450,10 @@ object RunIngest {
         case "quality" => EventStreams.ingestQuality(docs, opts("corpus"), opts("checkpoint"),
           reference = spark.read.parquet(opts("ref")),
           maxXentPerToken = maxXent, textCol = textCol, idCol = idCol, langCol = langCol)
+        case "dsir" => EventStreams.ingestDsir(docs, opts("corpus"), opts("checkpoint"),
+          trainCorpus = spark.read.parquet(opts("train")),
+          targetPred = org.apache.spark.sql.functions.expr(opts("target-pred")),
+          minLogwMicronats = minLogw, textCol = textCol, idCol = idCol)
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
@@ -447,7 +485,8 @@ object RunIngest {
   private val valueFlags =
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "vec-col", "tau", "target-files",
         "leaf-parallel", "partition-col", "before", "partition-by",
-        "train", "coarse-k", "m", "ksub", "ref", "max-xent", "lang-col")
+        "train", "coarse-k", "m", "ksub", "ref", "max-xent", "lang-col",
+        "target-pred", "min-logw")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

@@ -61,19 +61,23 @@ object Dsir {
     math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong
   }
 
-  /** Score every document: (doc_id, n_grams, logw_micronats,
-    * selected) — selected is BIGINT 0/1 (= logw_micronats > 0), not
-    * BOOLEAN, so every output column hashes as a plain integer
-    * cross-engine. `targetPred` marks the target-distribution slice
-    * (scored too — its docs are simply rows of the pool here);
-    * everything else is the source pool. `buckets` is the hashed
-    * feature dimension (the paper's 10⁴-bucket regime; the default
-    * keeps the oracle's bucket join small). */
-  def importanceWeights(docs: DataFrame, targetPred: Column,
-                        textCol: String = "text", idCol: String = "doc_id",
-                        buckets: Int = 4096): DataFrame = {
+  /** The learned state: the B-long fixed-point delta table plus the
+    * per-gram totals term — 2·B longs collapsed to B+1, bounded by the
+    * bucket CONSTANT, never the data. Frozen and broadcast-embedded
+    * (an array literal folded in whole-stage codegen), it is the ideal
+    * streaming-gate state: train once, score every micro-batch
+    * map-only ([[graft.streaming.EventStreams.ingestDsir]]). */
+  final case class DsirModel(delta: IndexedSeq[Long], constPerGram: Long,
+                             buckets: Int)
+
+  /** One corpus pass builds BOTH bucket histograms (≤ `buckets` rows
+    * survive the shuffle — the collect is licensed by the bucket
+    * constant) and folds them into the [[DsirModel]] delta table.
+    * `targetPred` marks the target-distribution slice; everything else
+    * is the source pool. */
+  def train(docs: DataFrame, targetPred: Column, textCol: String = "text",
+            buckets: Int = 4096): DsirModel = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
-    // one pass, both histograms: ≤ `buckets` rows survive the shuffle
     val hist: Array[Row] = docs
       .select(targetPred.as("is_t"), explode(grams(col(textCol))).as("g"))
       .select(col("is_t"), bucketOf(col("g"), buckets).as("b"))
@@ -85,18 +89,47 @@ object Dsir {
     val s = new Array[Long](buckets)
     hist.foreach { r => t(r.getLong(0).toInt) = r.getLong(1); s(r.getLong(0).toInt) = r.getLong(2) }
     val totalT = t.sum; val totalS = s.sum
-    val delta: Seq[Long] = (0 until buckets).map(b => lp(t(b) + 1) - lp(s(b) + 1))
-    // per-gram fold + the totals term; map-only, no join
-    val deltaLit = typedLit(delta)
-    val constPerGram = lp(totalS + buckets) - lp(totalT + buckets)
+    DsirModel((0 until buckets).map(b => lp(t(b) + 1) - lp(s(b) + 1)),
+      lp(totalS + buckets) - lp(totalT + buckets), buckets)
+  }
+
+  /** Append the frozen-model score columns (n_grams, logw_micronats,
+    * selected — all BIGINT) to `docs`, keeping every input column:
+    * MAP-ONLY, a per-doc fold over the gram array against the embedded
+    * delta literal; no join, no exchange, whole-stage codegen'd. Rows
+    * are scored independently, so duplicate ids are fine (the
+    * streaming gate's pre-dedup input). Callers must not already carry
+    * the three score names (the gate refuses them at start). */
+  def withScores(docs: DataFrame, model: DsirModel,
+                 textCol: String = "text"): DataFrame = {
+    val deltaLit = typedLit(model.delta)
     val g = grams(col(textCol))
-    docs.select(col(idCol),
-        size(g).cast("bigint").as("n_grams"),
-        (aggregate(g, lit(0L),
-           (acc, gram) => acc + element_at(deltaLit, (bucketOf(gram, buckets) + 1).cast("int")))
-         + size(g) * lit(constPerGram)).as("logw_micronats"))
+    docs
+      .withColumn("n_grams", size(g).cast("bigint"))
+      .withColumn("logw_micronats",
+        aggregate(g, lit(0L),
+          (acc, gram) => acc + element_at(deltaLit,
+            (bucketOf(gram, model.buckets) + 1).cast("int")))
+        + col("n_grams") * lit(model.constPerGram))
       // BIGINT 0/1, not BOOLEAN: integer-only output columns keep
       // cross-engine hashes canonicalization-free (round-15 lesson)
       .withColumn("selected", (col("logw_micronats") > 0).cast("bigint"))
   }
+
+  /** Score documents against a frozen [[DsirModel]]: (idCol, n_grams,
+    * logw_micronats, selected). */
+  def score(docs: DataFrame, model: DsirModel,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    withScores(docs.select(col(idCol), col(textCol)), model, textCol)
+      .drop(textCol)
+
+  /** Score every document of one pool against the model trained from
+    * that same pool's `targetPred` split — the q94 batch carrier:
+    * (doc_id, n_grams, logw_micronats, selected). `buckets` is the
+    * hashed feature dimension (the paper's 10⁴-bucket regime; the
+    * default keeps the oracle's bucket join small). */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        buckets: Int = 4096): DataFrame =
+    score(docs, train(docs, targetPred, textCol, buckets), textCol, idCol)
 }

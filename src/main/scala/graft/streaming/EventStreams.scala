@@ -2384,6 +2384,72 @@ object EventStreams {
     }
   }
 
+  /** Streaming DSIR gate — the deployment shape of q94's importance
+    * resampling ([[graft.ops.Dsir]]), completing the frozen-state gate
+    * pair with [[ingestQuality]]: the two hashed-ngram bucket
+    * histograms are trained ONCE from a static corpus
+    * ([[graft.ops.Dsir.train]] — a B+1-long integer delta table, state
+    * bounded by the bucket CONSTANT, the ideal broadcast), then every
+    * micro-batch row is scored MAP-ONLY (a codegen'd fold against the
+    * embedded delta literal — zero joins, zero aggregations, zero
+    * landing reads per batch) and only rows with `logw_micronats >=
+    * minLogwMicronats` land, carrying their integer scores
+    * (n_grams, logw_micronats, selected). The threshold is exact
+    * fixed-point micro-nats: 0 keeps target-likelier-than-source docs
+    * (the paper's w > 1 rule, q94's `selected`); a NULL/empty text
+    * scores exactly 0 and is admitted iff the threshold admits 0 —
+    * unlike the perplexity gate there is no unscorable case, every
+    * document has a well-defined weight.
+    *
+    * `targetPred` marks the target-distribution slice WITHIN
+    * `trainCorpus` (everything else is the source pool), mirroring the
+    * batch carrier. Landing layout and exactly-once match
+    * [[ingestQuality]]: each batch lands under `batch=<id>` in
+    * overwrite mode with the re-run committer, so a crashed attempt's
+    * partial output is cleared by its own retry. Takes the landing's
+    * single-writer slot + cross-JVM writer lock like every ingest
+    * entry. No carried state: the model is frozen, batches are
+    * independent, and the gate composes BEFORE the dedup family
+    * (rejects never pay signature or bloom work). */
+  def ingestDsir(docs: DataFrame, landingDir: String, checkpointDir: String,
+                 trainCorpus: DataFrame, targetPred: Column,
+                 minLogwMicronats: Long = 0L,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 buckets: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fields = docs.schema.fieldNames.toSet
+    require(Seq(textCol, idCol).forall(fields.contains),
+      s"stream schema must contain '$textCol', '$idCol'; got " +
+      docs.schema.fieldNames.mkString(", "))
+    require(!fields.contains("batch"),
+      "stream schema must not carry 'batch' — it is the landing's partition column")
+    // the gate lands its score columns alongside the stream's own
+    // (round-14 reserved-column discipline: refuse at start, not with
+    // a per-batch ambiguous-reference error)
+    Seq("n_grams", "logw_micronats", "selected").foreach { c =>
+      require(!fields.contains(c),
+        s"stream schema must not carry '$c' — the DSIR gate lands it as " +
+        "a score column")
+    }
+    val key = landingKey(docs.sparkSession, landingDir)
+    startGuarded(docs.sparkSession, key) {
+      // train INSIDE the guard: a refused start (foreign writer lock)
+      // must fail before paying the corpus histogram pass
+      val model = graft.ops.Dsir.train(trainCorpus, targetPred, textCol, buckets)
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeatIngestLock(key)
+          graft.ops.Dsir.withScores(batch, model, textCol)
+            .filter(col("logw_micronats") >= minLogwMicronats)
+            .write.options(graft.core.Committers.forRerun(overwrite = true))
+            .mode("overwrite").parquet(s"$key/batch=$batchId")
+          ()
+        }
+        .start()
+    }
+  }
+
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are

@@ -158,6 +158,47 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       run.updated(run.indexOf("--max-xent") + 1, "lots")) == 2)
   }
 
+  test("--mode dsir: frozen importance gate across --once runs; flag hygiene") {
+    val arrivals = Files.createTempDirectory("graft-cli-ds-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-ds").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-ds-ckpt").toString
+    val train = Files.createTempDirectory("graft-cli-ds-train").toString + "/train"
+    ((0L until 20L).map(i => (i, "alpha beta gamma alpha beta gamma", "tgt")) ++
+     (20L until 40L).map(i => (i, "delta epsilon zeta delta epsilon zeta", "src")))
+      .toDF("doc_id", "text", "source").write.parquet(train)
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--mode", "dsir", "--train", train,
+      "--target-pred", "source = 'tgt'", "--min-logw", "1")
+    Seq((100L, "alpha beta gamma alpha"),
+        (101L, "delta epsilon zeta delta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    // a second --once run processes ONLY the new arrival (checkpointed
+    // offsets — exactly-once), scored by the same frozen model
+    Seq((102L, "gamma beta alpha gamma"))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    val landed = spark.read.parquet(corpus)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 102L), "gate must admit target-like docs and reject source-like")
+    assert(Seq("n_grams", "logw_micronats", "selected")
+      .forall(landed.columns.contains), "integer scores land with the docs")
+    assert(landed.filter("doc_id = 100").head().getAs[Long]("selected") == 1L)
+    // flag hygiene: dsir needs --train and --target-pred; both refused
+    // elsewhere; its flags are refused on other modes; junk min-logw = usage
+    assert(RunIngest.execute(spark,
+      run.filterNot(a => a == "--train" || a == train)) == 2)
+    assert(RunIngest.execute(spark,
+      run.filterNot(a => a == "--target-pred" || a == "source = 'tgt'")) == 2)
+    assert(RunIngest.execute(spark, Array("--in", arrivals, "--corpus", corpus,
+      "--checkpoint", ckpt, "--once", "--mode", "both",
+      "--target-pred", "source = 'tgt'")) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--tau", "0.5")) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--lang-col", "lang")) == 2)
+    assert(RunIngest.execute(spark,
+      run.updated(run.indexOf("--min-logw") + 1, "heaps")) == 2)
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString

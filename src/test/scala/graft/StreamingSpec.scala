@@ -1167,6 +1167,86 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(landed.filter(_._1 == 2L).head._3 == single)
   }
 
+  test("dsir gate: frozen-histogram scoring admits target-like docs, rejects source-like; stream ≡ batch twin, exact integers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val landing = root + "/corpus"
+    // target slice speaks alpha/beta/gamma; source pool delta/epsilon/zeta
+    val corpus = ((0L until 20L).map(i =>
+        (i, "alpha beta gamma alpha beta gamma alpha", "tgt")) ++
+      (20L until 40L).map(i =>
+        (i, "delta epsilon zeta delta epsilon zeta delta", "src")))
+      .toDF("doc_id", "text", "source")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDsir(
+      in.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-dsir-ck").toString,
+      corpus, org.apache.spark.sql.functions.col("source") === "tgt", minLogwMicronats = 1L)
+    try {
+      in.addData(
+        (100L, "alpha beta gamma alpha"),          // target-like: positive logw
+        (101L, "delta epsilon zeta delta"),        // source-like: negative
+        (102L, ""),                                // empty: logw exactly 0 < 1
+        (103L, null.asInstanceOf[String]))         // NULL text = empty doc
+      q.processAllAvailable()
+      in.addData((104L, "gamma beta alpha gamma")) // target-like, batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(landing)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 104L),
+      "only target-likelier docs may land; source-like and zero-weight docs are rejected")
+    // landed scores equal the batch twin's (same frozen model, exact integers)
+    val model = graft.ops.Dsir.train(corpus, org.apache.spark.sql.functions.col("source") === "tgt")
+    val twin = graft.ops.Dsir.withScores(
+        Seq((100L, "alpha beta gamma alpha"), (104L, "gamma beta alpha gamma"))
+          .toDF("doc_id", "text"), model)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = landed.select("doc_id", "n_grams", "logw_micronats", "selected")
+      .collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == twin(r.getLong(0)),
+        s"score drift on doc ${r.getLong(0)}")
+      assert(r.getLong(2) > 0 && r.getLong(3) == 1L)
+    }
+  }
+
+  test("dsir gate: refuses streams carrying its score columns; min-logw 0 admits empty docs (weight exactly 0)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir0").toString
+    val corpus = Seq((0L, "alpha beta", "tgt"), (1L, "delta zeta", "src"))
+      .toDF("doc_id", "text", "source")
+    for (c <- Seq("n_grams", "logw_micronats", "selected")) {
+      val in = MemoryStream[(Long, String, Long)]
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestDsir(in.toDF().toDF("doc_id", "text", c),
+          root + s"/c-$c", root + s"/ck-$c", corpus, org.apache.spark.sql.functions.col("source") === "tgt")
+      }.getMessage.contains(c))
+    }
+    // the default threshold is the paper's w > 1 rule applied as
+    // logw >= 0: an empty doc (weight exactly 0) is admitted
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDsir(
+      in.toDF().toDF("doc_id", "text"), root + "/corpus",
+      java.nio.file.Files.createTempDirectory("graft-dsir0-ck").toString,
+      corpus, org.apache.spark.sql.functions.col("source") === "tgt")
+    try {
+      in.addData((10L, ""), (11L, "delta zeta delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(root + "/corpus")
+      .select("doc_id", "logw_micronats", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(landed.map(_._1).toSeq == Seq(10L),
+      "empty doc (logw 0) admitted at the default threshold; source-like rejected")
+    assert(landed.head._2 == 0L && landed.head._3 == 0L,
+      "weight-0 docs land with selected=0 — admitted by threshold, not target-likelier")
+  }
+
   test("cross-JVM writer lock: a clean stop releases only a lock still naming THIS pid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
