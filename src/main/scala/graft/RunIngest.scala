@@ -108,6 +108,26 @@ object RunIngest {
       |                                exactly-once) only docs with integer
       |                                log-weight >= N micro-nats (default 0,
       |                                the paper's w > 1 rule)
+      |   or: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR --mode decontaminate
+      |                       --benchmark DIR [--max-shared N]
+      |                                landed-benchmark decontamination gate:
+      |                                probe every streamed doc's distinct
+      |                                3-gram fingerprints against the gram
+      |                                set previously landed at --benchmark
+      |                                (see --land-benchmark); docs sharing
+      |                                more than N grams (default 0) are
+      |                                rejected — test-set leakage must not
+      |                                enter a training corpus; survivors
+      |                                land (batch=<id>, exactly-once) with
+      |                                (n_shared, clean). Clean batches never
+      |                                read the landed set (Bloom sidecar)
+      |   or: graft.RunIngest --land-benchmark --benchmark DIR --from PATH [--text-col NAME]
+      |                                land a benchmark suite's DISTINCT
+      |                                3-gram fingerprints (+ Bloom sidecar)
+      |                                at DIR, once per suite version — the
+      |                                frozen artifact --mode decontaminate
+      |                                probes; --from is the benchmark
+      |                                parquet (overwrites a previous set)
       |   or: graft.RunIngest --compact --corpus DIR [--target-files N] [--leaf-parallel P]
       |                                rewrite an accreted landing to N
       |                                part files (default 4; per leaf on a
@@ -147,11 +167,14 @@ object RunIngest {
     // maintenance forms take ONLY their own flags: a co-passed
     // streaming flag means the user expected a stream to run too, and
     // silently skipping it would exit 0 on work never done
-    val forms = Seq("compact", "expire", "repair", "stats").filter(opts.contains)
+    val forms = Seq("compact", "expire", "repair", "stats", "land-benchmark")
+      .filter(opts.contains)
     if (forms.nonEmpty) {
       val streamFlags =
-        Seq("in", "checkpoint", "once", "mode", "text-col", "id-col",
-            "vec-col", "tau", "partition-by")
+        (Seq("in", "checkpoint", "once", "mode", "id-col",
+             "vec-col", "tau", "partition-by") ++
+         // --land-benchmark legitimately picks the gram column
+         (if (opts.contains("land-benchmark")) Nil else Seq("text-col")))
           .filter(opts.contains)
       if (streamFlags.nonEmpty) {
         System.err.println(
@@ -167,16 +190,41 @@ object RunIngest {
       return 2
     }
     val crossForm =
-      (if (opts.contains("expire") || opts.contains("repair") || opts.contains("stats"))
+      (if (opts.contains("expire") || opts.contains("repair") ||
+           opts.contains("stats") || opts.contains("land-benchmark"))
          Seq("target-files", "leaf-parallel") else Nil) ++
-      (if (opts.contains("compact") || opts.contains("repair") || opts.contains("stats"))
-         Seq("partition-col", "before") else Nil)
+      (if (opts.contains("compact") || opts.contains("repair") ||
+           opts.contains("stats") || opts.contains("land-benchmark"))
+         Seq("partition-col", "before") else Nil) ++
+      (if (forms.nonEmpty && !opts.contains("land-benchmark"))
+         Seq("benchmark", "from", "max-shared") else Nil) ++
+      (if (opts.contains("land-benchmark"))
+         Seq("corpus", "max-shared") else Nil)
     val crossed = crossForm.filter(opts.contains)
     if (crossed.nonEmpty) {
       System.err.println(
         s"[ingest] ${crossed.map("--" + _).mkString(", ")} belongs to another " +
         s"maintenance form\n$usage")
       return 2
+    }
+    if (opts.contains("land-benchmark")) {
+      if (!(opts.contains("benchmark") && opts.contains("from"))) {
+        System.err.println(s"[ingest] --land-benchmark needs --benchmark DIR and --from PATH\n$usage")
+        return 2
+      }
+      return try {
+        graft.ops.Decontaminate.landBenchmark(
+          spark.read.parquet(opts("from")), opts("benchmark"),
+          textCol = opts.getOrElse("text-col", "text"))
+        val n = spark.read.parquet(opts("benchmark")).count()
+        println(s"[ingest] landed $n distinct benchmark gram fingerprint(s) " +
+          s"at ${opts("benchmark")}")
+        0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ingest] FAILED: ${e.getMessage}")
+          1
+      }
     }
     if (opts.contains("compact")) {
       if (!opts.contains("corpus")) {
@@ -315,7 +363,8 @@ object RunIngest {
       return 2
     }
     val mode = opts.getOrElse("mode", "both")
-    if (!Seq("exact", "near", "both", "semantic", "full", "index", "quality", "dsir").contains(mode)) {
+    if (!Seq("exact", "near", "both", "semantic", "full", "index", "quality",
+             "dsir", "decontaminate").contains(mode)) {
       System.err.println(s"[ingest] unknown --mode '$mode'\n$usage")
       return 2
     }
@@ -328,7 +377,7 @@ object RunIngest {
          Seq("text-col", "tau", "partition-by").filter(opts.contains)
        else if (mode == "quality")
          Seq("vec-col", "tau", "partition-by").filter(opts.contains)
-       else if (mode == "dsir")
+       else if (mode == "dsir" || mode == "decontaminate")
          Seq("vec-col", "tau", "partition-by").filter(opts.contains)
        else Seq("vec-col", "tau").filter(opts.contains)) ++
       (if (mode != "index" && mode != "dsir")
@@ -341,7 +390,11 @@ object RunIngest {
        else Nil) ++
       (if (mode != "dsir")
          Seq("target-pred", "min-logw").filter(opts.contains)
-       else Nil)
+       else Nil) ++
+      (if (mode != "decontaminate")
+         Seq("benchmark", "max-shared").filter(opts.contains)
+       else Nil) ++
+      Seq("from").filter(opts.contains)
     if (wrongModeFlags.nonEmpty) {
       System.err.println(
         s"[ingest] ${wrongModeFlags.map("--" + _).mkString(", ")} " +
@@ -364,6 +417,19 @@ object RunIngest {
         "--target-pred EXPR (the histograms are trained once from a fixed " +
         s"corpus, not the stream)\n$usage")
       return 2
+    }
+    if (mode == "decontaminate" && !opts.contains("benchmark")) {
+      System.err.println("[ingest] --mode decontaminate requires --benchmark DIR " +
+        s"(a gram set previously landed by --land-benchmark)\n$usage")
+      return 2
+    }
+    val maxShared = opts.get("max-shared").map(_.toLongOption) match {
+      case Some(Some(n)) if n >= 0 => n
+      case Some(_) =>
+        System.err.println("[ingest] --max-shared needs a non-negative " +
+          s"integer (a shared-gram count)\n$usage")
+        return 2
+      case None => 0L
     }
     val minLogw = opts.get("min-logw").map(_.toLongOption) match {
       case Some(Some(n)) => n
@@ -430,7 +496,7 @@ object RunIngest {
         case "semantic" | "index" => Seq(vecCol, idCol)
         case "full"               => Seq(textCol, vecCol, idCol)
         case "quality"            => Seq(textCol, idCol, langCol)
-        case "dsir"               => Seq(textCol, idCol)
+        case "dsir" | "decontaminate" => Seq(textCol, idCol)
         case _                    => Seq(textCol, idCol)
       }
       val absent = keyCols.filterNot(schema.fieldNames.contains)
@@ -454,6 +520,9 @@ object RunIngest {
           trainCorpus = spark.read.parquet(opts("train")),
           targetPred = org.apache.spark.sql.functions.expr(opts("target-pred")),
           minLogwMicronats = minLogw, textCol = textCol, idCol = idCol)
+        case "decontaminate" => EventStreams.ingestDecontaminate(docs,
+          opts("corpus"), opts("checkpoint"), benchDir = opts("benchmark"),
+          maxSharedGrams = maxShared, textCol = textCol, idCol = idCol)
         case _       => EventStreams.ingestPipeline(docs, opts("corpus"), opts("checkpoint"), textCol, idCol, partitionCols = partCols)
       }
       if (opts.contains("once")) {
@@ -486,7 +555,7 @@ object RunIngest {
     Set("in", "corpus", "checkpoint", "mode", "text-col", "id-col", "vec-col", "tau", "target-files",
         "leaf-parallel", "partition-col", "before", "partition-by",
         "train", "coarse-k", "m", "ksub", "ref", "max-xent", "lang-col",
-        "target-pred", "min-logw")
+        "target-pred", "min-logw", "benchmark", "max-shared", "from")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
@@ -497,6 +566,7 @@ object RunIngest {
       case "--expire" :: rest => parse(rest, acc + ("expire" -> "true"))
       case "--repair" :: rest => parse(rest, acc + ("repair" -> "true"))
       case "--stats" :: rest => parse(rest, acc + ("stats" -> "true"))
+      case "--land-benchmark" :: rest => parse(rest, acc + ("land-benchmark" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") && !value.startsWith("--") =>
         val name = flag.drop(2)
         if (!valueFlags.contains(name))

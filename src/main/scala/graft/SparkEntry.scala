@@ -1954,6 +1954,23 @@ object SparkEntry {
           ops.QuantileSketch.quantile(col("sketch"), 0.5).as("p50_est"),
           ops.QuantileSketch.quantile(col("sketch"), 0.9).as("p90_est"))
         .orderBy("source")
+    }),
+
+    // ---- landed benchmark decontamination (persisted-artifact q49) ----
+    // The benchmark gram set is FIXED while the corpus streams, so it
+    // is landed ONCE (distinct md5-bridge gram fingerprints + a Bloom
+    // sidecar — ops/Decontaminate) and every corpus pass probes the
+    // artifact; the oracle re-reads the very files the engine landed
+    // (the q81 discipline). Benchmark slice = doc_id%20==0 (q49's),
+    // corpus = the rest; the md5 bridge makes engine and oracle
+    // fingerprints BIT-identical, so unlike q49/q93 there is no
+    // collision caveat in the comparison at all.
+    "q97_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val benchDir = ops.Decontaminate.dirFor(dir)
+      ops.Decontaminate.landBenchmark(d.filter(col("doc_id") % 20 === 0), benchDir)
+      ops.Decontaminate.probe(d.filter(col("doc_id") % 20 =!= 0), benchDir)
+        .orderBy("doc_id")
     })
   )
 
@@ -2130,15 +2147,17 @@ object SparkEntry {
   // DuckDB oracles — same semantics, same output column names, same
   // ORDER BY, same numeric parity tricks.
   // =====================================================================
-  /** Driver contract (no-arg): the q78/q81 landed dirs come from the
-    * last roundTrip/land in this JVM. `Verify` instead calls
+  /** Driver contract (no-arg): the q78/q81/q97 landed dirs come from
+    * the last roundTrip/land in this JVM. `Verify` instead calls
     * [[oracleSqlFor]] with dirs DERIVED from its own data dir, so a
     * concurrent run against a different dataset in the same JVM
     * cannot repoint the dumped oracle. */
   def oracleSql: Map[String, String] =
-    oracleSqlFor(sources.CorpusJsonl.lastDir, ops.IvfPqIndex.lastDir)
+    oracleSqlFor(sources.CorpusJsonl.lastDir, ops.IvfPqIndex.lastDir,
+      ops.Decontaminate.lastDir)
 
-  def oracleSqlFor(q78Dir: String, q81Dir: String): Map[String, String] = Map(
+  def oracleSqlFor(q78Dir: String, q81Dir: String,
+                   q97Dir: String): Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -4064,7 +4083,42 @@ object SparkEntry {
         |  vals[CAST(floor(0.5 * (n_sample - 1)) AS BIGINT) + 1] AS p50_est,
         |  vals[CAST(floor(0.9 * (n_sample - 1)) AS BIGINT) + 1] AS p90_est
         |FROM s
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // q97: the oracle re-derives each corpus doc's DISTINCT 3-gram
+    // md5-bridge fingerprints from its text and joins them against the
+    // gram parquet the ENGINE landed (the q81 persisted-artifact
+    // discipline) — fingerprints are bit-identical cross-engine, so
+    // the landed set is a true join boundary, no collision caveat.
+    "q97_decontaminate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(0, len(toks) - 2),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS g3
+        |  FROM t),
+        |cg AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, unnest(g3) AS gram FROM g)),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM cg
+        |  WHERE fp IN (SELECT gram FROM read_parquet('$q97Dir/*.parquet'))
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT g.doc_id,
+        |    CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared
+        |  FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id)
+        |SELECT doc_id, n_shared,
+        |  CAST(n_shared = 0 AS BIGINT) AS clean
+        |FROM r
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

@@ -22,7 +22,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
                       oracleJson(SparkEntry.oracleSqlFor(
                         graft.sources.CorpusJsonl.dirFor(sfDir),
-                        graft.ops.IvfPqIndex.dirFor(sfDir))))
+                        graft.ops.IvfPqIndex.dirFor(sfDir),
+                        graft.ops.Decontaminate.dirFor(sfDir))))
     spark.stop()
   }
 

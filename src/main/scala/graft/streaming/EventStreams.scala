@@ -2450,6 +2450,105 @@ object EventStreams {
     }
   }
 
+  /** Streaming decontamination gate — probe every micro-batch against
+    * a LANDED benchmark gram set ([[graft.ops.Decontaminate]]),
+    * completing the ingest-family quality gates (exact/near/semantic/
+    * quality/dsir/decontaminate): docs sharing more than
+    * `maxSharedGrams` distinct 3-grams with the benchmark are
+    * REJECTED (test-set leakage must not enter a training corpus);
+    * survivors land with their (n_shared, clean) report columns.
+    *
+    * Frozen-artifact state, two-phase probe: the benchmark's Bloom
+    * blob is loaded ONCE at start (`_bloom.bin`, landed beside the
+    * gram parquet by [[graft.ops.Decontaminate.landBenchmark]]) and
+    * carried across batches; per batch, every doc gram probes the
+    * blob map-only, and only bloom-POSITIVE grams (true hits + the
+    * sized ~0.5% false-positive rate) confirm against the landed
+    * parquet — a clean batch reads the landed set ZERO times
+    * (bloom-negative is definitive absence), the dedup family's
+    * carried-state discipline applied to a frozen artifact. Rows are
+    * scored independently under a synthetic per-row key (duplicate doc
+    * ids are legitimate pre-dedup input). The confirm regime
+    * (broadcast vs shuffle semi) is decided ONCE at start from the
+    * landed set's metadata row count, mirroring
+    * [[graft.ops.Decontaminate.probe]].
+    *
+    * Landing layout and exactly-once match [[ingestQuality]]:
+    * `batch=<id>` overwrite + the re-run committer; single-writer
+    * slot + cross-JVM writer lock. */
+  def ingestDecontaminate(docs: DataFrame, landingDir: String,
+                          checkpointDir: String, benchDir: String,
+                          maxSharedGrams: Long = 0L,
+                          textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fields = docs.schema.fieldNames.toSet
+    require(Seq(textCol, idCol).forall(fields.contains),
+      s"stream schema must contain '$textCol', '$idCol'; got " +
+      docs.schema.fieldNames.mkString(", "))
+    require(!fields.contains("batch"),
+      "stream schema must not carry 'batch' — it is the landing's partition column")
+    require(!fields.contains("__qid"),
+      "stream schema must not carry '__qid' — the gate's working column")
+    Seq("n_shared", "clean").foreach { c =>
+      require(!fields.contains(c),
+        s"stream schema must not carry '$c' — the decontamination gate " +
+        "lands it as a report column")
+    }
+    require(maxSharedGrams >= 0,
+      s"maxSharedGrams must be non-negative, got $maxSharedGrams")
+    val spark0 = docs.sparkSession
+    val key = landingKey(spark0, landingDir)
+    startGuarded(spark0, key) {
+      // frozen state, loaded INSIDE the guard: a refused start must
+      // fail before touching the artifact; a missing artifact fails
+      // the start loudly (a gate with no benchmark gates nothing)
+      val blob = graft.ops.Decontaminate.loadBloom(spark0, benchDir)
+      val broadcastable =
+        spark0.read.parquet(benchDir).count() <= 2L * 1000 * 1000
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeatIngestLock(key)
+          val spark = batch.sparkSession
+          // persist pins the synthetic per-row ids across the gram
+          // side and the re-attach side (the ingestQuality argument)
+          val keyed = batch.withColumn("__qid", monotonically_increasing_id()).persist()
+          try {
+            val cand = keyed
+              .select(col("__qid"),
+                explode_outer(graft.ops.Decontaminate.gramFps(col(textCol))).as("gram"))
+              .filter(coalesce(
+                call_function("bloom_might_contain", lit(blob), col("gram")),
+                lit(false)))
+            // bloom-negative is DEFINITIVE absence: a clean batch
+            // never reads the landed benchmark set
+            val scored =
+              if (cand.isEmpty)
+                keyed.select(col("__qid")).withColumn("n_shared", lit(0L))
+              else {
+                val bench = spark.read.parquet(benchDir)
+                val hits = cand
+                  .join(if (broadcastable) broadcast(bench) else bench,
+                    Seq("gram"), "left_semi")
+                  .groupBy("__qid").agg(count(lit(1)).as("n_shared"))
+                keyed.select(col("__qid"))
+                  .join(hits, Seq("__qid"), "left")
+                  .select(col("__qid"),
+                    coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+              }
+            keyed.join(scored, Seq("__qid"))
+              .filter(col("n_shared") <= maxSharedGrams)
+              .withColumn("clean", (col("n_shared") === 0L).cast("bigint"))
+              .drop("__qid")
+              .write.options(graft.core.Committers.forRerun(overwrite = true))
+              .mode("overwrite").parquet(s"$key/batch=$batchId")
+          } finally { keyed.unpersist(); () }
+          ()
+        }
+        .start()
+    }
+  }
+
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed
     * in one foreachBatch against ONE landing dir. Exact-equal reposts
     * are the overwhelming bulk of real ingest duplicates and are

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Decontaminate
+
+/** Landed-benchmark decontamination: the artifact round-trip (land →
+  * probe), shared-gram counting semantics on hand-computed inputs,
+  * empty/NULL-text behavior, suite-version overwrite, and the Bloom
+  * sidecar contract. */
+class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-decon").toString + "/bench"
+
+  test("probe counts a doc's DISTINCT grams shared with the landed set; disjoint docs are clean") {
+    val dir = freshDir()
+    // benchmark: one doc, 3-grams = {a b c, b c d, c d e}
+    Decontaminate.landBenchmark(
+      Seq((0L, "a b c d e")).toDF("doc_id", "text"), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    val r = Decontaminate.probe(Seq(
+        (1L, "a b c d e"),           // all 3 grams shared
+        (2L, "x a b c y"),           // only 'a b c'
+        (3L, "a b c a b c a b c"),   // repeated shared gram counts ONCE (distinct)
+        (4L, "z z z z z"),           // disjoint
+        (5L, "a b"),                 // under 3 tokens: no grams
+        (6L, "")).toDF("doc_id", "text"), dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(1L) == ((3L, 0L)))
+    assert(r(2L) == ((1L, 0L)))
+    assert(r(3L) == ((1L, 0L)))
+    assert(r(4L) == ((0L, 1L)))
+    assert(r(5L) == ((0L, 1L)))
+    assert(r(6L) == ((0L, 1L)))
+  }
+
+  test("NULL text is the empty document: a clean report row, not a vanished doc") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(Seq((0L, "a b c d")).toDF("doc_id", "text"), dir)
+    val r = Decontaminate.probe(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), dir)
+      .collect()
+    assert(r.length == 1 && r(0).getLong(1) == 0L && r(0).getLong(2) == 1L)
+  }
+
+  test("re-landing overwrites the previous suite version whole") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(Seq((0L, "a b c")).toDF("doc_id", "text"), dir)
+    Decontaminate.landBenchmark(Seq((0L, "x y z")).toDF("doc_id", "text"), dir)
+    val r = Decontaminate.probe(
+        Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"), dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) == 0L && r(2L) == 1L,
+      "the old suite's grams must not survive a re-land")
+  }
+
+  test("the Bloom sidecar has no false negatives over the landed set and ignores the parquet reader") {
+    val dir = freshDir()
+    val bench = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    Decontaminate.landBenchmark(bench, dir)
+    val blob = Decontaminate.loadBloom(spark, dir)
+    val landed = spark.read.parquet(dir)
+    // every landed gram must probe positive (no false negatives)
+    val missed = landed.filter(!coalesce(
+        call_function("bloom_might_contain", lit(blob), col("gram")), lit(false)))
+      .count()
+    assert(missed == 0L, "bloom false negative over its own build set")
+    // the sidecar must not surface as a parquet column/file
+    assert(landed.columns.toSeq == Seq("gram"))
+  }
+}

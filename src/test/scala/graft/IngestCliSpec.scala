@@ -199,6 +199,52 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       run.updated(run.indexOf("--min-logw") + 1, "heaps")) == 2)
   }
 
+  test("--land-benchmark then --mode decontaminate across --once runs; flag hygiene") {
+    val arrivals = Files.createTempDirectory("graft-cli-dc-arrivals").toString
+    val corpus = Files.createTempDirectory("graft-cli-dc").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-cli-dc-ckpt").toString
+    val benchSrc = Files.createTempDirectory("graft-cli-dc-src").toString + "/suite"
+    val bench = Files.createTempDirectory("graft-cli-dc-bench").toString + "/bench"
+    Seq((0L, "leaked eval question alpha beta gamma"))
+      .toDF("doc_id", "text").write.parquet(benchSrc)
+    // land the artifact once (the maintenance form)
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench, "--from", benchSrc)) == 0)
+    assert(spark.read.parquet(bench).columns.toSeq == Seq("gram"))
+    val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
+      "--once", "--mode", "decontaminate", "--benchmark", bench)
+    Seq((100L, "prefix leaked eval question alpha suffix"),
+        (101L, "totally unrelated training text here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    // a second --once run processes ONLY the new arrival (exactly-once)
+    Seq((102L, "more unrelated words entirely"))
+      .toDF("doc_id", "text").write.mode("append").parquet(arrivals)
+    assert(RunIngest.execute(spark, run) == 0)
+    val landed = spark.read.parquet(corpus)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(101L, 102L), "contaminated doc rejected; clean docs land once each")
+    assert(Seq("n_shared", "clean").forall(landed.columns.contains))
+    // flag hygiene: decontaminate needs --benchmark; its flags are
+    // refused elsewhere; --from is stream-illegal; junk --max-shared
+    assert(RunIngest.execute(spark,
+      run.filterNot(a => a == "--benchmark" || a == bench)) == 2)
+    assert(RunIngest.execute(spark, Array("--in", arrivals, "--corpus", corpus,
+      "--checkpoint", ckpt, "--once", "--mode", "both",
+      "--benchmark", bench)) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--from", benchSrc)) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--tau", "0.5")) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--max-shared", "-1")) == 2)
+    assert(RunIngest.execute(spark, run ++ Array("--max-shared", "lots")) == 2)
+    // land-benchmark form hygiene: needs both flags; refuses stream flags
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench)) == 2)
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench, "--from", benchSrc, "--corpus", corpus)) == 2)
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench, "--from", benchSrc, "--in", arrivals)) == 2)
+  }
+
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
     assert(RunIngest.execute(spark, Array("--in", "/tmp/x")) == 2)
     val d = Files.createTempDirectory("graft-cli-usage").toString

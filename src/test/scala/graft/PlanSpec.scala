@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
            "HOF gram expression leaked back into the plan")
   }
 
+  test("q97: landed-set decontamination joins on gram fingerprints, never doc pairs") {
+    val p = plan("q97_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join detected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join detected:\n$p")
+    // sf0.001's benchmark slice is far under the gate: the landed set
+    // must come in as a broadcast, not an exchange of the gram stream
+    assert(p.contains("BroadcastHashJoin"), s"landed set not broadcast:\n$p")
+  }
+
   test("q51: running totals never use a global single-partition window") {
     val p = plan("q51_token_shards")
     // the only single-partition exchanges allowed are the tiny chunk

@@ -1247,6 +1247,119 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       "weight-0 docs land with selected=0 — admitted by threshold, not target-likelier")
   }
 
+  test("decontaminate gate: landed-benchmark probe across batches; clean batch reads the landed set ZERO times; stream ≡ batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-decon-st").toString
+    val benchDir = root + "/bench"
+    graft.ops.Decontaminate.landBenchmark(
+      Seq((0L, "leaked eval question alpha beta gamma")).toDF("doc_id", "text"),
+      benchDir)
+    val landing = root + "/corpus"
+    // counts executions whose plan scans the landed benchmark files —
+    // the clean batch must contribute ZERO (bloom-negative is
+    // definitive absence; the confirm path never runs)
+    val benchReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def touchesBench(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(benchDir))
+              case _ => false
+            }
+        }.exists(identity)
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (touchesBench(qe)) benchReads.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDecontaminate(
+      in.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-decon-ck").toString,
+      benchDir)
+    try {
+      // batch 0: one contaminated doc (shares 'leaked eval question'
+      // and more), one clean — the confirm path legitimately reads
+      // the benchmark here
+      in.addData(
+        (100L, "prefix leaked eval question alpha suffix"),
+        (101L, "totally unrelated training text here"))
+      q.processAllAvailable()
+      // only NOW start counting: batch 1 is all clean and must read
+      // the landed set zero times
+      spark.listenerManager.register(listener)
+      in.addData((102L, "more unrelated words entirely"), (103L, ""))
+      q.processAllAvailable()
+      Thread.sleep(1500) // quiesce the async listener bus
+      assert(benchReads.get() == 0,
+        s"clean batch read the landed benchmark ${benchReads.get()} time(s)")
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(listener)
+    }
+    val landed = spark.read.parquet(landing)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(101L, 102L, 103L),
+      "contaminated docs are rejected; clean (incl. empty) docs land")
+    // landed report columns equal the batch twin's
+    val twin = graft.ops.Decontaminate.probe(
+        Seq((101L, "totally unrelated training text here"),
+            (102L, "more unrelated words entirely"), (103L, ""))
+          .toDF("doc_id", "text"), benchDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    landed.select("doc_id", "n_shared", "clean").collect().foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == twin(r.getLong(0)),
+        s"report drift on doc ${r.getLong(0)}")
+    }
+  }
+
+  test("decontaminate gate: threshold admits lightly-shared docs; reserved columns and a missing artifact refuse at start") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-decon-th").toString
+    val benchDir = root + "/bench"
+    graft.ops.Decontaminate.landBenchmark(
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"), benchDir)
+    // threshold 1: a doc sharing exactly one gram is admitted WITH its count
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDecontaminate(
+      in.toDF().toDF("doc_id", "text"), root + "/corpus",
+      java.nio.file.Files.createTempDirectory("graft-decon-th-ck").toString,
+      benchDir, maxSharedGrams = 1L)
+    try {
+      in.addData(
+        (1L, "x alpha beta gamma y"),        // shares 'alpha beta gamma' only
+        (2L, "alpha beta gamma delta"))      // shares 2 grams: over threshold
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(root + "/corpus")
+      .select("doc_id", "n_shared", "clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(landed.toSeq == Seq((1L, 1L, 0L)),
+      "exactly the one-shared-gram doc lands, marked not-clean")
+    // reserved report columns refuse at start
+    for (c <- Seq("n_shared", "clean")) {
+      val inR = MemoryStream[(Long, String, Long)]
+      assert(intercept[IllegalArgumentException] {
+        EventStreams.ingestDecontaminate(inR.toDF().toDF("doc_id", "text", c),
+          root + s"/c-$c", root + s"/ck-$c", benchDir)
+      }.getMessage.contains(c))
+    }
+    // a missing artifact fails the start loudly (a gate with no
+    // benchmark gates nothing)
+    val inM = MemoryStream[(Long, String)]
+    intercept[java.io.FileNotFoundException] {
+      EventStreams.ingestDecontaminate(inM.toDF().toDF("doc_id", "text"),
+        root + "/corpus2", root + "/ck2", root + "/nowhere")
+    }
+  }
+
   test("cross-JVM writer lock: a clean stop releases only a lock still naming THIS pid") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
