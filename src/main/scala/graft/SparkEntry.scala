@@ -1971,6 +1971,29 @@ object SparkEntry {
       ops.Decontaminate.landBenchmark(d.filter(col("doc_id") % 20 === 0), benchDir)
       ops.Decontaminate.probe(d.filter(col("doc_id") % 20 =!= 0), benchDir)
         .orderBy("doc_id")
+    }),
+
+    // ---- landed epoch-shard manifests (persisted q95) ----
+    // The epoch shuffle's assignments, LANDED as servable
+    // epoch=N/shard=K manifests and read back: the carrier's output is
+    // derived entirely from the landed files, while the oracle
+    // re-derives both epochs' permutations from the documents table
+    // from scratch — a green hash proves the round trip preserved
+    // every assignment (the q81 landed-artifact proof shape). Two
+    // epochs land so the manifest layout, not one permutation, is
+    // what is exercised.
+    "q98_epoch_manifests" -> ((s, dir) => {
+      val mDir = ops.EpochShuffle.dirFor(dir)
+      ops.EpochShuffle.landManifests(
+        Tables.documents(s, dir), mDir, epochs = Seq(7, 8), tokensPerShard = 2000L)
+      s.read.parquet(mDir)
+        .groupBy(col("epoch").cast("bigint").as("epoch"),
+                 col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("epoch", "shard")
     })
   )
 
@@ -4118,7 +4141,36 @@ object SparkEntry {
         |SELECT doc_id, n_shared,
         |  CAST(n_shared = 0 AS BIGINT) AS clean
         |FROM r
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q98: the oracle re-derives BOTH epochs' permutations and the
+    // greedy packing from the documents table from scratch (no landed
+    // file involved); the engine's result comes entirely from the
+    // landed epoch=N/shard=K manifests — equality proves landing
+    // fidelity (the q81 proof shape).
+    "q98_epoch_manifests" ->
+      """WITH e AS (SELECT unnest([7, 8]) AS epoch),
+        |t AS (
+        |  SELECT e.epoch, doc_id,
+        |    CAST(('0x' || substr(md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+        |         || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS epoch_key,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents CROSS JOIN e),
+        |p AS (
+        |  SELECT epoch, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY epoch
+        |        ORDER BY epoch_key, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+        |      AS BIGINT) AS shard
+        |  FROM t)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p
+        |GROUP BY 1, 2
+        |ORDER BY epoch, shard""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`

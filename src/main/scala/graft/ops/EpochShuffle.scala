@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic epoch shuffle + token-budget shard packing — the
@@ -44,5 +44,63 @@ object EpochShuffle {
     PrefixSum.runningTotal(toks, Seq("epoch_key", idCol), "n_tokens", "cum_tokens")
       .withColumn("shard",
         expr(s"CAST((cum_tokens - n_tokens) div $tokensPerShard AS BIGINT)"))
+  }
+
+  /** Manifest dir derived from (user, source data dir) — the
+    * [[IvfPqIndex.dirFor]] discipline. */
+  def dirFor(dataDir: String): String = {
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q98_epochs_${user}_$tag"
+  }
+
+  /** LAND the epoch assignments as servable shard manifests —
+    * `epoch=N/shard=K` hive partitions of slim (doc_id, epoch_key,
+    * n_tokens, cum_tokens) rows. A training-data engine SERVES shards;
+    * computing assignments and dropping them ([[shuffleAndPack]]
+    * alone) leaves every trainer re-deriving the permutation. One
+    * manifest write per run covers all `epochs` (one union write —
+    * text never lands here, only assignments), overwrite-whole so a
+    * re-land with a new budget or epoch set cannot leave a stale mix.
+    * The read side ([[manifest]]/[[fetchShard]]) is a partition-pruned
+    * single-shard fetch: a trainer pulling epoch 3 / shard 17 lists
+    * exactly one directory. */
+  def landManifests(docs: DataFrame, dir: String, epochs: Seq[Int],
+                    tokensPerShard: Long,
+                    textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(epochs.nonEmpty, "need at least one epoch")
+    require(epochs.distinct == epochs, s"duplicate epochs in ${epochs.mkString(",")}")
+    epochs.map(e =>
+        shuffleAndPack(docs, e, tokensPerShard, textCol, idCol)
+          .withColumn("epoch", lit(e.toLong)))
+      .reduce(_ unionByName _)
+      .select(col("epoch"), col("shard"), col(idCol),
+        col("epoch_key"), col("n_tokens"), col("cum_tokens"))
+      .write.partitionBy("epoch", "shard")
+      .mode("overwrite").parquet(dir)
+  }
+
+  /** One shard's manifest, partition-pruned: the scan lists exactly
+    * the `epoch=N/shard=K` leaf (PlanSpec-pinned PartitionFilters).
+    * Partition columns come back as BIGINT regardless of what the
+    * directory-name inference guesses. */
+  def manifest(spark: SparkSession, dir: String, epoch: Long, shard: Long): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("epoch") === epoch && col("shard") === shard)
+      .withColumn("epoch", col("epoch").cast("bigint"))
+      .withColumn("shard", col("shard").cast("bigint"))
+
+  /** Serve epoch `epoch` shard `shard` in training order: the
+    * manifest's slim rows (budget-bounded — broadcast) join the
+    * corpus, the ONLY stage where text moves, and only this shard's
+    * text leaves the scan. Rows come back in permutation order with
+    * their token prefix positions. */
+  def fetchShard(corpus: DataFrame, dir: String, epoch: Long, shard: Long,
+                 idCol: String = "doc_id"): DataFrame = {
+    val m = manifest(corpus.sparkSession, dir, epoch, shard)
+      .select(col(idCol), col("epoch_key"), col("n_tokens"), col("cum_tokens"))
+    corpus.join(broadcast(m), Seq(idCol))
+      .orderBy("epoch_key", idCol)
   }
 }

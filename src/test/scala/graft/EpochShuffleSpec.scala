@@ -50,4 +50,52 @@ class EpochShuffleSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[IllegalArgumentException](run(7, budget = 0L))
     assert(e.getMessage.contains("budget"))
   }
+
+  test("manifest round trip: every doc exactly once per epoch, shard budgets hold, re-land overwrites whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochs").toString + "/m"
+    val df = docs.toDF("doc_id", "text")
+    EpochShuffle.landManifests(df, dir, epochs = Seq(7, 8), tokensPerShard = 10L)
+    val landed = spark.read.parquet(dir)
+      .select(col("epoch").cast("bigint"), col("shard").cast("bigint"),
+        col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly-once per epoch: each epoch's shards partition the corpus
+    for (e <- Seq(7L, 8L))
+      assert(landed.filter(_._1 == e).map(_._3).sorted.toSeq == (0L until 60L).toSeq,
+        s"epoch $e must cover every doc exactly once across its shards")
+    // budget: every doc STARTS inside its shard's token window (the
+    // greedy first-fit rule; a straddling doc may finish past it)
+    landed.foreach { case (e, shard, id, n, cum) =>
+      assert((cum - n) / 10L == shard,
+        s"epoch $e doc $id starts at ${cum - n}, outside shard $shard's window")
+    }
+    // the landed assignments ARE shuffleAndPack's (landing fidelity)
+    val direct = run(7, budget = 10L).map(x => (x._1, x._5)).toMap
+    landed.filter(_._1 == 7L).foreach { case (_, shard, id, _, _) =>
+      assert(shard == direct(id), s"doc $id landed in shard $shard, computed ${direct(id)}")
+    }
+    // re-land with a different epoch set replaces the layout whole
+    EpochShuffle.landManifests(df, dir, epochs = Seq(9), tokensPerShard = 10L)
+    assert(spark.read.parquet(dir).select(col("epoch").cast("bigint"))
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(9L),
+      "a stale epoch survived the overwrite")
+  }
+
+  test("fetchShard serves one shard's docs with text in permutation order; manifest read is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochf").toString + "/m"
+    val df = docs.toDF("doc_id", "text")
+    EpochShuffle.landManifests(df, dir, epochs = Seq(7), tokensPerShard = 10L)
+    val expect = run(7, budget = 10L).filter(_._5 == 0L).sortBy(_._2)
+    val got = EpochShuffle.fetchShard(df, dir, epoch = 7L, shard = 0L).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == expect.map(_._1).toSeq,
+      "fetchShard must return exactly shard 0's docs in permutation order")
+    assert(got.forall(r => r.getAs[String]("text").nonEmpty),
+      "the corpus text rides the fetch")
+    // single-shard fetch prunes partitions at the scan
+    val p = EpochShuffle.manifest(spark, dir, 7L, 0L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") &&
+           (p.contains("epoch#") || p.contains("isnotnull(epoch")),
+      s"expected partition filters in:\n$p")
+  }
 }
