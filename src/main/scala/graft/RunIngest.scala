@@ -199,7 +199,10 @@ object RunIngest {
       (if (forms.nonEmpty && !opts.contains("land-benchmark"))
          Seq("benchmark", "from", "max-shared") else Nil) ++
       (if (opts.contains("land-benchmark"))
-         Seq("corpus", "max-shared") else Nil)
+         // all stream-gate value flags: silently dropping one would
+         // exit 0 on intent never honored (the block's own rule)
+         Seq("corpus", "max-shared", "train", "target-pred", "min-logw",
+             "ref", "max-xent", "lang-col", "coarse-k", "m", "ksub") else Nil)
     val crossed = crossForm.filter(opts.contains)
     if (crossed.nonEmpty) {
       System.err.println(

@@ -1986,14 +1986,7 @@ object SparkEntry {
       val mDir = ops.EpochShuffle.dirFor(dir)
       ops.EpochShuffle.landManifests(
         Tables.documents(s, dir), mDir, epochs = Seq(7, 8), tokensPerShard = 2000L)
-      s.read.parquet(mDir)
-        .groupBy(col("epoch").cast("bigint").as("epoch"),
-                 col("shard").cast("bigint").as("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_tokens")).as("sum_tokens"),
-             min(col("doc_id")).as("first_doc"),
-             max(col("doc_id")).as("last_doc"))
-        .orderBy("epoch", "shard")
+      ops.EpochShuffle.manifestSummary(s, mDir)
     })
   )
 

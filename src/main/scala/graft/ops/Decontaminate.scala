@@ -8,22 +8,26 @@ import org.apache.spark.sql.functions._
   * benchmark suite is FIXED while the corpus streams, so recomputing
   * the benchmark gram set per run (q49's in-query shape) re-scans the
   * benchmark for every corpus pass; instead [[landBenchmark]] lands
-  * the DISTINCT benchmark 3-gram fingerprints ONCE (a `gram` BIGINT
-  * parquet — the q81 persisted-artifact discipline: the DuckDB oracle
-  * re-reads the same files) together with a Bloom blob over them
-  * (`_bloom.bin` beside the parquet — underscore-prefixed, so both
-  * engines' parquet readers ignore it), and every later corpus pass /
-  * ingest micro-batch probes the landed set.
+  * the DISTINCT benchmark 3-grams ONCE (the q81 persisted-artifact
+  * discipline: the DuckDB oracle re-reads the same files) together
+  * with a Bloom blob over them (`_bloom.bin` beside the parquet —
+  * underscore-prefixed, so both engines' parquet readers ignore it),
+  * and every later corpus pass / ingest micro-batch probes the landed
+  * set.
   *
-  * Fingerprints use the md5 bridge (q88/q92/q94 convention, NOT
-  * xxhash64) because the landed artifact is the join boundary between
-  * engines: fp(g) = ('0x' || substr(md5(g),1,15))::BIGINT is
-  * bit-identical in Spark and DuckDB, so the oracle can re-derive a
-  * document's gram fingerprints from its text and join them against
-  * the very files the engine landed. Per-doc DISTINCT is taken on the
-  * FINGERPRINT array inside the projection (array_distinct of the
-  * transformed array — no exchange), matching the oracle's
-  * `SELECT DISTINCT doc_id, fp`.
+  * Each landed row carries the SAME gram under two keys:
+  *   - `gram` — the md5 bridge (q88/q92/q94 convention), the ORACLE's
+  *     join key: fp(g) = ('0x' || substr(md5(g),1,15))::BIGINT is
+  *     bit-identical in Spark and DuckDB, so the oracle re-derives a
+  *     document's fingerprints from its text and joins them against
+  *     the very files the engine landed;
+  *   - `gx` — xxhash64, the ENGINE's join key: the corpus side then
+  *     rides the fused one-byte-scan native
+  *     ([[Text.distinctGramHashesOfText]], q49's fast path) instead of
+  *     paying per-gram string md5 at corpus scale (measured 2.5x on
+  *     the probe at sf0.1). The two keys count the same hits per doc
+  *     absent a 64-bit collision — the accepted q49/q93 tradeoff,
+  *     here on BOTH sides of one green hash.
   *
   * Scale shape of [[probe]]: the landed set is the small side (a
   * fixed benchmark suite), broadcast below a row bound from parquet
@@ -31,20 +35,17 @@ import org.apache.spark.sql.functions._
   * exchange and zero rows re-attach through an id-only scan — q49's
   * two regimes, verbatim. The streaming face
   * ([[graft.streaming.EventStreams.ingestDecontaminate]]) loads the
-  * Bloom ONCE as frozen state: a clean batch (zero bloom-positive
-  * grams) never reads the landed parquet at all — the carried-state
-  * discipline of the dedup family applied to a frozen artifact. */
+  * Bloom (built over `gx`) ONCE as frozen state: a clean batch (zero
+  * bloom-positive grams) never reads the landed parquet at all — the
+  * carried-state discipline of the dedup family applied to a frozen
+  * artifact. */
 object Decontaminate {
 
   /** Landing dir derived from (user, source data dir) — the
     * [[IvfPqIndex.dirFor]] discipline, so concurrent runs over
     * different datasets never clobber each other's benchmark set. */
-  def dirFor(dataDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q97_bench_${user}_$tag"
-  }
+  def dirFor(dataDir: String): String =
+    graft.core.ArtifactDirs.dirFor("graft_q97_bench", dataDir)
 
   /** Dir of the most recent [[landBenchmark]] in this JVM (the
     * [[IvfPqIndex.lastDir]] discipline; `Verify` derives the dir from
@@ -56,37 +57,36 @@ object Decontaminate {
   private def fp(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("bigint")
 
-  /** Per-doc DISTINCT 3-gram fingerprints of a text, as one projected
-    * array — NULL text is the empty document (empty array, kept by
-    * the callers' explode_outer so every doc reaches the report).
-    * Public: the streaming gate projects the same fingerprints so the
-    * stream and the landed set can never disagree on tokenization. */
-  def gramFps(text: Column): Column = docGramFps(text)
-
-  private def docGramFps(text: Column): Column =
-    array_distinct(transform(Text.ngramsOfText(coalesce(text, lit("")), 3),
-      g => fp(g)))
+  /** The ENGINE-side per-doc DISTINCT gram keys: q49's fused
+    * single-byte-scan native. NULL text yields a NULL array (the
+    * callers' explode_outer keeps the doc as a null-gram row, so every
+    * doc reaches its aggregate). Public: the streaming gate projects
+    * the same keys so the stream and the landed set can never disagree
+    * on tokenization. */
+  def gramKeys(text: Column): Column = Text.distinctGramHashesOfText(text, 3)
 
   private def bloomPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_bloom.bin")
 
-  /** Land the benchmark's distinct gram fingerprints (+ the Bloom
-    * sidecar) at `outDir`, overwriting any previous set — benchmarks
-    * change rarely and whole (a new suite version is a new landing).
-    * One benchmark scan; the blob is aggregated from the LANDED files
-    * so set and filter can never disagree. */
+  /** Land the benchmark's distinct grams under both keys (+ the Bloom
+    * sidecar over `gx`) at `outDir`, overwriting any previous set —
+    * benchmarks change rarely and whole (a new suite version is a new
+    * landing). One benchmark scan; the blob is aggregated from the
+    * LANDED files so set and filter can never disagree. */
   def landBenchmark(bench: DataFrame, outDir: String,
                     textCol: String = "text", bits: Int = 0): Unit = {
     val spark = bench.sparkSession
+    val t = coalesce(col(textCol), lit(""))
     bench
-      .select(explode_outer(docGramFps(col(textCol))).as("gram"))
-      .filter(col("gram").isNotNull).distinct()
+      .select(explode_outer(array_distinct(Text.ngramsOfText(t, 3))).as("g"))
+      .filter(col("g").isNotNull).distinct()
+      .select(fp(col("g")).as("gram"), xxhash64(col("g")).as("gx"))
       .write.mode("overwrite").parquet(outDir)
     val landed = spark.read.parquet(outDir)
     val nbits =
       if (bits > 0) bits else IncrementalDedup.sizedBits(landed.count())
     val blob = landed
-      .agg(call_function("bloom_agg", col("gram"), lit(nbits), lit(3)).as("bf"))
+      .agg(call_function("bloom_agg", col("gx"), lit(nbits), lit(3)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
     val p = bloomPath(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -95,8 +95,9 @@ object Decontaminate {
     lastDirVar = outDir
   }
 
-  /** The landed Bloom blob — read once per process/stream start and
-    * carried as frozen state, never per batch. */
+  /** The landed Bloom blob (keys = `gx`) — read once per
+    * process/stream start and carried as frozen state, never per
+    * batch. */
   def loadBloom(spark: SparkSession, dir: String): Array[Byte] = {
     val p = bloomPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,13 +111,20 @@ object Decontaminate {
   /** Per-doc contamination report against the landed set: (idCol,
     * n_shared, clean) — n_shared = how many of the doc's DISTINCT
     * grams appear in the benchmark, clean = BIGINT 0/1 (n_shared = 0).
-    * Every input doc yields a row (empty/NULL text scores clean). */
+    * One row per DISTINCT id, every id present (empty/NULL text scores
+    * clean). `idCol` is assumed to identify documents (an id-keyed
+    * corpus table, like every batch carrier's); rows sharing an id are
+    * merged as one document — the sum of their per-row distinct-gram
+    * hits, identically in BOTH regimes. Pre-dedup streams with
+    * legitimately repeated ids go through the streaming gate
+    * ([[graft.streaming.EventStreams.ingestDecontaminate]]), which
+    * scores per ROW under a synthetic key. */
   def probe(docs: DataFrame, benchDir: String,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val bench = spark.read.parquet(benchDir)
+    val bench = spark.read.parquet(benchDir).select("gx")
     val grams = docs.select(col(idCol),
-      explode_outer(docGramFps(col(textCol))).as("gram"))
+      explode_outer(gramKeys(col(textCol))).as("gx"))
     // metadata-only row count gates the regime (the q49 gate): a
     // benchmark suite is small by construction, but a user CAN land
     // a corpus-sized one, and a forced broadcast of that would be
@@ -124,13 +132,17 @@ object Decontaminate {
     val withShared =
       if (bench.count() <= 2L * 1000 * 1000) {
         grams
-          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gx"), "left")
           .groupBy(idCol).agg(count(col("hit")).as("n_shared"))
       } else {
-        val hits = grams.filter(col("gram").isNotNull)
-          .join(bench, Seq("gram"), "left_semi")
+        val hits = grams.filter(col("gx").isNotNull)
+          .join(bench, Seq("gx"), "left_semi")
           .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-        docs.select(idCol)
+        // distinct: the re-attach must produce one row per id like the
+        // broadcast regime's groupBy does — without it a duplicated id
+        // would fan its merged count out to one row per input row, and
+        // the output SHAPE would depend on the landed set's size
+        docs.select(idCol).distinct()
           .join(hits, Seq(idCol), "left")
           .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       }

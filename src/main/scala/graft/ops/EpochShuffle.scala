@@ -48,12 +48,8 @@ object EpochShuffle {
 
   /** Manifest dir derived from (user, source data dir) — the
     * [[IvfPqIndex.dirFor]] discipline. */
-  def dirFor(dataDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q98_epochs_${user}_$tag"
-  }
+  def dirFor(dataDir: String): String =
+    graft.core.ArtifactDirs.dirFor("graft_q98_epochs", dataDir)
 
   /** LAND the epoch assignments as servable shard manifests —
     * `epoch=N/shard=K` hive partitions of slim (doc_id, epoch_key,
@@ -90,6 +86,22 @@ object EpochShuffle {
       .filter(col("epoch") === epoch && col("shard") === shard)
       .withColumn("epoch", col("epoch").cast("bigint"))
       .withColumn("shard", col("shard").cast("bigint"))
+
+  /** Per-(epoch, shard) summary of a landed manifest dir — the q98
+    * carrier's read side, shared with `ArtifactPhaseProbe` so the
+    * probe times exactly the shape the bench cell times. Partition
+    * columns cast to BIGINT (directory-name inference is
+    * magnitude-dependent). */
+  def manifestSummary(spark: SparkSession, dir: String,
+                      idCol: String = "doc_id"): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("epoch").cast("bigint").as("epoch"),
+               col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"),
+           min(col(idCol)).as("first_doc"),
+           max(col(idCol)).as("last_doc"))
+      .orderBy("epoch", "shard")
 
   /** Serve epoch `epoch` shard `shard` in training order: the
     * manifest's slim rows (budget-bounded — broadcast) join the

@@ -31,12 +31,8 @@ object IvfPqIndex {
   /** Landing dir derived from (user, source data dir) — the
     * [[graft.sources.CorpusJsonl.dirFor]] discipline, so concurrent
     * runs over different datasets never clobber each other's index. */
-  def dirFor(dataDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q81_ivfpq_${user}_$tag"
-  }
+  def dirFor(dataDir: String): String =
+    graft.core.ArtifactDirs.dirFor("graft_q81_ivfpq", dataDir)
 
   /** Dir of the most recent [[land]] in this JVM — what the no-arg
     * oracle map points at ([[graft.sources.CorpusJsonl.lastDir]]

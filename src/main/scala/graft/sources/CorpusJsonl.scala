@@ -19,12 +19,8 @@ object CorpusJsonl {
     * one host — two users, or one user benching sf0.1 while verifying
     * sf0.01 — land in DIFFERENT dirs instead of clobbering each
     * other's `mode("overwrite")` shards mid-oracle-read. */
-  def dirFor(dataDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_q78_jsonl_${user}_$tag"
-  }
+  def dirFor(dataDir: String): String =
+    graft.core.ArtifactDirs.dirFor("graft_q78_jsonl", dataDir)
 
   /** Dir of the most recent [[roundTrip]] in this JVM — what the q78
     * oracle SQL must point at. `Verify` dumps `oracleSql` AFTER

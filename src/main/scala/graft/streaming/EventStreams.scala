@@ -2516,9 +2516,9 @@ object EventStreams {
           try {
             val cand = keyed
               .select(col("__qid"),
-                explode_outer(graft.ops.Decontaminate.gramFps(col(textCol))).as("gram"))
+                explode_outer(graft.ops.Decontaminate.gramKeys(col(textCol))).as("gx"))
               .filter(coalesce(
-                call_function("bloom_might_contain", lit(blob), col("gram")),
+                call_function("bloom_might_contain", lit(blob), col("gx")),
                 lit(false)))
             // bloom-negative is DEFINITIVE absence: a clean batch
             // never reads the landed benchmark set
@@ -2526,10 +2526,10 @@ object EventStreams {
               if (cand.isEmpty)
                 keyed.select(col("__qid")).withColumn("n_shared", lit(0L))
               else {
-                val bench = spark.read.parquet(benchDir)
+                val bench = spark.read.parquet(benchDir).select("gx")
                 val hits = cand
                   .join(if (broadcastable) broadcast(bench) else bench,
-                    Seq("gram"), "left_semi")
+                    Seq("gx"), "left_semi")
                   .groupBy("__qid").agg(count(lit(1)).as("n_shared"))
                 keyed.select(col("__qid"))
                   .join(hits, Seq("__qid"), "left")

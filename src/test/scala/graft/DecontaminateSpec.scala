@@ -39,6 +39,16 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
     assert(r(6L) == ((0L, 1L)))
   }
 
+  test("duplicate ids merge as one document — one row, summed hits (the documented id-keyed contract)") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(Seq((0L, "a b c d e")).toDF("doc_id", "text"), dir)
+    val r = Decontaminate.probe(
+        Seq((1L, "a b c z z"), (1L, "c d e z z")).toDF("doc_id", "text"), dir)
+      .collect()
+    assert(r.length == 1 && r(0).getLong(1) == 2L && r(0).getLong(2) == 0L,
+      "two rows sharing an id must merge to one report row with summed hits")
+  }
+
   test("NULL text is the empty document: a clean report row, not a vanished doc") {
     val dir = freshDir()
     Decontaminate.landBenchmark(Seq((0L, "a b c d")).toDF("doc_id", "text"), dir)
@@ -67,10 +77,11 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
     val landed = spark.read.parquet(dir)
     // every landed gram must probe positive (no false negatives)
     val missed = landed.filter(!coalesce(
-        call_function("bloom_might_contain", lit(blob), col("gram")), lit(false)))
+        call_function("bloom_might_contain", lit(blob), col("gx")), lit(false)))
       .count()
     assert(missed == 0L, "bloom false negative over its own build set")
-    // the sidecar must not surface as a parquet column/file
-    assert(landed.columns.toSeq == Seq("gram"))
+    // the sidecar must not surface as a parquet column/file; both join
+    // keys (oracle md5 bridge, engine xxhash64) land per gram
+    assert(landed.columns.sorted.toSeq == Seq("gram", "gx"))
   }
 }

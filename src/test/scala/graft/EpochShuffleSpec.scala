@@ -91,11 +91,16 @@ class EpochShuffleSpec extends AnyFunSuite with SparkTestSession {
       "fetchShard must return exactly shard 0's docs in permutation order")
     assert(got.forall(r => r.getAs[String]("text").nonEmpty),
       "the corpus text rides the fetch")
-    // single-shard fetch prunes partitions at the scan
+    // single-shard fetch prunes partitions at the scan: the
+    // PartitionFilters list must be NON-EMPTY and carry the epoch
+    // equality (a bare "PartitionFilters: []" plus a post-scan Filter
+    // node would pass a looser check while scanning every leaf)
     val p = EpochShuffle.manifest(spark, dir, 7L, 0L)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("PartitionFilters") &&
-           (p.contains("epoch#") || p.contains("isnotnull(epoch")),
-      s"expected partition filters in:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("epoch") && pf.contains("= 7"),
+      s"expected a pruning epoch filter at the scan, got '$pf' in:\n$p")
+    assert(pf.contains("shard") && pf.contains("= 0"),
+      s"expected a pruning shard filter at the scan, got '$pf' in:\n$p")
   }
 }

@@ -210,7 +210,7 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
     // land the artifact once (the maintenance form)
     assert(RunIngest.execute(spark, Array("--land-benchmark",
       "--benchmark", bench, "--from", benchSrc)) == 0)
-    assert(spark.read.parquet(bench).columns.toSeq == Seq("gram"))
+    assert(spark.read.parquet(bench).columns.sorted.toSeq == Seq("gram", "gx"))
     val run = Array("--in", arrivals, "--corpus", corpus, "--checkpoint", ckpt,
       "--once", "--mode", "decontaminate", "--benchmark", bench)
     Seq((100L, "prefix leaked eval question alpha suffix"),

@@ -44,9 +44,12 @@ def type_mismatches(con, sql, parquet_file):
             ok = bool(m) and a in (f"decimal128({m[1]}, {m[2]})",
                                    f"decimal256({m[1]}, {m[2]})")
         elif d.endswith("[]"):               # element-type check, one level
+            # an unknown element type (HUGEINT[] above all) must FAIL,
+            # not degrade to a shape-only check — the same refuse-
+            # unknown rule as the scalar path
             inner = DUCK2ARROW.get(d[:-2], set())
-            ok = bool(re.match(r"(large_)?list<", a)) and any(
-                t in a for t in inner) if inner else a.startswith("l")
+            ok = bool(inner) and bool(re.match(r"(large_)?list<", a)) and any(
+                t in a for t in inner)
         else:
             ok = a in DUCK2ARROW.get(d, set())
         if not ok:
@@ -75,7 +78,9 @@ def main(sfdir: str, outdir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # multi-file table (make_sf1.py splits>1)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
