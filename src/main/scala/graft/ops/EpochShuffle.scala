@@ -52,16 +52,28 @@ object EpochShuffle {
     graft.core.ArtifactDirs.dirFor("graft_q98_epochs", dataDir)
 
   /** LAND the epoch assignments as servable shard manifests —
-    * `epoch=N/shard=K` hive partitions of slim (doc_id, epoch_key,
-    * n_tokens, cum_tokens) rows. A training-data engine SERVES shards;
-    * computing assignments and dropping them ([[shuffleAndPack]]
-    * alone) leaves every trainer re-deriving the permutation. One
-    * manifest write per run covers all `epochs` (one union write —
-    * text never lands here, only assignments), overwrite-whole so a
-    * re-land with a new budget or epoch set cannot leave a stale mix.
-    * The read side ([[manifest]]/[[fetchShard]]) is a partition-pruned
-    * single-shard fetch: a trainer pulling epoch 3 / shard 17 lists
-    * exactly one directory. */
+    * `epoch=N` hive partitions of slim (shard, doc_id, epoch_key,
+    * n_tokens, cum_tokens) rows, SORTED by (shard, id) within each
+    * file. A training-data engine SERVES shards; computing assignments
+    * and dropping them ([[shuffleAndPack]] alone) leaves every trainer
+    * re-deriving the permutation. One manifest write per run covers
+    * all `epochs` (one union write — text never lands here, only
+    * assignments), overwrite-whole so a re-land with a new budget or
+    * epoch set cannot leave a stale mix.
+    *
+    * Shard is a DATA column, not a directory: a `shard=K` hive layout
+    * was built first and REJECTED on measurement — shard count grows
+    * as corpus_tokens/budget, and at sf1 (2,708 shards) the leaf-dir
+    * namespace made the land 17 s and a single-shard fetch 5 s (file
+    * listing dominates; at 100 TB it would be millions of dirs). The
+    * kept layout needs NO extra exchange: shard = exclusive-prefix div
+    * budget is monotone in the (epoch_key, id) order the PrefixSum
+    * range exchange already established, so each task's file covers a
+    * CONTIGUOUS shard range and the single-shard fetch
+    * ([[manifest]]/[[fetchShard]]) prunes to the epoch dir plus the
+    * one-two files whose row-group [min,max] covers K (pushed-filter
+    * stats skip, PlanSpec-pinned) — O(files-per-epoch) cheap footer
+    * probes instead of O(shards) directories, at any budget. */
   def landManifests(docs: DataFrame, dir: String, epochs: Seq[Int],
                     tokensPerShard: Long,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
@@ -73,19 +85,20 @@ object EpochShuffle {
       .reduce(_ unionByName _)
       .select(col("epoch"), col("shard"), col(idCol),
         col("epoch_key"), col("n_tokens"), col("cum_tokens"))
-      .write.partitionBy("epoch", "shard")
+      .sortWithinPartitions("epoch", "shard", idCol)
+      .write.partitionBy("epoch")
       .mode("overwrite").parquet(dir)
   }
 
-  /** One shard's manifest, partition-pruned: the scan lists exactly
-    * the `epoch=N/shard=K` leaf (PlanSpec-pinned PartitionFilters).
-    * Partition columns come back as BIGINT regardless of what the
-    * directory-name inference guesses. */
+  /** One shard's manifest: the scan prunes to the `epoch=N` dir
+    * (PartitionFilters) and skips every file/row-group whose shard
+    * stats exclude K (PushedFilters — files are shard-sorted, so the
+    * ranges are tight). The epoch partition column comes back as
+    * BIGINT regardless of what directory-name inference guesses. */
   def manifest(spark: SparkSession, dir: String, epoch: Long, shard: Long): DataFrame =
     spark.read.parquet(dir)
       .filter(col("epoch") === epoch && col("shard") === shard)
       .withColumn("epoch", col("epoch").cast("bigint"))
-      .withColumn("shard", col("shard").cast("bigint"))
 
   /** Per-(epoch, shard) summary of a landed manifest dir — the q98
     * carrier's read side, shared with `ArtifactPhaseProbe` so the

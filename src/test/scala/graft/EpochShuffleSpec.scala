@@ -91,16 +91,18 @@ class EpochShuffleSpec extends AnyFunSuite with SparkTestSession {
       "fetchShard must return exactly shard 0's docs in permutation order")
     assert(got.forall(r => r.getAs[String]("text").nonEmpty),
       "the corpus text rides the fetch")
-    // single-shard fetch prunes partitions at the scan: the
-    // PartitionFilters list must be NON-EMPTY and carry the epoch
-    // equality (a bare "PartitionFilters: []" plus a post-scan Filter
-    // node would pass a looser check while scanning every leaf)
+    // single-shard fetch prunes at the scan: the epoch equality must
+    // sit in a NON-EMPTY PartitionFilters list (a bare
+    // "PartitionFilters: []" plus a post-scan Filter would pass a
+    // looser check while listing every dir) and the shard equality
+    // must be PUSHED so shard-sorted files/row-groups are stat-skipped
     val p = EpochShuffle.manifest(spark, dir, 7L, 0L)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("epoch") && pf.contains("= 7"),
       s"expected a pruning epoch filter at the scan, got '$pf' in:\n$p")
-    assert(pf.contains("shard") && pf.contains("= 0"),
-      s"expected a pruning shard filter at the scan, got '$pf' in:\n$p")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("EqualTo(shard,0)"),
+      s"expected the shard equality pushed to the scan, got '$pushed' in:\n$p")
   }
 }

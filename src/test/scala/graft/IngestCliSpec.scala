@@ -243,6 +243,12 @@ class IngestCliSpec extends AnyFunSuite with SparkTestSession {
       "--benchmark", bench, "--from", benchSrc, "--corpus", corpus)) == 2)
     assert(RunIngest.execute(spark, Array("--land-benchmark",
       "--benchmark", bench, "--from", benchSrc, "--in", arrivals)) == 2)
+    // a co-passed stream-gate value flag would be silently dropped —
+    // refuse instead of exiting 0 on intent never honored
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench, "--from", benchSrc, "--min-logw", "5")) == 2)
+    assert(RunIngest.execute(spark, Array("--land-benchmark",
+      "--benchmark", bench, "--from", benchSrc, "--ref", benchSrc)) == 2)
   }
 
   test("usage errors: missing flags and bad mode exit 2, bad input exits 1") {
