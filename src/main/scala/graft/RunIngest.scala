@@ -106,8 +106,10 @@ object RunIngest {
       |                                the source pool), score every streamed
       |                                doc map-only, land (batch=<id>,
       |                                exactly-once) only docs with integer
-      |                                log-weight >= N micro-nats (default 0,
-      |                                the paper's w > 1 rule)
+      |                                log-weight >= N micro-nats (default 1
+      |                                = the paper's strict w > 1 rule, which
+      |                                rejects weight-exactly-1 docs such as
+      |                                empty texts; pass 0 to admit them)
       |   or: graft.RunIngest --in DIR --corpus DIR --checkpoint DIR --mode decontaminate
       |                       --benchmark DIR [--max-shared N]
       |                                landed-benchmark decontamination gate:
@@ -440,7 +442,7 @@ object RunIngest {
         System.err.println("[ingest] --min-logw needs an integer " +
           s"(fixed-point micro-nats)\n$usage")
         return 2
-      case None => 0L
+      case None => 1L // the paper's strict w > 1 rule
     }
     val maxXent = opts.get("max-xent").map(_.toDoubleOption) match {
       case Some(Some(x)) if !x.isNaN && x >= 0 => x

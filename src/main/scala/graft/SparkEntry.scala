@@ -1958,13 +1958,14 @@ object SparkEntry {
 
     // ---- landed benchmark decontamination (persisted-artifact q49) ----
     // The benchmark gram set is FIXED while the corpus streams, so it
-    // is landed ONCE (distinct md5-bridge gram fingerprints + a Bloom
-    // sidecar — ops/Decontaminate) and every corpus pass probes the
-    // artifact; the oracle re-reads the very files the engine landed
-    // (the q81 discipline). Benchmark slice = doc_id%20==0 (q49's),
-    // corpus = the rest; the md5 bridge makes engine and oracle
-    // fingerprints BIT-identical, so unlike q49/q93 there is no
-    // collision caveat in the comparison at all.
+    // is landed ONCE (distinct grams under TWO keys — the md5 bridge
+    // for the oracle, xxhash64 for the engine's fused q49 native — plus
+    // a Bloom sidecar; ops/Decontaminate) and every corpus pass probes
+    // the artifact; the oracle re-reads the very files the engine
+    // landed (the q81 discipline). Benchmark slice = doc_id%20==0
+    // (q49's), corpus = the rest. Engine and oracle count hits through
+    // DIFFERENT hash families, so counts agree absent a 64-bit
+    // collision in either — the same accepted q49/q93 tradeoff.
     "q97_decontaminate" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val benchDir = ops.Decontaminate.dirFor(dir)
@@ -4103,9 +4104,11 @@ object SparkEntry {
 
     // q97: the oracle re-derives each corpus doc's DISTINCT 3-gram
     // md5-bridge fingerprints from its text and joins them against the
-    // gram parquet the ENGINE landed (the q81 persisted-artifact
-    // discipline) — fingerprints are bit-identical cross-engine, so
-    // the landed set is a true join boundary, no collision caveat.
+    // `gram` column of the parquet the ENGINE landed (the q81
+    // persisted-artifact discipline); the oracle's own join is
+    // md5-bit-identical, while the engine probes the `gx` xxhash64
+    // column — counts agree absent a 64-bit collision in either hash
+    // family (the accepted q49/q93 tradeoff).
     "q97_decontaminate" ->
       s"""WITH t AS (
         |  SELECT doc_id,

@@ -53,6 +53,13 @@ object Decontaminate {
   @volatile private var lastDirVar: String = dirFor("")
   def lastDir: String = lastDirVar
 
+  /** Landed sets at or under this row count broadcast in the confirm
+    * join; above it the shuffle-semi regime applies. ONE constant for
+    * the batch probe and the streaming gate — two sites tuning it
+    * independently would make the stream and the carrier pick
+    * different join regimes for the same artifact. */
+  val BroadcastableRows: Long = 2L * 1000 * 1000
+
   /** 60-bit md5-bridge fingerprint (q88 convention). */
   private def fp(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("bigint")
@@ -130,7 +137,7 @@ object Decontaminate {
     // a corpus-sized one, and a forced broadcast of that would be
     // driver-hostile
     val withShared =
-      if (bench.count() <= 2L * 1000 * 1000) {
+      if (bench.count() <= BroadcastableRows) {
         grams
           .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gx"), "left")
           .groupBy(idCol).agg(count(col("hit")).as("n_shared"))

@@ -1159,33 +1159,48 @@ object EventStreams {
     * forever. Instead the displaced writer fails its batch loudly
     * (stopping its stream), which CLOSES the live-but-paused-writer
     * window described on [[acquireIngestLock]]. The file is recreated
-    * only when it is absent (operator deletion — no rival owner to
-    * clobber). */
+    * only when it is absent AND no maintenance lock holds the landing:
+    * absence can mean operator deletion (no rival — safe to recreate)
+    * but ALSO a maintenance takeover of this writer's stale heartbeat
+    * (withMaintenanceLock clears a judged-stale ingest lock before
+    * compacting), and recreating under live compaction would be the
+    * same two-writer interleaving via the other rival — that case
+    * fences too. */
   private def heartbeatIngestLock(landingDir: String): Unit = {
     val h = ingestLocks.get(landingDir)
     if (h != null) {
       val self = java.lang.ProcessHandle.current().pid()
-      val fenced =
-        try {
-          if (h.fs.exists(h.path)) {
-            lockOwnerPid(h.fs, h.path) match {
-              case Some(p) if p != self => true
-              case Some(_) =>
-                h.fs.setTimes(h.path, System.currentTimeMillis(), -1); false
-              case None => false // unreadable mid-write: skip, next batch retries
-            }
-          } else {
+      var fence: String = null
+      try {
+        if (h.fs.exists(h.path)) {
+          lockOwnerPid(h.fs, h.path) match {
+            case Some(p) if p != self =>
+              fence = s"ingest writer lock '${h.path}' now names a different " +
+                "pid — this writer was fenced by a cross-JVM takeover (its " +
+                "heartbeat went stale, or an operator forced the lock)"
+            case Some(_) =>
+              h.fs.setTimes(h.path, System.currentTimeMillis(), -1)
+            case None => () // unreadable mid-write: skip, next batch retries
+          }
+        } else {
+          val name = h.path.getName.stripPrefix(".ingest-writer-lock-")
+          val mLock = new org.apache.hadoop.fs.Path(
+            h.path.getParent, s".maintenance-lock-$name")
+          if (h.fs.exists(mLock))
+            fence = s"ingest writer lock '${h.path}' is gone and maintenance " +
+              s"lock '$mLock' is held — this writer's stale heartbeat was " +
+              "taken over by a maintenance run; recreating the lock would " +
+              "write into the landing mid-swap"
+          else {
             val o = h.fs.create(h.path, true)
             o.write(self.toString.getBytes("UTF-8"))
-            o.close(); false
+            o.close()
           }
-        } catch { case scala.util.control.NonFatal(_) => false }
-      if (fenced)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      if (fence != null)
         throw new IllegalStateException(
-          s"ingest writer lock '${h.path}' now names a different pid — this " +
-          "writer was fenced by a cross-JVM takeover (its heartbeat went stale, " +
-          "or an operator forced the lock); failing the batch instead of " +
-          "writing alongside the new owner")
+          s"$fence; failing the batch instead of writing alongside the rival")
     }
   }
 
@@ -2395,9 +2410,11 @@ object EventStreams {
     * landing reads per batch) and only rows with `logw_micronats >=
     * minLogwMicronats` land, carrying their integer scores
     * (n_grams, logw_micronats, selected). The threshold is exact
-    * fixed-point micro-nats: 0 keeps target-likelier-than-source docs
-    * (the paper's w > 1 rule, q94's `selected`); a NULL/empty text
-    * scores exactly 0 and is admitted iff the threshold admits 0 —
+    * fixed-point micro-nats, admitted iff logw >= minLogwMicronats;
+    * the DEFAULT of 1 is the paper's strict w > 1 rule (exactly q94's
+    * `selected` = logw > 0, expressible as >= 1 because the scores are
+    * integers). A NULL/empty text scores exactly 0, so the default
+    * REJECTS empties; pass 0 to also admit weight-exactly-1 docs —
     * unlike the perplexity gate there is no unscorable case, every
     * document has a well-defined weight.
     *
@@ -2413,7 +2430,7 @@ object EventStreams {
     * (rejects never pay signature or bloom work). */
   def ingestDsir(docs: DataFrame, landingDir: String, checkpointDir: String,
                  trainCorpus: DataFrame, targetPred: Column,
-                 minLogwMicronats: Long = 0L,
+                 minLogwMicronats: Long = 1L,
                  textCol: String = "text", idCol: String = "doc_id",
                  buckets: Int = 4096)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -2501,32 +2518,40 @@ object EventStreams {
     startGuarded(spark0, key) {
       // frozen state, loaded INSIDE the guard: a refused start must
       // fail before touching the artifact; a missing artifact fails
-      // the start loudly (a gate with no benchmark gates nothing)
+      // the start loudly (a gate with no benchmark gates nothing).
+      // BOTH halves of the artifact — the Bloom blob AND the confirm
+      // set — are SNAPSHOTTED here (the set is cached and materialized
+      // by the regime count), so a benchmark re-land under a running
+      // stream cannot leave the prune and confirm sides disagreeing
+      // for the stream's lifetime; a new suite version takes effect on
+      // stream restart, like ingestQuality's LM and ingestDsir's model
       val blob = graft.ops.Decontaminate.loadBloom(spark0, benchDir)
+      val bench = spark0.read.parquet(benchDir).select("gx").persist()
       val broadcastable =
-        spark0.read.parquet(benchDir).count() <= 2L * 1000 * 1000
+        bench.count() <= graft.ops.Decontaminate.BroadcastableRows
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           heartbeatIngestLock(key)
-          val spark = batch.sparkSession
-          // persist pins the synthetic per-row ids across the gram
-          // side and the re-attach side (the ingestQuality argument)
+          // persists pin the synthetic per-row ids across the gram
+          // side and the re-attach side (the ingestQuality argument),
+          // and stop the emptiness probe from paying the gram hashing
+          // + bloom probes a second time in the confirm pass
           val keyed = batch.withColumn("__qid", monotonically_increasing_id()).persist()
+          val cand = keyed
+            .select(col("__qid"),
+              explode_outer(graft.ops.Decontaminate.gramKeys(col(textCol))).as("gx"))
+            .filter(coalesce(
+              call_function("bloom_might_contain", lit(blob), col("gx")),
+              lit(false)))
+            .persist()
           try {
-            val cand = keyed
-              .select(col("__qid"),
-                explode_outer(graft.ops.Decontaminate.gramKeys(col(textCol))).as("gx"))
-              .filter(coalesce(
-                call_function("bloom_might_contain", lit(blob), col("gx")),
-                lit(false)))
             // bloom-negative is DEFINITIVE absence: a clean batch
             // never reads the landed benchmark set
             val scored =
               if (cand.isEmpty)
                 keyed.select(col("__qid")).withColumn("n_shared", lit(0L))
               else {
-                val bench = spark.read.parquet(benchDir).select("gx")
                 val hits = cand
                   .join(if (broadcastable) broadcast(bench) else bench,
                     Seq("gx"), "left_semi")
@@ -2542,7 +2567,7 @@ object EventStreams {
               .drop("__qid")
               .write.options(graft.core.Committers.forRerun(overwrite = true))
               .mode("overwrite").parquet(s"$key/batch=$batchId")
-          } finally { keyed.unpersist(); () }
+          } finally { cand.unpersist(); keyed.unpersist(); () }
           ()
         }
         .start()

@@ -1028,6 +1028,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("cross-JVM writer lock: a displaced writer does NOT recreate its lock under a live maintenance run") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-mfence").toString
+    val landing = root + "/corpus"
+    val lockFile = java.nio.file.Paths.get(root, ".ingest-writer-lock-corpus")
+    val mLock = java.nio.file.Paths.get(root, ".maintenance-lock-corpus")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedup(in.toDF().toDF("doc_id", "text"), landing,
+      java.nio.file.Files.createTempDirectory("graft-mfence-ck").toString)
+    try {
+      in.addData((1L, "alpha")); q.processAllAvailable()
+      // simulate a maintenance takeover of this writer's stale
+      // heartbeat: ingest lock cleared, maintenance lock held
+      java.nio.file.Files.deleteIfExists(
+        lockFile.resolveSibling("." + lockFile.getFileName + ".crc"))
+      java.nio.file.Files.delete(lockFile)
+      java.nio.file.Files.write(mLock, "1".getBytes("UTF-8"))
+      in.addData((2L, "beta"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("maintenance"), err.getMessage)
+      assert(!java.nio.file.Files.exists(lockFile),
+        "the fenced writer must not recreate its lock under live maintenance")
+    } finally q.stop()
+  }
+
   test("cross-JVM writer lock: maintenance and ingest exclude each other across processes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -1214,7 +1242,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("dsir gate: refuses streams carrying its score columns; min-logw 0 admits empty docs (weight exactly 0)") {
+  test("dsir gate: refuses streams carrying its score columns; the default strict threshold rejects empty docs, explicit 0 admits them") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-dsir0").toString
@@ -1227,23 +1255,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
           root + s"/c-$c", root + s"/ck-$c", corpus, org.apache.spark.sql.functions.col("source") === "tgt")
       }.getMessage.contains(c))
     }
-    // the default threshold is the paper's w > 1 rule applied as
-    // logw >= 0: an empty doc (weight exactly 0) is admitted
+    // the DEFAULT threshold (1 micro-nat) is the paper's strict
+    // w > 1 rule: an empty doc scores logw exactly 0 and is REJECTED —
+    // the landed corpus never contradicts its own selected column
     val in = MemoryStream[(Long, String)]
     val q = EventStreams.ingestDsir(
       in.toDF().toDF("doc_id", "text"), root + "/corpus",
       java.nio.file.Files.createTempDirectory("graft-dsir0-ck").toString,
       corpus, org.apache.spark.sql.functions.col("source") === "tgt")
     try {
-      in.addData((10L, ""), (11L, "delta zeta delta"))
+      in.addData((10L, ""), (11L, "delta zeta delta"),
+        (12L, "alpha beta alpha"))
       q.processAllAvailable()
     } finally q.stop()
     val landed = spark.read.parquet(root + "/corpus")
       .select("doc_id", "logw_micronats", "selected").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(landed.map(_._1).toSeq == Seq(10L),
-      "empty doc (logw 0) admitted at the default threshold; source-like rejected")
-    assert(landed.head._2 == 0L && landed.head._3 == 0L,
+    assert(landed.map(_._1).toSeq == Seq(12L),
+      "default threshold rejects weight-<=1 docs (incl. empties); target-like lands")
+    assert(landed.head._2 > 0L && landed.head._3 == 1L)
+    // explicit 0 opts back into admitting weight-exactly-1 docs
+    val in0 = MemoryStream[(Long, String)]
+    val q0 = EventStreams.ingestDsir(
+      in0.toDF().toDF("doc_id", "text"), root + "/corpus0",
+      java.nio.file.Files.createTempDirectory("graft-dsir00-ck").toString,
+      corpus, org.apache.spark.sql.functions.col("source") === "tgt",
+      minLogwMicronats = 0L)
+    try {
+      in0.addData((20L, ""), (21L, "delta zeta delta"))
+      q0.processAllAvailable()
+    } finally q0.stop()
+    val landed0 = spark.read.parquet(root + "/corpus0")
+      .select("doc_id", "logw_micronats", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(landed0.map(_._1).toSeq == Seq(20L),
+      "explicit 0 admits the empty doc (logw exactly 0); source-like still rejected")
+    assert(landed0.head._2 == 0L && landed0.head._3 == 0L,
       "weight-0 docs land with selected=0 — admitted by threshold, not target-likelier")
   }
 
