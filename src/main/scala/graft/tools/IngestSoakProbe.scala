@@ -38,14 +38,22 @@ import graft.streaming.EventStreams
   * measures that growth curve directly (bits sized by occupancyBits
   * for the final corpus, the documented deployment rule).
   *
-  * Run: `java … graft.tools.IngestSoakProbe [clean|dup|sem] [nBatches] [docsPerBatch]`
+  * The `decon` and `dsir` mixes soak the round-16 FROZEN-STATE gates
+  * ([[EventStreams.ingestDecontaminate]] / [[EventStreams.ingestDsir]]):
+  * no carried state at all, so per-batch time must stay flat as the
+  * landing grows — decon with ~5% contaminated rows so the confirm
+  * path (bloom-positive grams vs the snapshotted set) runs most
+  * batches, dsir landing everything (threshold Long.MinValue) so the
+  * landing itself grows maximally while scoring stays map-only.
+  *
+  * Run: `java … graft.tools.IngestSoakProbe [clean|dup|sem|decon|dsir] [nBatches] [docsPerBatch]`
   * (defaults: clean 32 500). Prints per-batch seconds and a flatness
   * summary (median of the second quarter vs the last quarter). */
 object IngestSoakProbe {
   def main(args: Array[String]): Unit = {
     val mix = if (args.length > 0) args(0) else "clean"
-    require(mix == "clean" || mix == "dup" || mix == "sem",
-      s"mix must be clean|dup|sem, got '$mix'")
+    require(Seq("clean", "dup", "sem", "decon", "dsir").contains(mix),
+      s"mix must be clean|dup|sem|decon|dsir, got '$mix'")
     val nBatches = if (args.length > 1) args(1).toInt else 32
     val perBatch = if (args.length > 2) args(2).toInt else 500
     val spark = graft.core.GraftSession.build("graft-ingest-soak", "32")
@@ -93,6 +101,50 @@ object IngestSoakProbe {
           times(b) = (System.nanoTime() - t0) / 1e9
           println(f"[soak] $mix batch $b%3d  ${times(b)}%6.3f s  (landed≈${graft.streaming.EventStreams
             .landedCounts.get(graft.streaming.EventStreams.landingKey(spark, landing)).get()}, bits=$bits)")
+        }
+      } finally q.stop()
+    } else if (mix == "decon") {
+      val benchDir = java.nio.file.Files.createTempDirectory("graft-soak-bm").toString + "/bench"
+      graft.ops.Decontaminate.landBenchmark(
+        Seq((0L, "leaked benchmark question alpha beta gamma delta epsilon"))
+          .toDF("doc_id", "text"), benchDir)
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.ingestDecontaminate(
+        input.toDF().toDF("doc_id", "text"), landing, ckpt, benchDir)
+      try {
+        for (b <- 0 until nBatches) {
+          val docs = (0 until perBatch).map { _ =>
+            nextId += 1
+            // ~5% contaminated: the confirm path runs most batches
+            val text =
+              if (rnd.nextInt(20) == 0) freshText() + " leaked benchmark question"
+              else freshText()
+            (nextId, text)
+          }
+          val t0 = System.nanoTime()
+          input.addData(docs: _*)
+          q.processAllAvailable()
+          times(b) = (System.nanoTime() - t0) / 1e9
+          println(f"[soak] $mix batch $b%3d  ${times(b)}%6.3f s")
+        }
+      } finally q.stop()
+    } else if (mix == "dsir") {
+      val train = ((0 until 200).map(i => (i.toLong, freshText(), "tgt")) ++
+        (200 until 400).map(i => (i.toLong, freshText(), "src")))
+        .toDF("doc_id", "text", "source")
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.ingestDsir(
+        input.toDF().toDF("doc_id", "text"), landing, ckpt,
+        train, org.apache.spark.sql.functions.col("source") === "tgt",
+        minLogwMicronats = Long.MinValue) // land everything: max landing growth
+      try {
+        for (b <- 0 until nBatches) {
+          val docs = (0 until perBatch).map { _ => nextId += 1; (nextId, freshText()) }
+          val t0 = System.nanoTime()
+          input.addData(docs: _*)
+          q.processAllAvailable()
+          times(b) = (System.nanoTime() - t0) / 1e9
+          println(f"[soak] $mix batch $b%3d  ${times(b)}%6.3f s")
         }
       } finally q.stop()
     } else {
