@@ -46,10 +46,13 @@ def type_mismatches(con, sql, parquet_file):
         elif d.endswith("[]"):               # element-type check, one level
             # an unknown element type (HUGEINT[] above all) must FAIL,
             # not degrade to a shape-only check — the same refuse-
-            # unknown rule as the scalar path
+            # unknown rule as the scalar path. The arrow element type is
+            # PARSED and compared exactly: substring containment would
+            # let list<item: uint64> pass as BIGINT[] because 'int64'
+            # is a substring of 'uint64'.
             inner = DUCK2ARROW.get(d[:-2], set())
-            ok = bool(inner) and bool(re.match(r"(large_)?list<", a)) and any(
-                t in a for t in inner)
+            m = re.match(r"(?:large_)?list<item: (.+)>$", a)
+            ok = bool(inner) and bool(m) and m[1] in inner
         else:
             ok = a in DUCK2ARROW.get(d, set())
         if not ok:
