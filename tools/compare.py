@@ -49,9 +49,14 @@ def type_mismatches(con, sql, parquet_file):
             # unknown rule as the scalar path. The arrow element type is
             # PARSED and compared exactly: substring containment would
             # let list<item: uint64> pass as BIGINT[] because 'int64'
-            # is a substring of 'uint64'.
+            # is a substring of 'uint64'. The element FIELD NAME is
+            # writer-dependent ('element' from Spark's parquet writer
+            # per the LIST spec, 'item' from pyarrow) and Spark emits a
+            # ' not null' suffix for non-nullable elements — both are
+            # naming/nullability, not type, so accept any \w+ name and
+            # strip the suffix while keeping the element type exact.
             inner = DUCK2ARROW.get(d[:-2], set())
-            m = re.match(r"(?:large_)?list<item: (.+)>$", a)
+            m = re.match(r"(?:large_)?list<\w+: (.+?)(?: not null)?>$", a)
             ok = bool(inner) and bool(m) and m[1] in inner
         else:
             ok = a in DUCK2ARROW.get(d, set())
@@ -60,6 +65,53 @@ def type_mismatches(con, sql, parquet_file):
     return bad
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def scalable_q60(con, oracles) -> pd.DataFrame:
+    """Scalable VALUE oracle for q60_neardup_clusters (r17 verdict #1).
+
+    The SQL oracle's recursive CTE materializes every (node, reachable
+    comp-label) pair per iteration — quadratic in component size — and
+    does not terminate at sf1 (>12 min, the standing r5 exclusion).
+    This replacement computes the same answer two independent ways:
+    the EDGES come from the identical DuckDB pair pipeline the q31
+    oracle runs (already value-verified against Spark at every sf),
+    thresholded at the same jaccard_est >= 0.5 the q60 SQL uses; the
+    TRANSITIVE CLOSURE is then a path-compressed union-find where
+    union always attaches the larger root under the smaller, so each
+    set's root IS its minimum doc_id — exactly the min-label fixpoint
+    both the recursive CTE and the Spark BSP loop converge to.
+    Equivalence to the SQL oracle is pinned by --selftest (A/B at
+    sf0.001, where the CTE still terminates).
+
+    The q60 SQL stays in oracle_sql.json unchanged: the driver's
+    sf0.01 gate keeps running it; only this dev-side harness reroutes.
+    """
+    pairs = con.execute(oracles["q31_neardup_pairs"]).df()
+    e = pairs[pairs["jaccard_est"] >= 0.5]
+    parent: dict = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+    for a, b in zip(e["doc1"].to_numpy(), e["doc2"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra                   # root stays the set MIN
+    docs = con.execute("SELECT doc_id FROM documents").df()["doc_id"].to_numpy()
+    comp = np.fromiter((find(int(d)) for d in docs), dtype=np.int64,
+                       count=len(docs))
+    return pd.DataFrame({"doc_id": docs.astype(np.int64), "component": comp})
+
+# Queries whose SQL oracle is correct but not runnable at sf>=1; the
+# replacement must compute the SAME values (selftest-pinned), and the
+# TYPE gate still runs against the original SQL via DESCRIBE (bind
+# only, no execution).
+SCALABLE_ORACLES = {"q60_neardup_clusters": scalable_q60}
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -94,7 +146,10 @@ def main(sfdir: str, outdir: str) -> None:
         try:
             tbad = type_mismatches(con, oracles[name], files[0])
             got = norm(pd.read_parquet(f"{outdir}/{name}"))
-            want = norm(con.execute(oracles[name]).df())
+            if name in SCALABLE_ORACLES:
+                want = norm(SCALABLE_ORACLES[name](con, oracles))
+            else:
+                want = norm(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if tbad:
@@ -122,5 +177,49 @@ def main(sfdir: str, outdir: str) -> None:
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
+def selftest(outdir: str | None = None) -> None:
+    """Regression checks:
+    1-4: list-element type gate against a REAL Spark-written list
+         parquet — 'element'-vs-'item' field naming and the ' not null'
+         suffix exercised rather than assumed (ADVICE r17).
+    5:   scalable_q60 union-find A/B vs the original recursive-CTE SQL
+         at a small sf where the CTE terminates (needs an oracle_sql
+         .json — pass a Verify outdir as the second arg)."""
+    con = duckdb.connect()
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    p = f"{base}/embeddings.parquet"
+    f = p if os.path.isfile(p) else glob.glob(f"{p}/*.parquet")[0]
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{f}')")
+    # 1. matching element type must PASS for the Spark/pyarrow-written file
+    bad = type_mismatches(con, "SELECT vec_id, embedding FROM embeddings", f)
+    assert not bad, f"FLOAT[] should accept the fixture list column: {bad}"
+    # 2. a WRONG element type must FAIL (exact element match, no substring)
+    bad = type_mismatches(
+        con, "SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings", f)
+    assert any("embedding" in b for b in bad), "DOUBLE[] vs list<float> must fail"
+    # 3. synthetic: Spark's ' not null' suffix and 'element' name are accepted
+    m = re.match(r"(?:large_)?list<\w+: (.+?)(?: not null)?>$",
+                 "list<element: double not null>")
+    assert m and m[1] == "double", m
+    # 4. synthetic: uint64 must NOT pass as BIGINT[] (the original hole)
+    m = re.match(r"(?:large_)?list<\w+: (.+?)(?: not null)?>$", "list<item: uint64>")
+    assert m and m[1] not in DUCK2ARROW["BIGINT"], m[1]
+    # 5. scalable q60 oracle ≡ the recursive-CTE SQL where the CTE runs
+    if outdir and os.path.exists(f"{outdir}/oracle_sql.json"):
+        for t in TABLES:
+            tp = f"{base}/{t}.parquet"
+            src = f"'{tp}/*.parquet'" if os.path.isdir(tp) else f"'{tp}'"
+            if os.path.exists(tp):
+                con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet({src})")
+        oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+        sql = norm(con.execute(oracles["q60_neardup_clusters"]).df())
+        uf = norm(scalable_q60(con, oracles))
+        assert sql.equals(uf), "union-find oracle diverges from the recursive CTE"
+        print(f"q60 A/B OK ({len(uf)} rows, {uf['component'].nunique()} components)")
+    print("selftest OK")
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1] == "--selftest":
+        selftest(sys.argv[2] if len(sys.argv) > 2 else None)
+    else:
+        main(sys.argv[1], sys.argv[2])
