@@ -84,11 +84,21 @@ object Decontaminate {
                     textCol: String = "text", bits: Int = 0): Unit = {
     val spark = bench.sparkSession
     val t = coalesce(col(textCol), lit(""))
-    bench
+    val grams = bench
       .select(explode_outer(array_distinct(Text.ngramsOfText(t, 3))).as("g"))
       .filter(col("g").isNotNull).distinct()
       .select(fp(col("g")).as("gram"), xxhash64(col("g")).as("gx"))
-      .write.mode("overwrite").parquet(outDir)
+    // Refuse a zero-gram landing BEFORE the overwrite (ADVICE r17): a
+    // benchmark whose every doc is under 3 tokens (or all-NULL text)
+    // would land an empty set — a gate that gates nothing — and the
+    // overwrite would also have destroyed the previous good artifact.
+    // (isEmpty re-runs the gram scan; benchmarks are small by
+    // construction, and landing is a rare offline step.)
+    require(!grams.isEmpty,
+      s"landBenchmark: benchmark produced zero 3-gram keys (every doc " +
+      s"under 3 tokens or NULL '$textCol'?) — refusing to land an empty " +
+      "set that would mark every document clean")
+    grams.write.mode("overwrite").parquet(outDir)
     val landed = spark.read.parquet(outDir)
     val nbits =
       if (bits > 0) bits else IncrementalDedup.sizedBits(landed.count())
@@ -100,6 +110,23 @@ object Decontaminate {
     val out = fs.create(p, true)
     try out.write(blob) finally out.close()
     lastDirVar = outDir
+  }
+
+  /** The landed confirm set's exact parquet FILE LIST — snapshot
+    * material for the streaming gate. Spark's writer names part files
+    * with a per-job UUID, so a benchmark RE-LAND never reuses a
+    * name: a reader pinned to this list either sees the original
+    * bytes (cache hit or recompute over intact files) or fails
+    * LOUDLY on the deleted files — it can never silently confirm
+    * against a set the stream's frozen Bloom blob was not built
+    * over. */
+  def landedGxFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    require(files.nonEmpty, s"no landed benchmark parquet under $dir")
+    files
   }
 
   /** The landed Bloom blob (keys = `gx`) — read once per

@@ -89,6 +89,18 @@ object Dsir {
     val s = new Array[Long](buckets)
     hist.foreach { r => t(r.getLong(0).toInt) = r.getLong(1); s(r.getLong(0).toInt) = r.getLong(2) }
     val totalT = t.sum; val totalS = s.sum
+    // Refuse degenerate training slices (ADVICE r17): with an empty
+    // target (or source) histogram every delta collapses to the same
+    // constant, the model scores all documents identically, and the
+    // gate silently passes/rejects everything — a mis-typed predicate
+    // must fail the TRAIN, not ship a model that gates nothing.
+    require(totalT > 0,
+      "DSIR train: targetPred matched no grams — an empty target slice " +
+      "trains a degenerate constant model; check the predicate against " +
+      "the training corpus")
+    require(totalS > 0,
+      "DSIR train: targetPred matched every gram, leaving an empty " +
+      "source pool — importance weights need both distributions")
     DsirModel((0 until buckets).map(b => lp(t(b) + 1) - lp(s(b) + 1)),
       lp(totalS + buckets) - lp(totalT + buckets), buckets)
   }

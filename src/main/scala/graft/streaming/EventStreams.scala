@@ -956,6 +956,28 @@ object EventStreams {
     * release the right lock. */
   private val lockByRun =
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+  /** Stream runId → the gate's frozen cached frames (the decon
+    * confirm set, the quality gate's checkpointed LM), unpersisted by
+    * the termination listener — without this a stopped gate's frozen
+    * state holds executor storage for the session lifetime (r17
+    * verdict #7). */
+  private val frozenByRun =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, List[DataFrame]]()
+
+  /** Release one frozen frame: the cache-manager entry (persist) and,
+    * for a localCheckpoint'd frame, the underlying checkpointed RDD's
+    * blocks (which live OUTSIDE the cache manager — `unpersist` on the
+    * Dataset alone would leak them). Best-effort: release must never
+    * fail a terminating stream. */
+  private def releaseFrozenFrame(df: DataFrame): Unit = {
+    try { df.unpersist(false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
   private val lockListenerSessions: java.util.Set[SparkSession] =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -1226,6 +1248,8 @@ object EventStreams {
               if (h != null && h.runId == e.runId && ingestLocks.remove(key, h))
                 releaseOwnLock(h.fs, h.path)
             }
+            val frozen = frozenByRun.remove(e.runId)
+            if (frozen != null) frozen.foreach(releaseFrozenFrame)
           }
         })
 
@@ -2365,10 +2389,15 @@ object EventStreams {
           "as a score column")
       }
     val key = landingKey(docs.sparkSession, landingDir)
-    startGuarded(docs.sparkSession, key) {
+    // the trained LM's checkpointed frame, registered for release when
+    // the query terminates (r17 verdict #7: frozen state must not hold
+    // executor storage past the stream's lifetime)
+    var frozen: List[DataFrame] = Nil
+    val q = try startGuarded(docs.sparkSession, key) {
       // train INSIDE the guard: a refused start (foreign writer lock)
       // must fail before paying the reference scan + materialization
       val trained = graft.ops.NgramLm.train(reference, textCol, langCol)
+      frozen = List(trained.counts)
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2396,7 +2425,11 @@ object EventStreams {
           ()
         }
         .start()
+    } catch {
+      case t: Throwable => frozen.foreach(releaseFrozenFrame); throw t
     }
+    if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
+    q
   }
 
   /** Streaming DSIR gate — the deployment shape of q94's importance
@@ -2515,18 +2548,29 @@ object EventStreams {
       s"maxSharedGrams must be non-negative, got $maxSharedGrams")
     val spark0 = docs.sparkSession
     val key = landingKey(spark0, landingDir)
-    startGuarded(spark0, key) {
+    // set inside the guard, registered for unpersist-on-termination
+    // once the started query's runId is known (r17 verdict #7)
+    var frozen: List[DataFrame] = Nil
+    val q = try startGuarded(spark0, key) {
       // frozen state, loaded INSIDE the guard: a refused start must
       // fail before touching the artifact; a missing artifact fails
       // the start loudly (a gate with no benchmark gates nothing).
       // BOTH halves of the artifact — the Bloom blob AND the confirm
-      // set — are SNAPSHOTTED here (the set is cached and materialized
-      // by the regime count), so a benchmark re-land under a running
-      // stream cannot leave the prune and confirm sides disagreeing
-      // for the stream's lifetime; a new suite version takes effect on
-      // stream restart, like ingestQuality's LM and ingestDsir's model
+      // set — are snapshotted here. The confirm set is pinned to the
+      // exact parquet FILE LIST read at start (not the directory) and
+      // cached: the cache is recomputable (ADVICE r17 — executor loss
+      // re-runs the scan), but recompute re-reads the SAME files, and
+      // a benchmark re-land never reuses a part-file name (per-job
+      // UUIDs), so a mid-stream re-land makes any recompute fail
+      // LOUDLY on the deleted files instead of silently confirming
+      // against a set this stream's Bloom blob was not built over. A
+      // new suite version takes effect on stream restart, like
+      // ingestQuality's LM and ingestDsir's model.
       val blob = graft.ops.Decontaminate.loadBloom(spark0, benchDir)
-      val bench = spark0.read.parquet(benchDir).select("gx").persist()
+      val bench = spark0.read
+        .parquet(graft.ops.Decontaminate.landedGxFiles(spark0, benchDir): _*)
+        .select("gx").persist()
+      frozen = List(bench)
       val broadcastable =
         bench.count() <= graft.ops.Decontaminate.BroadcastableRows
       docs.writeStream
@@ -2571,7 +2615,11 @@ object EventStreams {
           ()
         }
         .start()
+    } catch {
+      case t: Throwable => frozen.foreach(releaseFrozenFrame); throw t
     }
+    if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
+    q
   }
 
   /** The production ingest shape: EXACT dedup then NEAR-dup, composed

@@ -58,6 +58,33 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
     assert(r.length == 1 && r(0).getLong(1) == 0L && r(0).getLong(2) == 1L)
   }
 
+  test("landBenchmark refuses a zero-gram benchmark BEFORE the overwrite — the previous artifact survives (ADVICE r17)") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(Seq((0L, "a b c")).toDF("doc_id", "text"), dir)
+    val e = intercept[IllegalArgumentException](
+      Decontaminate.landBenchmark(
+        Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"), dir))
+    assert(e.getMessage.contains("zero 3-gram"))
+    // refusal happened before the overwrite: the old suite still probes
+    val r = Decontaminate.probe(Seq((9L, "a b c")).toDF("doc_id", "text"), dir)
+      .collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L,
+      "the refused landing must not have destroyed the previous set")
+  }
+
+  test("a re-land never reuses a part-file name — a pinned file-list snapshot fails loudly, never silently swaps sets") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(Seq((0L, "a b c")).toDF("doc_id", "text"), dir)
+    val before = Decontaminate.landedGxFiles(spark, dir).toSet
+    Decontaminate.landBenchmark(Seq((0L, "x y z")).toDF("doc_id", "text"), dir)
+    val after = Decontaminate.landedGxFiles(spark, dir).toSet
+    assert(before.nonEmpty && after.nonEmpty && before.intersect(after).isEmpty,
+      "per-job UUID part names must make every re-land disjoint")
+    // the streaming gate's snapshot mechanism: reading the pinned
+    // (now-deleted) list is a LOUD failure
+    intercept[Exception](spark.read.parquet(before.toSeq: _*).collect())
+  }
+
   test("re-landing overwrites the previous suite version whole") {
     val dir = freshDir()
     Decontaminate.landBenchmark(Seq((0L, "a b c")).toDF("doc_id", "text"), dir)

@@ -64,4 +64,20 @@ class DsirSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[IllegalArgumentException](run(docs, b = 1))
     assert(e.getMessage.contains("buckets"))
   }
+
+  test("train refuses degenerate slices: an empty target or source pool must fail, not gate silently (ADVICE r17)") {
+    val df = docs.toDF("doc_id", "text", "source")
+    // predicate matches nothing → no target grams → constant model
+    val eT = intercept[IllegalArgumentException](
+      Dsir.train(df, col("source") === "no-such-source"))
+    assert(eT.getMessage.contains("target"))
+    // predicate matches everything → no source grams
+    val eS = intercept[IllegalArgumentException](Dsir.train(df, lit(true)))
+    assert(eS.getMessage.contains("source"))
+    // an all-empty-text corpus has no grams on either side
+    val eE = intercept[IllegalArgumentException](
+      Dsir.train(Seq((0L, "", "tgt"), (1L, "", "src")).toDF("doc_id", "text", "source"),
+        col("source") === "tgt"))
+    assert(eE.getMessage.contains("target"))
+  }
 }

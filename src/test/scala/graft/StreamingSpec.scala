@@ -1877,4 +1877,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       spark.listenerManager.unregister(semCounter.listener)
     }
   }
+
+  test("frozen-state release: a terminated gate's cached confirm set and checkpointed LM leave executor storage (r17 #7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sc = spark.sparkContext
+    def storedIds(): Set[Int] =
+      sc.getRDDStorageInfo.filter(_.numCachedPartitions > 0).map(_.id).toSet ++
+        sc.getPersistentRDDs.keySet
+    def awaitReleased(before: Set[Int], what: String): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var extra = storedIds() -- before
+      while (extra.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200); extra = storedIds() -- before
+      }
+      assert(extra.isEmpty,
+        s"$what left cached RDDs ${extra.mkString(",")} after termination")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-frz").toString
+    // --- decontaminate gate: the pinned confirm-set cache ---
+    val benchDir = root + "/bench"
+    graft.ops.Decontaminate.landBenchmark(
+      Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text"), benchDir)
+    val before1 = storedIds()
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestDecontaminate(
+      in1.toDF().toDF("doc_id", "text"), root + "/c1", root + "/ck1", benchDir)
+    try {
+      assert((storedIds() -- before1).nonEmpty,
+        "the confirm set should be cached (materialized by the regime count) while the gate runs")
+      in1.addData((1L, "unrelated text entirely")); q1.processAllAvailable()
+    } finally q1.stop()
+    awaitReleased(before1, "ingestDecontaminate")
+    // --- quality gate: the localCheckpoint'd LM (blocks live OUTSIDE
+    // the cache manager — plain Dataset.unpersist would leak them) ---
+    val ref = (0L until 10L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val before2 = storedIds()
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = EventStreams.ingestQuality(
+      in2.toDF().toDF("doc_id", "text", "lang"), root + "/c2", root + "/ck2",
+      ref, maxXentPerToken = 2.0)
+    try {
+      assert((storedIds() -- before2).nonEmpty,
+        "the trained LM should hold checkpoint blocks while the gate runs")
+      in2.addData((1L, "the quick brown fox", "en")); q2.processAllAvailable()
+    } finally q2.stop()
+    awaitReleased(before2, "ingestQuality")
+  }
 }
