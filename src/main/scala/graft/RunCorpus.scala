@@ -33,7 +33,20 @@ object RunCorpus {
       |  [--no-cleanup] [--no-pii] [--no-exact-dedup]
       |  [--no-chunk-dedup] [--no-quality] [--no-split]
       |  [--chunk-w N] [--min-tokens N] [--train-pct N]
-      |  [--window-tokens N]              explode docs into <=N-token chunks (q85 stage)""".stripMargin
+      |  [--window-tokens N]              explode docs into <=N-token chunks (q85 stage)
+      |
+      |   or: graft.RunCorpus --mode fetch-shard --in CORPUS --out DIR
+      |                       --manifests DIR --epoch N --shard K
+      |       serve ONE epoch shard in training order from a landed
+      |       manifest dir (EpochShuffle.landManifests): broadcast the
+      |       shard's slim manifest rows against the corpus — the only
+      |       stage where text moves
+      |
+      |   or: graft.RunCorpus --mode probe-bench --in CORPUS --out DIR
+      |                       --bench DIR
+      |       per-doc contamination report (doc_id, n_shared, clean)
+      |       against a landed benchmark gram set
+      |       (RunIngest --land-benchmark / Decontaminate.landBenchmark)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-corpus")
@@ -61,6 +74,36 @@ object RunCorpus {
     val inPath =
       if (new java.io.File(s"$in/documents.parquet").exists()) s"$in/documents.parquet"
       else in
+    // ---- serve modes over landed artifacts (r17 verdict #5) ----
+    val mode = opts.get("mode")
+    mode match {
+      case Some(m) if m != "fetch-shard" && m != "probe-bench" =>
+        System.err.println(s"[corpus] unknown --mode '$m' (fetch-shard|probe-bench)\n$usage")
+        return 2
+      case _ => ()
+    }
+    // serve-only options are refused outside their mode — a pipeline
+    // run that silently ignored --epoch would look like it served
+    val serveOnly = Map("manifests" -> "fetch-shard", "epoch" -> "fetch-shard",
+      "shard" -> "fetch-shard", "bench" -> "probe-bench")
+    serveOnly.foreach { case (o, wantMode) =>
+      if (opts.contains(o) && !mode.contains(wantMode)) {
+        System.err.println(
+          s"[corpus] --$o is only valid with --mode $wantMode\n$usage")
+        return 2
+      }
+    }
+    if (mode.contains("fetch-shard") || mode.contains("probe-bench")) {
+      val pipelineOnly = (flags - "dry-run") ++
+        Set("chunk-w", "min-tokens", "train-pct", "window-tokens", "dry-run")
+      val stray = pipelineOnly.filter(opts.contains).toSeq.sorted
+      if (stray.nonEmpty) {
+        System.err.println(s"[corpus] ${stray.map("--" + _).mkString(", ")} " +
+          s"only apply to the pipeline form, not --mode ${mode.get}\n$usage")
+        return 2
+      }
+      return executeServe(spark, mode.get, inPath, out, opts)
+    }
     // numeric flags: a typo'd value must produce the usage message and
     // exit 2 (the RunIngest --target-files discipline), never a raw
     // NumberFormatException stack; out-of-range values are refused
@@ -143,10 +186,86 @@ object RunCorpus {
     }
   }
 
+  /** The serve paths: read-side CLIs over landed artifacts. Both
+    * resolve `--in` like the pipeline form (a documents table or an sf
+    * dir) and write their result parquet to `--out`; both fail (exit
+    * 1) on an empty result — an empty shard fetch or an empty probe
+    * input almost certainly means a wrong pointer, and a green exit
+    * would let a training scheduler march on a missing shard. */
+  private def executeServe(spark: SparkSession, mode: String,
+                           inPath: String, out: String,
+                           opts: Map[String, String]): Int = {
+    def longOpt(name: String): Either[String, Long] =
+      opts.get(name) match {
+        case None => Left(s"--mode $mode needs --$name N")
+        case Some(v) => v.toLongOption match {
+          case Some(n) if n >= 0 => Right(n)
+          case Some(n) => Left(s"--$name must be non-negative, got $n")
+          case None => Left(s"--$name must be an integer, got '$v'")
+        }
+      }
+    try {
+      val corpus = spark.read.parquet(inPath)
+      require(corpus.columns.contains("doc_id"),
+        s"input needs a doc_id column, got: ${corpus.columns.mkString(", ")}")
+      mode match {
+        case "fetch-shard" =>
+          if (!opts.contains("manifests")) {
+            System.err.println(s"[corpus] --mode fetch-shard needs --manifests DIR\n$usage")
+            return 2
+          }
+          val parsed = for { e <- longOpt("epoch"); k <- longOpt("shard") } yield (e, k)
+          val (epoch, shard) = parsed match {
+            case Left(msg) =>
+              System.err.println(s"[corpus] $msg\n$usage"); return 2
+            case Right(ek) => ek
+          }
+          val served = graft.ops.EpochShuffle.fetchShard(
+            corpus, opts("manifests"), epoch, shard)
+          served.write.mode("overwrite").parquet(out)
+          val landed = spark.read.parquet(out)
+          val n = landed.count()
+          if (n == 0) {
+            System.err.println(s"[corpus] FAILED: epoch=$epoch shard=$shard " +
+              s"served zero rows from ${opts("manifests")} — wrong epoch/shard " +
+              "or manifests pointer")
+            return 1
+          }
+          val toks = landed.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+            .collect()(0).getLong(0)
+          println(s"[corpus] OK: served epoch=$epoch shard=$shard docs=$n tokens=$toks -> $out")
+          0
+        case "probe-bench" =>
+          if (!opts.contains("bench")) {
+            System.err.println(s"[corpus] --mode probe-bench needs --bench DIR\n$usage")
+            return 2
+          }
+          require(corpus.columns.contains("text"),
+            s"probe-bench input needs a text column, got: ${corpus.columns.mkString(", ")}")
+          if (corpus.isEmpty) {
+            System.err.println(s"[corpus] FAILED: input $inPath has zero rows")
+            return 1
+          }
+          val report = graft.ops.Decontaminate.probe(corpus, opts("bench"))
+          report.write.mode("overwrite").parquet(out)
+          val landed = spark.read.parquet(out)
+          val n = landed.count()
+          val dirty = landed.filter(org.apache.spark.sql.functions.col("clean") === 0L).count()
+          println(s"[corpus] OK: probed docs=$n contaminated=$dirty " +
+            s"(${"%.1f".format(100.0 * dirty / math.max(n, 1))}%) -> $out")
+          0
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[corpus] FAILED: ${e.getMessage}")
+        1
+    }
+  }
+
   private val flags = Set("dry-run", "near-dup", "no-cleanup", "no-pii", "no-exact-dedup",
     "no-chunk-dedup", "no-quality", "no-split")
   private val valued = Set("in", "out", "chunk-w", "min-tokens", "train-pct",
-    "window-tokens")
+    "window-tokens", "mode", "manifests", "epoch", "shard", "bench")
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

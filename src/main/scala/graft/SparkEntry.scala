@@ -1907,11 +1907,16 @@ object SparkEntry {
     // human-facing rounded-double xent_per_token, but round-half ties
     // are engine-specific, so the cross-engine gate rides
     // xent_micronats_per_pos (exact integer division).
-    "q93_lm_perplexity" -> ((s, dir) =>
-      ops.NgramLm.perplexity(
-          Tables.documents(s, dir), col("doc_id") % 10 === 0)
+    // scoreRows (the map-fold arm, r18): doc_id is unique in
+    // `documents`, the contract under which it is ≡ score()
+    // (NgramLmSpec A/B pin + this carrier's unchanged oracle hash).
+    "q93_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ops.NgramLm.scoreRows(docs,
+          ops.NgramLm.train(docs.filter(col("doc_id") % 10 === 0)))
         .drop("xent_per_token")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // ---- DSIR importance resampling (hashed-ngram weights) ----
     // Target = src0 docs, source = the rest; the learned state is two

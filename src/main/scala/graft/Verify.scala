@@ -9,7 +9,24 @@ object Verify {
     val spark = graft.core.GraftSession.build(
       "graft-verify", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset run (comma-separated names) for scale spot-
+    // verification: at sf10 a full 98-query dump is hours, but the
+    // landed-artifact family's value checks are cheap in isolation.
+    // The driver never sets this; oracle_sql.json is written whole
+    // either way, so a subset dump stays honest (compare must be told
+    // the same subset or it reports the undumped queries as missing).
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = only match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

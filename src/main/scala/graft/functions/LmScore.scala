@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Immutable open-addressing long→long probe map (power-of-2 capacity,
+  * linear probing, ≤0.5 load factor) — the per-executor LM table
+  * behind [[LmScore]]. Keys are matched EXACTLY on all 64 bits, so a
+  * probe agrees bit-for-bit with a relational equi-join on the same
+  * key column; 0 is reserved as the empty-slot marker and carried in
+  * a side slot. Built once on the driver, shipped once per executor
+  * inside a broadcast. */
+final class LongLongOpenMap private (keys: Array[Long], vals: Array[Long],
+                                     mask: Int, hasZero: Boolean,
+                                     zeroVal: Long) extends Serializable {
+  /** The stored value, or 0 when absent — exactly the
+    * `coalesce(c, 0)` the relational path applies after its left
+    * join. */
+  def getOrZero(k: Long): Long = {
+    if (k == 0L) return if (hasZero) zeroVal else 0L
+    var i = LongLongOpenMap.fmix(k).toInt & mask
+    var kk = keys(i)
+    while (kk != k) {
+      if (kk == 0L) return 0L
+      i = (i + 1) & mask
+      kk = keys(i)
+    }
+    vals(i)
+  }
+}
+
+object LongLongOpenMap {
+  /** Murmur3 fmix64 — scrambles the (already xxhash64-distributed)
+    * keys so linear probing stays O(1) even on adversarial key sets. */
+  private[functions] def fmix(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
+  def apply(ks: Array[Long], vs: Array[Long]): LongLongOpenMap = {
+    require(ks.length == vs.length, s"${ks.length} keys vs ${vs.length} values")
+    var cap = 4
+    while (cap < ks.length * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val vals = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var zeroVal = 0L
+    var n = 0
+    while (n < ks.length) {
+      val k = ks(n)
+      if (k == 0L) { hasZero = true; zeroVal = vs(n) }
+      else {
+        var i = fmix(k).toInt & mask
+        while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+        keys(i) = k; vals(i) = vs(n)
+      }
+      n += 1
+    }
+    new LongLongOpenMap(keys, vals, mask, hasZero, zeroVal)
+  }
+}
+
+/** One language's frozen LM: add-one vocabulary size plus the two
+  * count maps ([[graft.ops.NgramLm]]'s kind 0 = unigram c₁,
+  * kind 1 = bigram c₂). */
+final case class LangLm(v: Long, uni: LongLongOpenMap, bi: LongLongOpenMap)
+
+/** The whole trained LM keyed by language — UTF8String keys so row
+  * values probe without a per-row String allocation. */
+final case class LmMaps(langs: Map[UTF8String, LangLm])
+
+/** `LmScore(text, lang)` — the map-fold scoring arm of
+  * [[graft.ops.NgramLm]]: per document, ONE byte scan (the
+  * [[LmEntries]] tokenizer verbatim — ASCII-alnum runs, lowercased,
+  * XXH64 seed 42; NgramLmSpec pins the equivalence) that probes the
+  * broadcast open-addressing maps at each position and folds the
+  * exact fixed-point cross-entropy inline. Where the relational path
+  * explodes ~2(t−1) entry rows per document through a broadcast hash
+  * join and a doc-keyed regroup exchange, this arm materializes
+  * NOTHING and exchanges NOTHING — the q93 sf10 A/B winner
+  * (BASELINE round 18).
+  *
+  * Output struct mirrors the relational path row-for-row under the
+  * unique-(id,lang) contract [[graft.ops.NgramLm.scoreRows]] states:
+  *   - n_pos  = max(t−1, 0), the bigram position count — except 0
+  *     when lang or text is NULL (the relational path's reattach join
+  *     never matches a NULL key, so such docs read n_pos 0 there);
+  *   - xent_micronats = Σ lp(c₁+V) − lp(c₂+1) over positions, NULL
+  *     when the language has no LM, text is NULL, or t < 2 (no
+  *     positions → no perDoc row relationally).
+  * lp uses StrictMath.log — the same libm path as Spark's `log`
+  * expression, bit-identical over the swept count domain (BASELINE
+  * round 15). Not registered in the function registry: the broadcast
+  * handle is a constructor argument, so it is built directly via
+  * ExpressionUtils.column. */
+case class LmScore(left: Expression, right: Expression,
+                   maps: Broadcast[LmMaps])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pos", LongType, nullable = false),
+    StructField("xent_micronats", LongType, nullable = true)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lm_score needs (STRING text, STRING lang), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  /** ⌊ln(k)·10⁶ + 0.5⌋ — [[graft.ops.NgramLm.lpMicroNats]] in Scala. */
+  private def lp(k: Long): Long =
+    math.floor(StrictMath.log(k.toDouble) * 1e6 + 0.5).toLong
+
+  // null semantics differ from BinaryExpression's null-in-null-out
+  // (NULL inputs still yield a non-null struct), so eval is overridden
+  // directly and nullSafeEval must never be reached
+  override protected def nullSafeEval(t: Any, l: Any): Any =
+    throw new IllegalStateException("unreachable: eval is overridden")
+
+  override def eval(input: InternalRow): Any = {
+    val textAny = left.eval(input)
+    val langAny = right.eval(input)
+    if (textAny == null || langAny == null)
+      return new GenericInternalRow(Array[Any](0L, null))
+    val lm = maps.value.langs.getOrElse(langAny.asInstanceOf[UTF8String], null)
+    val bytes = textAny.asInstanceOf[UTF8String].getBytes
+    // token spans — the LmEntries/WordTextGramHashes scan, verbatim
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var start = -1
+    var i = 0
+    while (i <= bytes.length) {
+      val alnum = i < bytes.length && {
+        val b = bytes(i)
+        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
+      i += 1
+    }
+    val t = starts.size()
+    val nPos = math.max(t - 1, 0).toLong
+    if (lm == null || t < 2)
+      return new GenericInternalRow(Array[Any](nPos, null))
+    var xent = 0L
+    var buf = new Array[Byte](64)
+    def tokenInto(j: Int, at: Int): Int = {
+      var k = starts.get(j)
+      val e = ends.get(j)
+      var p = at
+      while (k < e) {
+        val b = bytes(k)
+        buf(p) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        p += 1
+        k += 1
+      }
+      p
+    }
+    var j = 0
+    var prevLen = 0
+    while (j < t) {
+      val tokLen = ends.get(j) - starts.get(j)
+      if (buf.length < prevLen + 1 + tokLen)
+        buf = java.util.Arrays.copyOf(buf, Integer.highestOneBit(prevLen + 1 + tokLen) << 1)
+      if (j > 0) {
+        // bigram (j−1, j): −lp(c₂ + 1)
+        buf(prevLen) = ' '
+        val end = tokenInto(j, prevLen + 1)
+        xent -= lp(lm.bi.getOrZero(
+          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, end, 42L)) + 1L)
+        System.arraycopy(buf, prevLen + 1, buf, 0, tokLen)
+      } else tokenInto(j, 0)
+      if (j < t - 1) {
+        // prefix unigram (conditioning token): +lp(c₁ + V)
+        xent += lp(lm.uni.getOrZero(
+          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, tokLen, 42L)) + lm.v)
+      }
+      prevLen = tokLen
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](nPos, xent))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LmScore =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "lm_score"
+}

@@ -74,12 +74,70 @@ object NgramLm {
       .groupBy(col("lang"), col("e.kind").as("kind"), col("e.h").as("h"))
       .agg(count(lit(1)).as("c"))
 
+  /** LMs at or under this entry count broadcast (≈200 MB of slim
+    * (lang, kind, h, c) rows — executor-safe); above it the shuffle
+    * join is the right plan. ONE constant gates both the relational
+    * broadcast join and [[scoreRows]]' map-fold arm, so the two paths
+    * can never pick different regimes for the same LM. */
+  val BroadcastEntries: Long = 8L * 1000 * 1000
+
   /** A materialized LM ready to score against: the counts table and
     * its per-language vocabulary sizes, built once ([[train]]) and
     * reusable across any number of scoring passes — including every
     * micro-batch of a streaming quality gate, where re-deriving the
     * LM per batch would re-scan the reference corpus each time. */
-  final case class TrainedLm(counts: DataFrame, vocab: DataFrame, entries: Long)
+  final case class TrainedLm(counts: DataFrame, vocab: DataFrame, entries: Long) {
+    @volatile private var mapsRef: org.apache.spark.broadcast.Broadcast[graft.functions.LmMaps] = _
+
+    /** The LM as driver-built open-addressing probe maps, broadcast
+      * once and reused by every [[scoreRows]] call against this model
+      * (first use pays the collect; a streaming gate's micro-batches
+      * all share it). Licensed by the same [[BroadcastEntries]] bound
+      * that licenses the relational broadcast join — callers check it
+      * first. V(lang) is derived from the collected rows (counts are
+      * distinct by (lang, kind, h), so V = the lang's kind-0 row
+      * count) — no extra Spark job. */
+    def maps: org.apache.spark.broadcast.Broadcast[graft.functions.LmMaps] = {
+      var m = mapsRef
+      if (m == null) synchronized {
+        m = mapsRef
+        if (m == null) {
+          val byLang = new java.util.HashMap[String, (scala.collection.mutable.ArrayBuilder.ofLong, scala.collection.mutable.ArrayBuilder.ofLong, scala.collection.mutable.ArrayBuilder.ofLong, scala.collection.mutable.ArrayBuilder.ofLong)]()
+          counts.select("lang", "kind", "h", "c").collect().foreach { r =>
+            val b = byLang.computeIfAbsent(r.getString(0), _ =>
+              (new scala.collection.mutable.ArrayBuilder.ofLong,
+               new scala.collection.mutable.ArrayBuilder.ofLong,
+               new scala.collection.mutable.ArrayBuilder.ofLong,
+               new scala.collection.mutable.ArrayBuilder.ofLong))
+            if (r.getInt(1) == 0) { b._1 += r.getLong(2); b._2 += r.getLong(3) }
+            else { b._3 += r.getLong(2); b._4 += r.getLong(3) }
+          }
+          val langs = Map.newBuilder[org.apache.spark.unsafe.types.UTF8String, graft.functions.LangLm]
+          byLang.forEach { (lang, b) =>
+            val (uk, uv, bk, bv) = (b._1.result(), b._2.result(), b._3.result(), b._4.result())
+            langs += org.apache.spark.unsafe.types.UTF8String.fromString(lang) ->
+              graft.functions.LangLm(uk.length.toLong,
+                graft.functions.LongLongOpenMap(uk, uv),
+                graft.functions.LongLongOpenMap(bk, bv))
+          }
+          m = counts.sparkSession.sparkContext.broadcast(
+            graft.functions.LmMaps(langs.result()))
+          mapsRef = m
+        }
+      }
+      m
+    }
+
+    /** Destroy the probe-map broadcast if it was ever built —
+      * best-effort, for stream-termination cleanup. */
+    def releaseMaps(): Unit = {
+      val m = mapsRef
+      if (m != null) {
+        mapsRef = null
+        try m.destroy() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 
   /** Build and MATERIALIZE the LM from a reference corpus
     * (vocab-sized, NOT corpus-sized — the q87 localCheckpoint
@@ -135,7 +193,7 @@ object NgramLm {
     // was taken once at train time (metadata-cheap on the
     // materialized RDD); ≲8M entries ≈ 200 MB broadcast
     // (executor-safe), past which the shuffle join is the right plan.
-    val lmJoin = if (trained.entries <= 8L * 1000 * 1000) broadcast(lmDf) else lmDf
+    val lmJoin = if (trained.entries <= BroadcastEntries) broadcast(lmDf) else lmDf
     val perDoc = docs
       .select(col(idCol), col(langCol).as("lang"),
         explode_outer(entries(col(textCol), prefixOnly = true)).as("e"))
@@ -169,4 +227,46 @@ object NgramLm {
           round(col("xent_micronats") / col("n_pos") / lit(1e6), 6))
           .as("xent_per_token"))
   }
+
+  /** Per-ROW map-fold scoring — the q93 sf10 A/B winner (BASELINE
+    * round 18). CONTRACT: (idCol, langCol) is unique per row — both
+    * in-tree callers guarantee it (q93's doc_id over `documents`, the
+    * quality gate's synthetic `__qid`). Under that contract the output
+    * is IDENTICAL to [[score]] row-for-row (NgramLmSpec A/B pin);
+    * with duplicate (id, lang) rows [[score]] merges the group's
+    * entries while this path scores each row alone — callers with
+    * duplicates must use [[score]].
+    *
+    * In the [[BroadcastEntries]] regime the whole computation is ONE
+    * map-only projection: a native byte-scan expression
+    * ([[graft.functions.LmScore]]) probes the broadcast
+    * open-addressing maps per position — no explode (the relational
+    * path materializes ~2(t−1) entry rows per doc), no join, no
+    * doc-regroup exchange, nothing shuffled at any scale. Above the
+    * bound (or under SPARK_GRAFT_LM_JOIN=1, the A/B probe switch) it
+    * falls back to [[score]], which shuffle-joins the slim 8-byte
+    * keys — per-row and per-group semantics agree under the
+    * uniqueness contract, so the fallback is seamless. */
+  def scoreRows(docs: DataFrame, trained: TrainedLm,
+                textCol: String = "text", idCol: String = "doc_id",
+                langCol: String = "lang"): DataFrame =
+    if (trained.entries > BroadcastEntries ||
+        sys.env.get("SPARK_GRAFT_LM_JOIN").contains("1"))
+      score(docs, trained, textCol, idCol, langCol)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val s = ColumnBridge.column(graft.functions.LmScore(
+        ColumnBridge.expression(col(textCol)),
+        ColumnBridge.expression(col(langCol)), trained.maps))
+      docs
+        .select(col(idCol), col(langCol).as("lang"), s.as("s"))
+        .select(col(idCol), col("lang"), col("s.n_pos").as("n_pos"),
+          col("s.xent_micronats").as("xent_micronats"))
+        .select(col(idCol), col("lang"), col("n_pos"), col("xent_micronats"),
+          when(col("n_pos") > 0, expr("xent_micronats div n_pos"))
+            .as("xent_micronats_per_pos"),
+          when(col("n_pos") > 0,
+            round(col("xent_micronats") / col("n_pos") / lit(1e6), 6))
+            .as("xent_per_token"))
+    }
 }

@@ -956,13 +956,18 @@ object EventStreams {
     * release the right lock. */
   private val lockByRun =
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
-  /** Stream runId → the gate's frozen cached frames (the decon
-    * confirm set, the quality gate's checkpointed LM), unpersisted by
-    * the termination listener — without this a stopped gate's frozen
-    * state holds executor storage for the session lifetime (r17
-    * verdict #7). */
+  /** Stream runId → the gate's frozen-state cleanups (unpersist the
+    * decon confirm set / the quality gate's checkpointed LM, destroy
+    * its probe-map broadcast), drained by the termination listener —
+    * without this a stopped gate's frozen state holds executor
+    * storage for the session lifetime (r17 verdict #7). */
   private val frozenByRun =
-    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, List[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, List[() => Unit]]()
+
+  /** Run one frozen-state cleanup, swallowing failures — cleanup must
+    * never fail a terminating stream. */
+  private def runCleanup(f: () => Unit): Unit =
+    try f() catch { case scala.util.control.NonFatal(_) => () }
 
   /** Release one frozen frame: the cache-manager entry (persist) and,
     * for a localCheckpoint'd frame, the underlying checkpointed RDD's
@@ -978,6 +983,9 @@ object EventStreams {
       case _ => ()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  private def frameCleanup(df: DataFrame): () => Unit =
+    () => releaseFrozenFrame(df)
   private val lockListenerSessions: java.util.Set[SparkSession] =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -1249,7 +1257,7 @@ object EventStreams {
                 releaseOwnLock(h.fs, h.path)
             }
             val frozen = frozenByRun.remove(e.runId)
-            if (frozen != null) frozen.foreach(releaseFrozenFrame)
+            if (frozen != null) frozen.foreach(runCleanup)
           }
         })
 
@@ -2389,15 +2397,16 @@ object EventStreams {
           "as a score column")
       }
     val key = landingKey(docs.sparkSession, landingDir)
-    // the trained LM's checkpointed frame, registered for release when
-    // the query terminates (r17 verdict #7: frozen state must not hold
-    // executor storage past the stream's lifetime)
-    var frozen: List[DataFrame] = Nil
+    // the trained LM's checkpointed frame + probe-map broadcast,
+    // registered for release when the query terminates (r17 verdict
+    // #7: frozen state must not hold executor storage past the
+    // stream's lifetime)
+    var frozen: List[() => Unit] = Nil
     val q = try startGuarded(docs.sparkSession, key) {
       // train INSIDE the guard: a refused start (foreign writer lock)
       // must fail before paying the reference scan + materialization
       val trained = graft.ops.NgramLm.train(reference, textCol, langCol)
-      frozen = List(trained.counts)
+      frozen = List(frameCleanup(trained.counts), () => trained.releaseMaps())
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2413,7 +2422,9 @@ object EventStreams {
           // renumber), and it halves the per-batch input scans.
           val keyed = batch.withColumn("__qid", monotonically_increasing_id()).persist()
           try {
-            val scored = graft.ops.NgramLm.score(keyed, trained, textCol, "__qid", langCol)
+            // scoreRows' unique-key contract holds by construction:
+            // __qid is monotonically_increasing_id, one per row
+            val scored = graft.ops.NgramLm.scoreRows(keyed, trained, textCol, "__qid", langCol)
               .select(col("__qid"), col("n_pos"), col("xent_micronats"),
                 col("xent_micronats_per_pos"), col("xent_per_token"))
             keyed.join(scored, Seq("__qid"))
@@ -2426,7 +2437,7 @@ object EventStreams {
         }
         .start()
     } catch {
-      case t: Throwable => frozen.foreach(releaseFrozenFrame); throw t
+      case t: Throwable => frozen.foreach(runCleanup); throw t
     }
     if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
     q
@@ -2550,7 +2561,7 @@ object EventStreams {
     val key = landingKey(spark0, landingDir)
     // set inside the guard, registered for unpersist-on-termination
     // once the started query's runId is known (r17 verdict #7)
-    var frozen: List[DataFrame] = Nil
+    var frozen: List[() => Unit] = Nil
     val q = try startGuarded(spark0, key) {
       // frozen state, loaded INSIDE the guard: a refused start must
       // fail before touching the artifact; a missing artifact fails
@@ -2570,7 +2581,7 @@ object EventStreams {
       val bench = spark0.read
         .parquet(graft.ops.Decontaminate.landedGxFiles(spark0, benchDir): _*)
         .select("gx").persist()
-      frozen = List(bench)
+      frozen = List(frameCleanup(bench))
       val broadcastable =
         bench.count() <= graft.ops.Decontaminate.BroadcastableRows
       docs.writeStream
@@ -2616,7 +2627,7 @@ object EventStreams {
         }
         .start()
     } catch {
-      case t: Throwable => frozen.foreach(releaseFrozenFrame); throw t
+      case t: Throwable => frozen.foreach(runCleanup); throw t
     }
     if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
     q

@@ -186,4 +186,83 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     val chunked = spark.read.parquet(outChunks)
     assert(chunked.columns.contains("chunk_id") && chunked.count() > 1)
   }
+
+  test("RunCorpus serve modes: fetch-shard and probe-bench E2E over landed artifacts, flag hygiene exits 2 (r17 #5)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    val corpus = (0L until 40L)
+      .map(i => (i, s"doc $i body tok${i % 7} tok${(i * 3) % 7} alpha beta gamma"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/corpus")
+
+    // ---- fetch-shard over a landed manifest dir ----
+    graft.ops.EpochShuffle.landManifests(
+      corpus, s"$tmp/manifests", epochs = Seq(0, 1), tokensPerShard = 40L)
+    val outShard = s"$tmp/shard"
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", outShard,
+      "--manifests", s"$tmp/manifests", "--epoch", "1", "--shard", "0")) == 0)
+    val served = spark.read.parquet(outShard)
+    // the served shard carries text + manifest columns, equals the
+    // library call row-for-row, and respects the token budget
+    val lib = graft.ops.EpochShuffle.fetchShard(corpus, s"$tmp/manifests", 1L, 0L)
+      .select("doc_id", "text", "epoch_key", "n_tokens", "cum_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(served.select("doc_id", "text", "epoch_key", "n_tokens", "cum_tokens")
+      .collect().map(_.toSeq).toSet == lib)
+    assert(served.agg(sum("n_tokens")).collect()(0).getLong(0) <= 40L + 20L,
+      "a shard overshoots its budget by at most one doc")
+    // a shard that does not exist serves zero rows → exit 1
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", s"$tmp/shard-miss",
+      "--manifests", s"$tmp/manifests", "--epoch", "1", "--shard", "9999")) == 1)
+
+    // ---- probe-bench over a landed benchmark gram set ----
+    graft.ops.Decontaminate.landBenchmark(
+      Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), s"$tmp/bench")
+    val outProbe = s"$tmp/probe"
+    assert(RunCorpus.execute(spark, Array("--mode", "probe-bench",
+      "--in", s"$tmp/corpus", "--out", outProbe, "--bench", s"$tmp/bench")) == 0)
+    val report = spark.read.parquet(outProbe)
+    assert(report.count() == 40L)
+    // every corpus doc ends '... alpha beta gamma' → shares the one
+    // benchmark 3-gram → contaminated; matches the library call
+    val libProbe = graft.ops.Decontaminate.probe(corpus, s"$tmp/bench")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(report.select("doc_id", "n_shared", "clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == libProbe)
+    assert(report.filter(col("clean") === 0L).count() == 40L)
+
+    // ---- flag hygiene: all exit 2, nothing written ----
+    val bad = s"$tmp/bad-out"
+    // unknown mode
+    assert(RunCorpus.execute(spark, Array("--mode", "nope",
+      "--in", s"$tmp/corpus", "--out", bad)) == 2)
+    // serve-only options outside their mode
+    assert(RunCorpus.execute(spark, Array(
+      "--in", s"$tmp/corpus", "--out", bad, "--epoch", "1")) == 2)
+    assert(RunCorpus.execute(spark, Array("--mode", "probe-bench",
+      "--in", s"$tmp/corpus", "--out", bad, "--bench", s"$tmp/bench",
+      "--manifests", s"$tmp/manifests")) == 2)
+    // pipeline-only options under a serve mode
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", bad, "--manifests", s"$tmp/manifests",
+      "--epoch", "1", "--shard", "0", "--near-dup")) == 2)
+    // missing / malformed serve parameters
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", bad,
+      "--epoch", "1", "--shard", "0")) == 2)           // no --manifests
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", bad, "--manifests", s"$tmp/manifests",
+      "--shard", "0")) == 2)                            // no --epoch
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", bad, "--manifests", s"$tmp/manifests",
+      "--epoch", "one", "--shard", "0")) == 2)          // non-integer
+    assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
+      "--in", s"$tmp/corpus", "--out", bad, "--manifests", s"$tmp/manifests",
+      "--epoch", "-1", "--shard", "0")) == 2)           // negative
+    assert(RunCorpus.execute(spark, Array("--mode", "probe-bench",
+      "--in", s"$tmp/corpus", "--out", bad)) == 2)      // no --bench
+    assert(!new java.io.File(bad).exists(), "usage errors must not write output")
+  }
 }

@@ -100,6 +100,47 @@ class NgramLmSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(2L).getLong(3) == lp2)
   }
 
+  test("scoreRows (map-fold arm) ≡ score (relational) row-for-row on unique ids — every edge class (r18 A/B pin)") {
+    // edge classes: reference-like, OOV, mixed, 1-token, empty, NULL
+    // text, NULL lang, unknown lang, unicode, case folding, long text,
+    // repeated grams
+    val docs = Seq(
+      (0L, "a b a b c a", "en"),           // reference doc (trains the en LM)
+      (10L, "x y x z", "de"),              // reference doc (de LM)
+      (1L, "a b c", "en"),
+      (2L, "q r s t", "en"),               // fully OOV under en
+      (3L, "z", "en"),                     // 1 token
+      (4L, "", "en"),                      // empty
+      (5L, null.asInstanceOf[String], "en"),
+      (6L, "a b", null.asInstanceOf[String]),  // NULL lang: reattach-miss → n_pos 0
+      (7L, "a b", "fr"),                   // language with no reference
+      (8L, "  Mixed CASE a,b 42x ", "en"),
+      (9L, "日本語 then a b ascii", "en"),
+      (11L, "x y", "de"),
+      (12L, ("a b " * 200).trim, "en")) ++
+      (20L until 60L).map(i => (i, s"a tok${i % 5} b tok${(i * 3) % 5} c", "en"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val trained = NgramLm.train(df.filter(col("doc_id") % 10 === 0))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).orNull,
+        r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).sortBy(_._1).toSeq
+    val relational = canon(NgramLm.score(df, trained))
+    val mapFold = canon(NgramLm.scoreRows(df, trained))
+    assert(trained.entries <= NgramLm.BroadcastEntries,
+      "spec LM must sit in the map-fold regime for the A/B to bite")
+    assert(mapFold == relational)
+    // NULL-lang doc reads n_pos 0 on BOTH paths (the relational
+    // reattach join never matches a NULL key — pinned so the map arm
+    // can't 'improve' on it unilaterally)
+    assert(relational.find(_._1 == 6L).get._3 == 0L)
+    // the probe maps are rebuilt-free across calls (same broadcast)
+    assert(trained.maps eq trained.maps)
+  }
+
   test("scores are partitioning-invariant (exact integer aggregation, no float order hazard)") {
     val docs = (0L until 40L).map(i =>
       (i, s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} tok${i % 7}", "en"))

@@ -345,15 +345,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("span_h"), "span fingerprint column missing from the plan")
   }
 
-  test("q93: LM perplexity joins on gram fingerprints, never doc pairs; docs scan is pruned") {
+  test("q93: LM scoring is MAP-ONLY (r18 map-fold arm) — one probe expression, no explode/join/regroup") {
     val p = plan("q93_lm_perplexity")
     assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
-    // grams cross exchanges as 8-byte fingerprints via the fused
-    // single-scan generator — the gram-string generator would show
-    // word_text_ngrams instead
-    assert(p.contains("word_lm_entries"), "fused fingerprint generator missing")
-    assert(!p.contains("word_text_ngrams"), "gram STRINGS must not ride q93 exchanges")
+    // the scoring pass is a single projection: the lm_score byte-scan
+    // expression probes the broadcast maps per position — the
+    // relational shape (word_lm_entries explode → LM join → doc
+    // regroup) must not reappear in the BroadcastEntries regime
+    assert(p.contains("lm_score"), "map-fold probe expression missing")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"scoring must not explode entry rows:\n$p")
+    assert(!p.contains("word_text_ngrams"), "gram STRINGS must not ride q93")
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the output-sort exchange, got $exchanges:\n$p")
     // the documents scan feeds doc_id/lang/text only
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(!readSchemas.contains("n_chars") && !readSchemas.contains("source"),

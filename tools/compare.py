@@ -129,7 +129,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-def main(sfdir: str, outdir: str) -> None:
+def main(sfdir: str, outdir: str, only: set | None = None) -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -140,6 +140,8 @@ def main(sfdir: str, outdir: str) -> None:
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -222,4 +224,9 @@ if __name__ == "__main__":
     if sys.argv[1] == "--selftest":
         selftest(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
-        main(sys.argv[1], sys.argv[2])
+        # optional: --only a,b,c restricts the compare to a subset
+        # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY subset dumps)
+        only = None
+        if len(sys.argv) > 4 and sys.argv[3] == "--only":
+            only = set(x.strip() for x in sys.argv[4].split(",") if x.strip())
+        main(sys.argv[1], sys.argv[2], only)
