@@ -94,8 +94,8 @@ object RunCorpus {
       }
     }
     if (mode.contains("fetch-shard") || mode.contains("probe-bench")) {
-      val pipelineOnly = (flags - "dry-run") ++
-        Set("chunk-w", "min-tokens", "train-pct", "window-tokens", "dry-run")
+      val pipelineOnly =
+        flags ++ Set("chunk-w", "min-tokens", "train-pct", "window-tokens")
       val stray = pipelineOnly.filter(opts.contains).toSeq.sorted
       if (stray.nonEmpty) {
         System.err.println(s"[corpus] ${stray.map("--" + _).mkString(", ")} " +
@@ -222,15 +222,23 @@ object RunCorpus {
           }
           val served = graft.ops.EpochShuffle.fetchShard(
             corpus, opts("manifests"), epoch, shard)
-          served.write.mode("overwrite").parquet(out)
-          val landed = spark.read.parquet(out)
-          val n = landed.count()
-          if (n == 0) {
+          // refuse BEFORE the overwrite (the landBenchmark discipline):
+          // a typo'd epoch/shard must not clobber a previously served
+          // good shard with an empty dataset
+          if (served.isEmpty) {
             System.err.println(s"[corpus] FAILED: epoch=$epoch shard=$shard " +
               s"served zero rows from ${opts("manifests")} — wrong epoch/shard " +
-              "or manifests pointer")
+              "or manifests pointer; nothing written")
             return 1
           }
+          // ONE sorted file: a shard is budget-bounded by construction
+          // (tokensPerShard), and parquet read-back guarantees row
+          // order only within a single file read as a single split —
+          // coalesce(1) after the sort keeps the advertised training
+          // order on disk (sorted partitions merge in order)
+          served.coalesce(1).write.mode("overwrite").parquet(out)
+          val landed = spark.read.parquet(out)
+          val n = landed.count()
           val toks = landed.agg(org.apache.spark.sql.functions.sum("n_tokens"))
             .collect()(0).getLong(0)
           println(s"[corpus] OK: served epoch=$epoch shard=$shard docs=$n tokens=$toks -> $out")

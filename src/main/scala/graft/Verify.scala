@@ -12,9 +12,11 @@ object Verify {
     // optional subset run (comma-separated names) for scale spot-
     // verification: at sf10 a full 98-query dump is hours, but the
     // landed-artifact family's value checks are cheap in isolation.
-    // The driver never sets this; oracle_sql.json is written whole
-    // either way, so a subset dump stays honest (compare must be told
-    // the same subset or it reports the undumped queries as missing).
+    // The driver never sets this. A subset run also writes a SUBSET
+    // oracle_sql.json: compare.py iterates the oracle keys, so dump
+    // dirs a previous fuller run left in a reused outDir are never
+    // consulted — otherwise stale old-code parquet would be compared
+    // against fresh oracles and read green.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { s =>
@@ -36,11 +38,15 @@ object Verify {
     // the q78/q81 oracle dirs are derived from THIS run's data dir
     // (not JVM-global last-write-wins vars) so concurrent runs can't
     // cross
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-                      oracleJson(SparkEntry.oracleSqlFor(
-                        graft.sources.CorpusJsonl.dirFor(sfDir),
-                        graft.ops.IvfPqIndex.dirFor(sfDir),
-                        graft.ops.Decontaminate.dirFor(sfDir))))
+    val allOracles = SparkEntry.oracleSqlFor(
+      graft.sources.CorpusJsonl.dirFor(sfDir),
+      graft.ops.IvfPqIndex.dirFor(sfDir),
+      graft.ops.Decontaminate.dirFor(sfDir))
+    val oracles = only match {
+      case Some(s) => allOracles.filter { case (n, _) => s(n) }
+      case None    => allOracles
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(oracles))
     spark.stop()
   }
 

@@ -99,8 +99,9 @@ object Dsir {
       "trains a degenerate constant model; check the predicate against " +
       "the training corpus")
     require(totalS > 0,
-      "DSIR train: targetPred matched every gram, leaving an empty " +
-      "source pool — importance weights need both distributions")
+      "DSIR train: the source pool contributed no grams — either " +
+      "targetPred matched every doc, or the non-target docs are all " +
+      "empty/NULL text; importance weights need both distributions")
     DsirModel((0 until buckets).map(b => lp(t(b) + 1) - lp(s(b) + 1)),
       lp(totalS + buckets) - lp(totalT + buckets), buckets)
   }

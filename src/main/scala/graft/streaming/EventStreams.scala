@@ -986,6 +986,23 @@ object EventStreams {
 
   private def frameCleanup(df: DataFrame): () => Unit =
     () => releaseFrozenFrame(df)
+
+  /** Install a gate's frozen-state cleanups under the started query's
+    * runId, then re-check liveness: the termination listener fires
+    * asynchronously, so a query that died during startup can have
+    * terminated BEFORE the put — its listener event found nothing to
+    * drain, and the entry would leak for the session lifetime. The
+    * atomic remove makes whichever side wins run the cleanups exactly
+    * once. */
+  private def registerFrozen(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             frozen: List[() => Unit]): Unit =
+    if (frozen.nonEmpty) {
+      frozenByRun.put(q.runId, frozen)
+      if (!q.isActive) {
+        val f = frozenByRun.remove(q.runId)
+        if (f != null) f.foreach(runCleanup)
+      }
+    }
   private val lockListenerSessions: java.util.Set[SparkSession] =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -2439,7 +2456,7 @@ object EventStreams {
     } catch {
       case t: Throwable => frozen.foreach(runCleanup); throw t
     }
-    if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
+    registerFrozen(q, frozen)
     q
   }
 
@@ -2629,7 +2646,7 @@ object EventStreams {
     } catch {
       case t: Throwable => frozen.foreach(runCleanup); throw t
     }
-    if (frozen.nonEmpty) frozenByRun.put(q.runId, frozen)
+    registerFrozen(q, frozen)
     q
   }
 

@@ -212,10 +212,21 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.toSeq).toSet == lib)
     assert(served.agg(sum("n_tokens")).collect()(0).getLong(0) <= 40L + 20L,
       "a shard overshoots its budget by at most one doc")
-    // a shard that does not exist serves zero rows → exit 1
+    // training order survives the artifact: ONE data file, rows in
+    // epoch_key order on read-back
+    val shardFiles = new java.io.File(outShard).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(shardFiles.length == 1, "a served shard must be one sorted file")
+    val keys = spark.read.parquet(outShard).select("epoch_key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "served rows must arrive in training order")
+    // a shard that does not exist serves zero rows → exit 1, and the
+    // refusal must NOT clobber a previously served good shard
     assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
-      "--in", s"$tmp/corpus", "--out", s"$tmp/shard-miss",
+      "--in", s"$tmp/corpus", "--out", outShard,
       "--manifests", s"$tmp/manifests", "--epoch", "1", "--shard", "9999")) == 1)
+    assert(spark.read.parquet(outShard).count() > 0,
+      "a wrong-pointer serve must leave the existing artifact intact")
 
     // ---- probe-bench over a landed benchmark gram set ----
     graft.ops.Decontaminate.landBenchmark(

@@ -138,6 +138,14 @@ def main(sfdir: str, outdir: str, only: set | None = None) -> None:
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only is not None:
+        # fail CLOSED on a typo'd subset: silently skipping unknown
+        # names would print '0 passed, 0 failed' and exit 0 — a green
+        # verification that checked nothing
+        unknown = sorted(only - set(oracles))
+        if unknown:
+            print(f"FAIL --only names not in oracle_sql.json: {', '.join(unknown)}")
+            sys.exit(1)
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only is not None and name not in only:
@@ -225,8 +233,14 @@ if __name__ == "__main__":
         selftest(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         # optional: --only a,b,c restricts the compare to a subset
-        # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY subset dumps)
+        # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY subset dumps).
+        # Any other trailing arguments are an error, not a silent
+        # full-compare (fail closed).
         only = None
-        if len(sys.argv) > 4 and sys.argv[3] == "--only":
-            only = set(x.strip() for x in sys.argv[4].split(",") if x.strip())
+        extra = sys.argv[3:]
+        if extra:
+            if len(extra) != 2 or extra[0] != "--only" or not extra[1].strip():
+                print(f"usage: compare.py SFDIR OUTDIR [--only a,b,c]; got {extra}")
+                sys.exit(1)
+            only = set(x.strip() for x in extra[1].split(",") if x.strip())
         main(sys.argv[1], sys.argv[2], only)
