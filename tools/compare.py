@@ -66,6 +66,20 @@ def type_mismatches(con, sql, parquet_file):
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def pairs_sql(oracles) -> str:
+    """The DuckDB SQL for the q31 candidate-pair pipeline scalable_q60
+    derives its edges from. Prefer the q31 oracle verbatim; a SUBSET
+    oracle_sql.json (Verify's SPARK_GRAFT_VERIFY_ONLY) may omit it, in
+    which case the identical pair CTEs are extracted from q60's own
+    SQL — both are builder-authored from the same shared CTE constant,
+    and --selftest pins the extraction against the q31 form."""
+    if "q31_neardup_pairs" in oracles:
+        return oracles["q31_neardup_pairs"]
+    sql = oracles["q60_neardup_clusters"]
+    head = sql.split(",\ne AS (")[0]
+    assert head != sql, "q60 oracle SQL shape changed; update pairs_sql"
+    return head + "\nSELECT doc1, doc2, jaccard_est FROM pairs"
+
 def scalable_q60(con, oracles) -> pd.DataFrame:
     """Scalable VALUE oracle for q60_neardup_clusters (r17 verdict #1).
 
@@ -86,7 +100,7 @@ def scalable_q60(con, oracles) -> pd.DataFrame:
     The q60 SQL stays in oracle_sql.json unchanged: the driver's
     sf0.01 gate keeps running it; only this dev-side harness reroutes.
     """
-    pairs = con.execute(oracles["q31_neardup_pairs"]).df()
+    pairs = con.execute(pairs_sql(oracles)).df()
     e = pairs[pairs["jaccard_est"] >= 0.5]
     parent: dict = {}
     def find(x):
@@ -226,6 +240,13 @@ def selftest(outdir: str | None = None) -> None:
         uf = norm(scalable_q60(con, oracles))
         assert sql.equals(uf), "union-find oracle diverges from the recursive CTE"
         print(f"q60 A/B OK ({len(uf)} rows, {uf['component'].nunique()} components)")
+        # the subset-dump fallback: extracting the pair CTEs from q60's
+        # own SQL must yield the same edges as the q31 oracle
+        sub = {k: v for k, v in oracles.items() if k != "q31_neardup_pairs"}
+        a = norm(con.execute(pairs_sql(oracles)).df())
+        b = norm(con.execute(pairs_sql(sub)).df())
+        assert a.equals(b), "pairs_sql extraction diverges from the q31 oracle"
+        print(f"pairs_sql fallback OK ({len(a)} candidate pairs)")
     print("selftest OK")
 
 if __name__ == "__main__":
