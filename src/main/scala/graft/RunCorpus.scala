@@ -220,8 +220,13 @@ object RunCorpus {
               System.err.println(s"[corpus] $msg\n$usage"); return 2
             case Right(ek) => ek
           }
+          // eager localCheckpoint: the emptiness probe and the write
+          // must see ONE execution of the manifest join — two lazy
+          // executions would race a concurrent re-land (the probe sees
+          // the old manifests, the write lands the new state, possibly
+          // empty, AFTER the guard passed) and pay the join twice
           val served = graft.ops.EpochShuffle.fetchShard(
-            corpus, opts("manifests"), epoch, shard)
+            corpus, opts("manifests"), epoch, shard).localCheckpoint()
           // refuse BEFORE the overwrite (the landBenchmark discipline):
           // a typo'd epoch/shard must not clobber a previously served
           // good shard with an empty dataset

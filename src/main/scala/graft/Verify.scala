@@ -20,6 +20,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { s =>
+      // set-but-empty (e.g. a wrapper exporting "") would run zero
+      // queries and compare green while verifying nothing — refuse.
+      require(s.nonEmpty,
+        "SPARK_GRAFT_VERIFY_ONLY is set but names no queries")
       val unknown = s -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")

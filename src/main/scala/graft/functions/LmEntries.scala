@@ -44,64 +44,15 @@ case class LmEntries(left: Expression, right: Expression)
   override protected def nullSafeEval(textAny: Any, prefixAny: Any): Any = {
     val bytes = textAny.asInstanceOf[UTF8String].getBytes
     val prefixOnly = prefixAny.asInstanceOf[Boolean]
-    // token spans — the WordTextGramHashes scan
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var start = -1
-    var i = 0
-    while (i <= bytes.length) {
-      val alnum = i < bytes.length && {
-        val b = bytes(i)
-        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
-      }
-      if (alnum) { if (start < 0) start = i }
-      else if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
-      i += 1
-    }
-    val t = starts.size()
+    val s = WordBigramScan.spans(bytes)
+    val t = s.t
     val nUni = if (prefixOnly) math.max(t - 1, 0) else t
     val nBig = math.max(t - 1, 0)
     val out = new Array[Any](nUni + nBig)
-    var buf = new Array[Byte](64)
-    // one lowercase copy of each token, reused by its unigram hash and
-    // both bigrams it participates in
-    def tokenInto(j: Int, at: Int): Int = {
-      var k = starts.get(j)
-      val e = ends.get(j)
-      var p = at
-      while (k < e) {
-        val b = bytes(k)
-        buf(p) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-        p += 1
-        k += 1
-      }
-      p
-    }
-    var j = 0
     var m = 0
-    var prevLen = 0 // bytes of token j-1 at buf start, for the bigram
-    while (j < t) {
-      val tokLen = ends.get(j) - starts.get(j)
-      if (buf.length < prevLen + 1 + tokLen)
-        buf = java.util.Arrays.copyOf(buf, Integer.highestOneBit(prevLen + 1 + tokLen) << 1)
-      if (j > 0) {
-        // bigram (j-1, j): prev token already sits at buf[0..prevLen)
-        buf(prevLen) = ' '
-        val end = tokenInto(j, prevLen + 1)
-        out(m) = new GenericInternalRow(Array[Any](1,
-          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, end, 42L)))
-        m += 1
-        // slide the current token to the buffer start for the next pair
-        System.arraycopy(buf, prevLen + 1, buf, 0, tokLen)
-      } else tokenInto(j, 0)
-      if (!prefixOnly || j < t - 1) {
-        out(m) = new GenericInternalRow(Array[Any](0,
-          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, tokLen, 42L)))
-        m += 1
-      }
-      prevLen = tokLen
-      j += 1
-    }
+    WordBigramScan.walk(bytes, s, prefixOnly,
+      onBigram = h => { out(m) = new GenericInternalRow(Array[Any](1, h)); m += 1 },
+      onUnigram = h => { out(m) = new GenericInternalRow(Array[Any](0, h)); m += 1 })
     new GenericArrayData(
       if (m == out.length) out
       else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m).asInstanceOf[Array[Any]])
@@ -118,4 +69,87 @@ object LmEntries {
     FunctionIdentifier("word_lm_entries"),
     new ExpressionInfo(classOf[LmEntries].getName, "word_lm_entries"),
     (children: Seq[Expression]) => LmEntries(children(0), children(1)))
+}
+
+/** THE bigram-LM byte scan — the single definition of the tokenizer
+  * and gram hashing shared by [[LmEntries]] (the relational arm's
+  * entry generator) and [[LmScore]] (the map-fold arm). The two arms'
+  * equivalence used to rest on two hand-synced copies staying
+  * byte-identical; sharing the scanner makes it structural. Tokenizer:
+  * ASCII-alnum runs, lowercased (the WordTextGramHashes contract);
+  * hashes: XXH64 seed 42, bigram tokens joined by a single ' '. */
+private[functions] object WordBigramScan {
+  /** Token spans over `bytes` (primitive arrays — the previous
+    * ArrayList[Integer] boxed every offset). Only the first `t`
+    * entries of `starts`/`ends` are valid. */
+  final class Spans(val starts: Array[Int], val ends: Array[Int], val t: Int)
+
+  def spans(bytes: Array[Byte]): Spans = {
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var t = 0
+    var start = -1
+    var i = 0
+    while (i <= bytes.length) {
+      val alnum = i < bytes.length && {
+        val b = bytes(i)
+        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (t == cap) {
+          cap <<= 1
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(t) = start; ends(t) = i; t += 1; start = -1
+      }
+      i += 1
+    }
+    new Spans(starts, ends, t)
+  }
+
+  /** Walks the LM surface in position order: for each token j emits
+    * the bigram hash of (j−1, j) first (j > 0), then the unigram hash
+    * of token j when `!prefixOnly || j < t−1` (prefix form = only the
+    * conditioning token of each bigram position). One lowercase copy
+    * of each token is reused by its unigram hash and both bigrams it
+    * participates in. */
+  def walk(bytes: Array[Byte], s: Spans, prefixOnly: Boolean,
+           onBigram: Long => Unit, onUnigram: Long => Unit): Unit = {
+    val t = s.t
+    var buf = new Array[Byte](64)
+    def tokenInto(j: Int, at: Int): Int = {
+      var k = s.starts(j)
+      val e = s.ends(j)
+      var p = at
+      while (k < e) {
+        val b = bytes(k)
+        buf(p) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        p += 1
+        k += 1
+      }
+      p
+    }
+    var j = 0
+    var prevLen = 0 // bytes of token j-1 at buf start, for the bigram
+    while (j < t) {
+      val tokLen = s.ends(j) - s.starts(j)
+      if (buf.length < prevLen + 1 + tokLen)
+        buf = java.util.Arrays.copyOf(buf, Integer.highestOneBit(prevLen + 1 + tokLen) << 1)
+      if (j > 0) {
+        // bigram (j-1, j): prev token already sits at buf[0..prevLen)
+        buf(prevLen) = ' '
+        val end = tokenInto(j, prevLen + 1)
+        onBigram(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, end, 42L))
+        // slide the current token to the buffer start for the next pair
+        System.arraycopy(buf, prevLen + 1, buf, 0, tokLen)
+      } else tokenInto(j, 0)
+      if (!prefixOnly || j < t - 1)
+        onUnigram(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, tokLen, 42L))
+      prevLen = tokLen
+      j += 1
+    }
+  }
 }

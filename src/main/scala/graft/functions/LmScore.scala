@@ -3,10 +3,9 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Immutable open-addressing long→long probe map (power-of-2 capacity,
@@ -79,9 +78,9 @@ final case class LangLm(v: Long, uni: LongLongOpenMap, bi: LongLongOpenMap)
 final case class LmMaps(langs: Map[UTF8String, LangLm])
 
 /** `LmScore(text, lang)` — the map-fold scoring arm of
-  * [[graft.ops.NgramLm]]: per document, ONE byte scan (the
-  * [[LmEntries]] tokenizer verbatim — ASCII-alnum runs, lowercased,
-  * XXH64 seed 42; NgramLmSpec pins the equivalence) that probes the
+  * [[graft.ops.NgramLm]]: per document, ONE byte scan (the SHARED
+  * [[WordBigramScan]] — the same code object [[LmEntries]] runs, so
+  * the arms cannot drift; NgramLmSpec pins the equivalence) probing the
   * broadcast open-addressing maps at each position and folds the
   * exact fixed-point cross-entropy inline. Where the relational path
   * explodes ~2(t−1) entry rows per document through a broadcast hash
@@ -137,60 +136,19 @@ case class LmScore(left: Expression, right: Expression,
       return new GenericInternalRow(Array[Any](0L, null))
     val lm = maps.value.langs.getOrElse(langAny.asInstanceOf[UTF8String], null)
     val bytes = textAny.asInstanceOf[UTF8String].getBytes
-    // token spans — the LmEntries/WordTextGramHashes scan, verbatim
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var start = -1
-    var i = 0
-    while (i <= bytes.length) {
-      val alnum = i < bytes.length && {
-        val b = bytes(i)
-        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
-      }
-      if (alnum) { if (start < 0) start = i }
-      else if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
-      i += 1
-    }
-    val t = starts.size()
+    // token spans + gram hashes — the ONE shared LmEntries scan
+    // ([[WordBigramScan]]), so the two arms' tokenizers cannot drift
+    val s = WordBigramScan.spans(bytes)
+    val t = s.t
     val nPos = math.max(t - 1, 0).toLong
     if (lm == null || t < 2)
       return new GenericInternalRow(Array[Any](nPos, null))
     var xent = 0L
-    var buf = new Array[Byte](64)
-    def tokenInto(j: Int, at: Int): Int = {
-      var k = starts.get(j)
-      val e = ends.get(j)
-      var p = at
-      while (k < e) {
-        val b = bytes(k)
-        buf(p) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-        p += 1
-        k += 1
-      }
-      p
-    }
-    var j = 0
-    var prevLen = 0
-    while (j < t) {
-      val tokLen = ends.get(j) - starts.get(j)
-      if (buf.length < prevLen + 1 + tokLen)
-        buf = java.util.Arrays.copyOf(buf, Integer.highestOneBit(prevLen + 1 + tokLen) << 1)
-      if (j > 0) {
-        // bigram (j−1, j): −lp(c₂ + 1)
-        buf(prevLen) = ' '
-        val end = tokenInto(j, prevLen + 1)
-        xent -= lp(lm.bi.getOrZero(
-          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, end, 42L)) + 1L)
-        System.arraycopy(buf, prevLen + 1, buf, 0, tokLen)
-      } else tokenInto(j, 0)
-      if (j < t - 1) {
-        // prefix unigram (conditioning token): +lp(c₁ + V)
-        xent += lp(lm.uni.getOrZero(
-          XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, tokLen, 42L)) + lm.v)
-      }
-      prevLen = tokLen
-      j += 1
-    }
+    WordBigramScan.walk(bytes, s, prefixOnly = true,
+      // bigram (j−1, j): −lp(c₂ + 1)
+      onBigram = h => xent -= lp(lm.bi.getOrZero(h) + 1L),
+      // prefix unigram (conditioning token): +lp(c₁ + V)
+      onUnigram = h => xent += lp(lm.uni.getOrZero(h) + lm.v))
     new GenericInternalRow(Array[Any](nPos, xent))
   }
 

@@ -99,7 +99,15 @@ object Decontaminate {
       s"under 3 tokens or NULL '$textCol'?) — refusing to land an empty " +
       "set that would mark every document clean")
     grams.write.mode("overwrite").parquet(outDir)
-    val landed = spark.read.parquet(outDir)
+    // aggregate the blob from the EXACT file list just landed and
+    // stamp that list's fingerprint into the sidecar header: the two
+    // halves of the artifact are written sequentially (parquet first,
+    // blob after), so a stream starting in the gap could otherwise
+    // pair an OLD blob with the NEW gram files — loadBloomPinned
+    // cross-checks the stamp and turns that silent mismatch into a
+    // loud start refusal
+    val files = landedGxFiles(spark, outDir)
+    val landed = spark.read.parquet(files: _*)
     val nbits =
       if (bits > 0) bits else IncrementalDedup.sizedBits(landed.count())
     val blob = landed
@@ -108,8 +116,29 @@ object Decontaminate {
     val p = bloomPath(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(blob) finally out.close()
+    try {
+      out.write(BloomMagic)
+      out.writeLong(fileListFingerprint(files))
+      out.write(blob)
+    } finally out.close()
     lastDirVar = outDir
+  }
+
+  /** Sidecar header: 4-byte magic + 8-byte big-endian fingerprint of
+    * the sorted part-file NAMES the blob was aggregated from. Names
+    * (not paths) so the pin is independent of how the dir is
+    * addressed; part-file names are per-job UUIDs, so equal name sets
+    * imply the same landing. */
+  private val BloomMagic = "GBF1".getBytes("US-ASCII")
+
+  private def fileListFingerprint(files: Seq[String]): Long = {
+    // FNV-1a over '\n'-joined sorted file names — stable, dependency-free
+    val names = files.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
+    var h = 0xcbf29ce484222325L
+    names.mkString("\n").getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    h
   }
 
   /** The landed confirm set's exact parquet FILE LIST — snapshot
@@ -131,15 +160,37 @@ object Decontaminate {
 
   /** The landed Bloom blob (keys = `gx`) — read once per
     * process/stream start and carried as frozen state, never per
-    * batch. */
-  def loadBloom(spark: SparkSession, dir: String): Array[Byte] = {
+    * batch. Strips the sidecar header; refuses a headerless blob (a
+    * pre-format artifact: re-land the benchmark). */
+  def loadBloom(spark: SparkSession, dir: String): Array[Byte] =
+    loadBloomPinned(spark, dir)._1
+
+  /** Both halves of the artifact, cross-checked: the blob AND the
+    * exact gram part-file list it was aggregated from. landBenchmark
+    * writes the parquet before the sidecar, so a reader arriving in
+    * the gap of a concurrent re-land would otherwise pair the OLD
+    * blob with the NEW files — bloom-negative is treated as
+    * definitive absence downstream, so that silent mismatch would
+    * mark contaminated docs clean for a whole stream lifetime. The
+    * header fingerprint turns it into a loud refusal. */
+  def loadBloomPinned(spark: SparkSession, dir: String)
+      : (Array[Byte], Seq[String]) = {
     val p = bloomPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0L, buf) finally in.close()
-    buf
+    require(buf.length > 12 && buf.startsWith(BloomMagic),
+      s"$p has no GBF1 header — pre-format or truncated sidecar; " +
+      "re-land the benchmark (landBenchmark) to refresh the artifact")
+    val stamped = java.nio.ByteBuffer.wrap(buf, 4, 8).getLong
+    val files = landedGxFiles(spark, dir)
+    require(stamped == fileListFingerprint(files),
+      s"$p was not built over the gram part-files now landed under " +
+      s"$dir — a benchmark re-land is in flight or half-applied; " +
+      "retry after the re-land completes")
+    (java.util.Arrays.copyOfRange(buf, 12, buf.length), files)
   }
 
   /** Per-doc contamination report against the landed set: (idCol,

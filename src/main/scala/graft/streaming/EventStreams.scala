@@ -2594,9 +2594,13 @@ object EventStreams {
       // against a set this stream's Bloom blob was not built over. A
       // new suite version takes effect on stream restart, like
       // ingestQuality's LM and ingestDsir's model.
-      val blob = graft.ops.Decontaminate.loadBloom(spark0, benchDir)
-      val bench = spark0.read
-        .parquet(graft.ops.Decontaminate.landedGxFiles(spark0, benchDir): _*)
+      // ONE verified snapshot of both halves: the sidecar's file-list
+      // fingerprint must match the files pinned here, so a re-land
+      // completing between the two reads refuses the start instead of
+      // silently pairing an old Bloom with a new confirm set
+      val (blob, gxFiles) =
+        graft.ops.Decontaminate.loadBloomPinned(spark0, benchDir)
+      val bench = spark0.read.parquet(gxFiles: _*)
         .select("gx").persist()
       frozen = List(frameCleanup(bench))
       val broadcastable =

@@ -111,4 +111,38 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestSession {
     // keys (oracle md5 bridge, engine xxhash64) land per gram
     assert(landed.columns.sorted.toSeq == Seq("gram", "gx"))
   }
+
+  test("loadBloomPinned refuses a sidecar built over DIFFERENT gram files (re-land race)") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(
+      Seq((0L, "a b c d e")).toDF("doc_id", "text"), dir)
+    // consistent artifact: pinned files == listed files
+    val (_, files) = Decontaminate.loadBloomPinned(spark, dir)
+    assert(files == Decontaminate.landedGxFiles(spark, dir))
+    // simulate the re-land window (parquet overwritten, sidecar not
+    // yet): rename a part file — per-job UUID names mean a real
+    // re-land never reuses one
+    val p = new java.io.File(new java.net.URI(files.head))
+    val renamed = new java.io.File(p.getParent, "part-relanded.snappy.parquet")
+    assert(p.renameTo(renamed))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.loadBloomPinned(spark, dir)
+    }
+    assert(e.getMessage.contains("re-land"))
+  }
+
+  test("loadBloomPinned refuses a headerless (pre-format/truncated) sidecar") {
+    val dir = freshDir()
+    Decontaminate.landBenchmark(
+      Seq((0L, "a b c d e")).toDF("doc_id", "text"), dir)
+    // overwrite the sidecar with a raw blob (no GBF1 header); drop the
+    // Hadoop checksum sidecar too or the read fails on CRC, not format
+    val raw = Decontaminate.loadBloom(spark, dir)
+    Files.write(java.nio.file.Paths.get(dir, "_bloom.bin"), raw)
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._bloom.bin.crc"))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.loadBloom(spark, dir)
+    }
+    assert(e.getMessage.contains("GBF1"))
+  }
 }

@@ -247,6 +247,10 @@ def selftest(outdir: str | None = None) -> None:
         b = norm(con.execute(pairs_sql(sub)).df())
         assert a.equals(b), "pairs_sql extraction diverges from the q31 oracle"
         print(f"pairs_sql fallback OK ({len(a)} candidate pairs)")
+    else:
+        # reduced coverage must be visible: without a dump dir the q60
+        # union-find A/B pin (check 5) never ran
+        print("q60 A/B SKIPPED (no outdir with oracle_sql.json)")
     print("selftest OK")
 
 if __name__ == "__main__":
@@ -264,4 +268,10 @@ if __name__ == "__main__":
                 print(f"usage: compare.py SFDIR OUTDIR [--only a,b,c]; got {extra}")
                 sys.exit(1)
             only = set(x.strip() for x in extra[1].split(",") if x.strip())
+            if not only:
+                # '--only ,' parses to an empty set, which would skip
+                # every query and exit 0 — green while verifying nothing
+                print(f"usage: compare.py SFDIR OUTDIR [--only a,b,c]; "
+                      f"--only parsed to no names: {extra[1]!r}")
+                sys.exit(1)
         main(sys.argv[1], sys.argv[2], only)
