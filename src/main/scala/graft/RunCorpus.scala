@@ -227,21 +227,27 @@ object RunCorpus {
           // empty, AFTER the guard passed) and pay the join twice
           val served = graft.ops.EpochShuffle.fetchShard(
             corpus, opts("manifests"), epoch, shard).localCheckpoint()
-          // refuse BEFORE the overwrite (the landBenchmark discipline):
-          // a typo'd epoch/shard must not clobber a previously served
-          // good shard with an empty dataset
-          if (served.isEmpty) {
-            System.err.println(s"[corpus] FAILED: epoch=$epoch shard=$shard " +
-              s"served zero rows from ${opts("manifests")} — wrong epoch/shard " +
-              "or manifests pointer; nothing written")
-            return 1
-          }
-          // ONE sorted file: a shard is budget-bounded by construction
-          // (tokensPerShard), and parquet read-back guarantees row
-          // order only within a single file read as a single split —
-          // coalesce(1) after the sort keeps the advertised training
-          // order on disk (sorted partitions merge in order)
-          served.coalesce(1).write.mode("overwrite").parquet(out)
+          try {
+            // refuse BEFORE the overwrite (the landBenchmark
+            // discipline): a typo'd epoch/shard must not clobber a
+            // previously served good shard with an empty dataset
+            if (served.isEmpty) {
+              System.err.println(s"[corpus] FAILED: epoch=$epoch shard=$shard " +
+                s"served zero rows from ${opts("manifests")} — wrong epoch/shard " +
+                "or manifests pointer; nothing written")
+              return 1
+            }
+            // ONE sorted file: a shard is budget-bounded by construction
+            // (tokensPerShard), and parquet read-back guarantees row
+            // order only within a single file read as a single split —
+            // coalesce(1) after the sort keeps the advertised training
+            // order on disk (sorted partitions merge in order)
+            served.coalesce(1).write.mode("overwrite").parquet(out)
+          } finally
+            // release the checkpoint on every path: an in-JVM caller
+            // (spec, scheduler) serving shards repeatedly must not
+            // accumulate one pinned text copy per serve
+            served.unpersist()
           val landed = spark.read.parquet(out)
           val n = landed.count()
           val toks = landed.agg(org.apache.spark.sql.functions.sum("n_tokens"))

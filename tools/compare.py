@@ -100,8 +100,11 @@ def scalable_q60(con, oracles) -> pd.DataFrame:
     The q60 SQL stays in oracle_sql.json unchanged: the driver's
     sf0.01 gate keeps running it; only this dev-side harness reroutes.
     """
-    pairs = con.execute(pairs_sql(oracles)).df()
-    e = pairs[pairs["jaccard_est"] >= 0.5]
+    # threshold pushed into DuckDB: at sf10 the unthresholded pair set
+    # is ~39M rows; only the >= 0.5 edges ever reach the union-find
+    e = con.execute(
+        f"SELECT doc1, doc2 FROM ({pairs_sql(oracles)}) "
+        "WHERE jaccard_est >= 0.5").df()
     parent: dict = {}
     def find(x):
         r = x
@@ -302,7 +305,14 @@ def main(sfdir: str, outdir: str, only: set | None = None) -> None:
         try:
             tbad = type_mismatches(con, oracles[name], files[0])
             got = norm(pd.read_parquet(f"{outdir}/{name}"))
-            if name in SCALABLE_ORACLES:
+            # Scalable reroutes are OPT-IN (big-scale runs where the
+            # direct SQL DNFs/OOMs): the routine dev gate must keep
+            # executing the committed oracle SQL, or an edit to those
+            # oracles would only ever be caught by the driver, never
+            # by tools/verify.sh (--selftest pins reroute ≡ direct,
+            # but nothing in the routine loop runs it).
+            scalable = os.environ.get("GRAFT_SCALABLE_ORACLES") == "1"
+            if scalable and name in SCALABLE_ORACLES:
                 want = norm(SCALABLE_ORACLES[name](con, oracles))
             else:
                 want = norm(con.execute(oracles[name]).df())
