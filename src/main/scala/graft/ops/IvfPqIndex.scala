@@ -77,9 +77,28 @@ object IvfPqIndex {
   def land(emb: DataFrame, dir: String, coarseK: Int, m: Int, ksub: Int,
            idCol: String = "vec_id", vecCol: String = "embedding",
            overwrite: Boolean = true,
-           codebookSource: Option[DataFrame] = None): Unit = {
-    val (coarseIds, coarse, pq) =
-      codebooks(codebookSource.getOrElse(emb), coarseK, ksub, idCol, vecCol)
+           codebookSource: Option[DataFrame] = None): Unit =
+    landEncoded(emb, dir, m,
+      trainCodebooks(codebookSource.getOrElse(emb), coarseK, ksub, idCol, vecCol),
+      idCol, vecCol, overwrite)
+
+  /** The driver-resident codebook tables [[landEncoded]] encodes
+    * against: (coarse centroid ids, coarse centroids, PQ subspace
+    * codebook rows). One training-frame scan; derive ONCE and reuse
+    * when landing repeatedly against the same training source (the
+    * streaming gate's frozen-state discipline — per-batch re-derivation
+    * would re-scan the training frame every micro-batch). */
+  def trainCodebooks(source: DataFrame, coarseK: Int, ksub: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[Long], Seq[Seq[Double]], Seq[Seq[Double]]) =
+    codebooks(source, coarseK, ksub, idCol, vecCol)
+
+  /** [[land]] with pre-derived codebooks. */
+  def landEncoded(emb: DataFrame, dir: String, m: Int,
+                  cb: (Seq[Long], Seq[Seq[Double]], Seq[Seq[Double]]),
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  overwrite: Boolean = true): Unit = {
+    val (coarseIds, coarse, pq) = cb
     val dim = coarse.headOption.map(_.length).getOrElse(0)
     require(coarse.isEmpty || dim % m == 0,
       s"IvfPqIndex.land: dim $dim not divisible into $m subspaces")

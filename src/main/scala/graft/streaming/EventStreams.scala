@@ -133,7 +133,16 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= SessionGapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
+                  // min() on the start: a cross-batch LATE event (in
+                  // watermark, so at most WatermarkDelay behind) can
+                  // precede the session's current start, and the batch
+                  // analog — which sees all rows sorted — would open
+                  // the session at it. WatermarkDelay (10 m) <
+                  // SessionGapMs (30 m) guarantees an admitted late
+                  // event is never more than a gap before startMs, so
+                  // merging is always the batch-equal answer.
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                                    lastMs = math.max(s.lastMs, t), n = s.n + 1,
                                     valueSum = s.valueSum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.startMs),
@@ -198,9 +207,11 @@ object EventStreams {
     * dedup state is EVICTED once the watermark passes (bounded state —
     * a plain `dropDuplicates` on a stream grows state forever, the
     * scale trap this wrapper exists to avoid). */
-  def dedupeStream(events: DataFrame, keys: Seq[String]): DataFrame =
+  def dedupeStream(events: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedupeStream needs at least one key column")
     events.withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Wire a transform to a file-backed stream of events-shaped parquet
     * (the production entry: readStream → transform → writeStream). */
@@ -403,11 +414,22 @@ object EventStreams {
 
   /** True iff the delta files hold zero rows in total — the harmless
     * shape a zero-row append leaves behind. Any read failure counts
-    * as rows (conservative: drop the carry, reseed next batch). */
-  private def deltaRowless(spark: SparkSession, paths: Seq[String]): Boolean =
+    * as rows (conservative: drop the carry, reseed next batch). The
+    * listing stores SCHEME-STRIPPED paths (fingerprint stability), so
+    * they are re-qualified against the LANDING's filesystem — read
+    * against the default FS, a landing on s3a/hdfs would fail the
+    * read and silently drop the carries on every zero-row fold,
+    * forcing the O(corpus) reseed the carry design exists to avoid. */
+  private def deltaRowless(spark: SparkSession, landingDir: String,
+                           paths: Seq[String]): Boolean =
     paths.isEmpty || {
-      try spark.read.parquet(paths: _*).isEmpty
-      catch { case _: Throwable => false }
+      try {
+        val fs = new org.apache.hadoop.fs.Path(landingDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val qualified = paths.map(p =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+        spark.read.parquet(qualified: _*).isEmpty
+      } catch { case _: Throwable => false }
     }
 
   /** Test seam: invoked after a batch's append returns and BEFORE the
@@ -430,7 +452,8 @@ object EventStreams {
                                       Option[Array[Byte]])]): Unit = {
     val postParts = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(preParts, postParts, appendedRows) &&
-      (appendedRows > 0L || deltaRowless(spark, deltaPaths(preParts, postParts)))
+      (appendedRows > 0L ||
+        deltaRowless(spark, landingDir, deltaPaths(preParts, postParts)))
     if (!clean) {
       // an unexplained delta poisons EVERY carry on this landing, not
       // just the folding mode's — drop all three maps' entries
@@ -487,7 +510,8 @@ object EventStreams {
                              stages: Seq[IngestStage]): Unit = {
     val post = landingParts(spark, landingDir)
     val clean = appendOnlyDelta(Seq.empty, post, landedCount) &&
-      (landedCount > 0L || deltaRowless(spark, deltaPaths(Seq.empty, post)))
+      (landedCount > 0L ||
+        deltaRowless(spark, landingDir, deltaPaths(Seq.empty, post)))
     if (!clean) return
     val fp = fpOf(post)
     val cap = math.max(landedCount, 1L) * 4
@@ -504,7 +528,7 @@ object EventStreams {
     * by StreamingSpec's listener cases), which is the property that
     * survives a 100 TB landing. `firsts` must be persisted by the
     * caller (the probe count and the write both consume it). */
-  private def exactStage(probed: DataFrame, corpus: DataFrame,
+  private def exactStage(probed: DataFrame, corpus: () => DataFrame,
                          textCol: String, idCol: String): DataFrame = {
     val nPositive = probed.filter(col("maybe_dup")).count()
     if (nPositive == 0L) probed.drop("maybe_dup")
@@ -516,11 +540,23 @@ object EventStreams {
       // duplicate-insensitive on its right input, and the landed texts
       // are unique by the dedup invariant anyway — a distinct here
       // would add a full-corpus hash aggregation to every
-      // bloom-positive batch for nothing
-      val dupIds = probed.filter(col("maybe_dup"))
-        .join(corpus.select(col(textCol)), Seq(textCol), "left_semi")
-        .select(col(idCol))
-      probed.join(dupIds, Seq(idCol), "left_anti").drop("maybe_dup")
+      // bloom-positive batch for nothing.
+      // the confirm AND the anti both key on the TEXT (the actual
+      // duplicate semantic), not idCol: an anti-join on idCol keeps
+      // every NULL-id row (null never equals null), so a confirmed
+      // duplicate with a null id would land duplicate text and break
+      // the landed-texts-unique invariant the optimization above
+      // relies on. Null-TEXT rows never probe bloom-positive (no
+      // bloom identity) and null anti-keys survive, so null-text
+      // rows still land exactly once per row, as before.
+      val dupTexts = probed.filter(col("maybe_dup"))
+        .join(corpus().select(col(textCol)), Seq(textCol), "left_semi")
+        .select(col(textCol))
+      // re-select in probed's column order: a USING join hoists its
+      // key first, and the landing's column order must not depend on
+      // which confirm branch a batch took
+      probed.join(dupTexts, Seq(textCol), "left_anti")
+        .select(probed.columns.filterNot(_ == "maybe_dup").map(col): _*)
     }
   }
 
@@ -586,12 +622,13 @@ object EventStreams {
     * for the candidates against the landing's signature columns
     * (column-pruned, 4 longs/row, text never re-read) and keep the
     * confirmed-new. `probed` must be persisted by the caller. */
-  private def nearStage(probed: DataFrame, corpus: DataFrame, idCol: String): DataFrame = {
+  private def nearStage(probed: DataFrame, corpus: () => DataFrame,
+                        idCol: String): DataFrame = {
     val nCandidates = probed.filter(col("maybe_nd")).count()
     if (nCandidates == 0L) probed.drop("maybe_nd")
     else {
       val candidates = probed.filter(col("maybe_nd")).drop("maybe_nd")
-      val corpusSigs = corpus.select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+      val corpusSigs = corpus().select(col(idCol), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
       val confirmedNew = candidates.join(
         graft.ops.NearDupIncremental.newDocs(corpusSigs, candidates, idCol)
           .filter(col("is_new")).select(col(idCol)),
@@ -664,7 +701,7 @@ object EventStreams {
     * READ, never recomputed from vectors) and its vectors only for
     * distinct candidate pairs. `probed` must be persisted by the
     * caller. */
-  private def semStage(probed: DataFrame, corpusCoded: DataFrame, tau: Double,
+  private def semStage(probed: DataFrame, corpusCoded: () => DataFrame, tau: Double,
                        idCol: String, vecCol: String, bands: Int): DataFrame = {
     val nCandidates = probed.filter(col("maybe_sem")).count()
     if (nCandidates == 0L) probed.drop("maybe_sem")
@@ -672,7 +709,7 @@ object EventStreams {
       val candidates = probed.filter(col("maybe_sem")).drop("maybe_sem")
       val confirmedNew = candidates.join(
         graft.ops.SemanticIncremental
-          .newDocsCoded(corpusCoded, candidates, tau, idCol, vecCol, bands)
+          .newDocsCoded(corpusCoded(), candidates, tau, idCol, vecCol, bands)
           .filter(col("is_new")).select(col(idCol)),
         Seq(idCol), "left_semi")
       probed.filter(!col("maybe_sem")).drop("maybe_sem").unionByName(confirmedNew)
@@ -713,8 +750,11 @@ object EventStreams {
     buildCarry: (DataFrame, Long, String) => CarriedBloom,
     probeCol: String,
     probe: CarriedBloom => Column,
-    /** (persisted probed frame, corpus) → surviving rows. */
-    confirm: (DataFrame, DataFrame) => DataFrame,
+    /** (persisted probed frame, LAZY corpus) → surviving rows. The
+      * corpus thunk must only be forced on the bloom-positive path:
+      * a clean batch (the steady-state common case) must build no
+      * corpus relation at all — not even its file listing. */
+    confirm: (DataFrame, () => DataFrame) => DataFrame,
     /** Observation metrics that compute the appended rows' bloom
       * during the write (empty when no carry exists yet). */
     metricsFor: String => Seq[Column],
@@ -779,7 +819,7 @@ object EventStreams {
       probeCol = "maybe_sem",
       probe = c => semBucketProbe(c.blob, sem.bands),
       confirm = (probed, corpus) => semStage(probed,
-        corpus.select((col(idCol) +: col(sem.vecCol) +: sbCols.map(col)): _*),
+        () => corpus().select((col(idCol) +: col(sem.vecCol) +: sbCols.map(col)): _*),
         sem.tau, idCol, sem.vecCol, sem.bands),
       metricsFor = dir => semBucketMetricsFor(dir, sem.bands),
       observed = (dir, obs) => observedSemBucketBloom(dir, sem.bands, obs))
@@ -847,11 +887,25 @@ object EventStreams {
               // relation resolves, so the validated post-append delta
               // brackets everything the batch's plans could have seen
               val pre = landingParts(spark, landingDir)
-              val corpus = spark.read.parquet(landingDir)
-              stages.foreach(_.landingCheck(corpus, landingDir))
-              requireNoForeignState(corpus, landingDir,
+              // the schema-contract checks need only the SCHEMA: one
+              // part file's footer serves them without building the
+              // full-dir relation (whose InMemoryFileIndex re-lists
+              // the whole landing — on a 100k-file landing that
+              // doubled every clean batch's metadata cost)
+              val schemaSrc = pre.find(isVisible) match {
+                case Some(part) => spark.read.parquet(partPath(part))
+                case None       => spark.read.parquet(landingDir)
+              }
+              stages.foreach(_.landingCheck(schemaSrc, landingDir))
+              requireNoForeignState(schemaSrc, landingDir,
                 stages.flatMap(_.stateCols).toSet)
-              if (landed.get() < 0L) landed.set(corpus.count()) // seed on restart
+              // the corpus relation is LAZY: only a bloom-positive
+              // confirm, a carry reseed, or a restart count forces it
+              // — a clean steady-state batch never lists the landing
+              // a second time
+              lazy val corpusRel = spark.read.parquet(landingDir)
+              val corpus = () => corpusRel
+              if (landed.get() < 0L) landed.set(corpus().count()) // seed on restart
               val fp = fpOf(pre)
               val out = stages.foldLeft(batch) { (cur, s) =>
                 // valid carry: fingerprint-fresh and within capacity;
@@ -863,7 +917,7 @@ object EventStreams {
                       landed.get() <= cached.capacity) cached
                   else {
                     val cap = math.max(landed.get(), 1L) * 4
-                    val c = s.buildCarry(corpus, cap, fp)
+                    val c = s.buildCarry(corpus(), cap, fp)
                     s.carryMap.put(landingDir, c)
                     c
                   }
@@ -1301,6 +1355,20 @@ object EventStreams {
       mine.runId = q.runId
       flock.runId = q.runId
       lockByRun.put(q.runId, landingDir)
+      // re-check liveness after the put (the registerFrozen
+      // discipline): a query that dies DURING startup can fire
+      // onQueryTerminated before the put — the listener then found
+      // nothing to release and the on-disk writer lock would block
+      // other JVMs for the full staleness window. The atomic removes
+      // make whichever side wins release exactly once.
+      if (!q.isActive) {
+        val key = lockByRun.remove(q.runId)
+        if (key != null) {
+          val h = ingestLocks.get(key)
+          if (h != null && h.runId == q.runId && ingestLocks.remove(key, h))
+            releaseOwnLock(h.fs, h.path)
+        }
+      }
       q
     } catch {
       case t: Throwable =>
@@ -2349,13 +2417,18 @@ object EventStreams {
       "index's partition columns")
     val indexKey = landingKey(docs.sparkSession, indexDir)
     startGuarded(docs.sparkSession, indexKey) {
+      // codebooks are FROZEN state (the ingestQuality LM discipline):
+      // derived once inside the guard — per-batch re-derivation would
+      // collect a training-frame scan on every micro-batch for
+      // byte-identical deterministic codebooks
+      val cb = graft.ops.IvfPqIndex.trainCodebooks(
+        trainingSource, coarseK, ksub, idCol, vecCol)
       docs.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           heartbeatIngestLock(indexKey)
-          graft.ops.IvfPqIndex.land(batch, s"$indexKey/batch=$batchId",
-            coarseK, m, ksub, idCol, vecCol,
-            overwrite = true, codebookSource = Some(trainingSource))
+          graft.ops.IvfPqIndex.landEncoded(batch, s"$indexKey/batch=$batchId",
+            m, cb, idCol, vecCol, overwrite = true)
           ()
         }
         .start()

@@ -124,6 +124,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stateful sessionization: an in-watermark LATE event lowers the session start (batch ≡ stream)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 opens a session at minute 20; u2's event at 25 drives the
+      // global watermark to 15, so u1's minute-16 event in the next
+      // batch is LATE (strictly above the watermark, so admitted) —
+      // the batch analog (all rows sorted) opens u1's session at 16
+      input.addData(ev(1, 20, value = 2.0), ev(2, 25, user = 2L, value = 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 16, value = 3.0)) // late, in-watermark
+      q.processAllAvailable()
+      input.addData(ev(4, 120, user = 9L)) // push watermark past last+gap
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.session_start == ts(16) && u1.head.session_end == ts(20))
+      assert(u1.head.n_events == 2 && u1.head.total_value == 5.0)
+      // the bounded twin on the same rows agrees row-for-row
+      val batch = EventStreams.sessionizeStateful(
+          Seq(ev(1, 20, value = 2.0), ev(3, 16, value = 3.0)).toDS(),
+          flushOpenAtEnd = true).collect()
+      assert(batch.length == 1)
+      assert(batch.head.session_start == u1.head.session_start &&
+             batch.head.session_end == u1.head.session_end &&
+             batch.head.n_events == u1.head.n_events &&
+             batch.head.total_value == u1.head.total_value)
+    } finally q.stop()
+  }
+
   test("stateful sessionization on a bounded dataset flushes final open sessions") {
     import spark.implicits._
     // batch execution never fires event-time timeouts; flushOpenAtEnd
@@ -1813,6 +1848,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       }
       assert(err.getMessage.contains("sb0"), s"wrong failure: ${err.getMessage}")
     } finally q4.stop()
+  }
+
+  test("exact gate: a confirmed duplicate arriving with a NULL doc_id is dropped (text-keyed confirm)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-nulliddup").toString
+    val landing = base + "/corpus"
+    val input = MemoryStream[(Option[Long], String)]
+    val q = EventStreams.ingestDedup(
+      input.toDF().toDF("doc_id", "text"), landing, base + "/ck")
+    try {
+      input.addData((Some(1L), "alpha bravo"), (Some(2L), "charlie delta"))
+      q.processAllAvailable()
+      // a cross-batch duplicate text with a NULL id must be dropped —
+      // an idCol-keyed anti-join keeps every null-id row (null never
+      // equals null) and would land duplicate text, breaking the
+      // landed-texts-unique invariant; a null-id NEW text still lands
+      input.addData((None, "alpha bravo"), (None, "echo foxtrot"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(landing).select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(landed == Seq("alpha bravo", "charlie delta", "echo foxtrot"))
+    } finally q.stop()
   }
 
   test("null texts and null vectors have no bloom identity: clean null-bearing batches stay landing-free") {
