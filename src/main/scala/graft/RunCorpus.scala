@@ -246,8 +246,11 @@ object RunCorpus {
           } finally
             // release the checkpoint on every path: an in-JVM caller
             // (spec, scheduler) serving shards repeatedly must not
-            // accumulate one pinned text copy per serve
-            served.unpersist()
+            // accumulate one pinned text copy per serve. A bare
+            // unpersist() only clears cache-manager entries; the
+            // localCheckpoint's RDD blocks live outside it, so go
+            // through the shared release helper
+            graft.streaming.EventStreams.releaseFrozenFrame(served)
           val landed = spark.read.parquet(out)
           val n = landed.count()
           val toks = landed.agg(org.apache.spark.sql.functions.sum("n_tokens"))

@@ -1027,8 +1027,10 @@ object EventStreams {
     * for a localCheckpoint'd frame, the underlying checkpointed RDD's
     * blocks (which live OUTSIDE the cache manager — `unpersist` on the
     * Dataset alone would leak them). Best-effort: release must never
-    * fail a terminating stream. */
-  private def releaseFrozenFrame(df: DataFrame): Unit = {
+    * fail a terminating stream. Shared across the repo: any
+    * localCheckpoint'd frame (e.g. RunCorpus fetch-shard serving)
+    * must release through here, not bare `unpersist`. */
+  private[graft] def releaseFrozenFrame(df: DataFrame): Unit = {
     try { df.unpersist(false); () }
     catch { case scala.util.control.NonFatal(_) => () }
     try df.queryExecution.analyzed match {

@@ -199,9 +199,19 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     graft.ops.EpochShuffle.landManifests(
       corpus, s"$tmp/manifests", epochs = Seq(0, 1), tokensPerShard = 40L)
     val outShard = s"$tmp/shard"
+    // the serve localCheckpoints the shard for a one-execution probe+write;
+    // pin that the checkpoint's RDD blocks are RELEASED on exit — a bare
+    // Dataset.unpersist misses them (they live outside the cache manager),
+    // which is the r18-ADVICE leak this guards against
+    val cachedBefore = spark.sparkContext.getRDDStorageInfo
+      .filter(_.numCachedPartitions > 0).map(_.id).toSet
     assert(RunCorpus.execute(spark, Array("--mode", "fetch-shard",
       "--in", s"$tmp/corpus", "--out", outShard,
       "--manifests", s"$tmp/manifests", "--epoch", "1", "--shard", "0")) == 0)
+    val cachedAfter = spark.sparkContext.getRDDStorageInfo
+      .filter(_.numCachedPartitions > 0).map(_.id).toSet
+    assert((cachedAfter -- cachedBefore).isEmpty,
+      s"fetch-shard must release its localCheckpoint blocks, leaked RDDs: ${cachedAfter -- cachedBefore}")
     val served = spark.read.parquet(outShard)
     // the served shard carries text + manifest columns, equals the
     // library call row-for-row, and respects the token budget
