@@ -4,7 +4,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,10 +101,17 @@ final case class LmMaps(langs: Map[UTF8String, LangLm])
   * expression, bit-identical over the swept count domain (BASELINE
   * round 15). Not registered in the function registry: the broadcast
   * handle is a constructor argument, so it is built directly via
-  * ExpressionUtils.column. */
+  * ExpressionUtils.column.
+  *
+  * Codegen'd (r19): `doGenCode` emits a direct call to [[score]] via a
+  * reference object — same compiled body as the interpreted path, but
+  * the projection stays inside ONE whole-stage-codegen span. The
+  * previous `CodegenFallback` forced the parent projection to
+  * materialize an input row and split the span (the round-7
+  * `interleave_bits` precedent). */
 case class LmScore(left: Expression, right: Expression,
                    maps: Broadcast[LmMaps])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_pos", LongType, nullable = false),
@@ -129,13 +137,22 @@ case class LmScore(left: Expression, right: Expression,
   override protected def nullSafeEval(t: Any, l: Any): Any =
     throw new IllegalStateException("unreachable: eval is overridden")
 
-  override def eval(input: InternalRow): Any = {
-    val textAny = left.eval(input)
-    val langAny = right.eval(input)
-    if (textAny == null || langAny == null)
+  /** Broadcast handle dereferenced once per task, not once per row. */
+  @transient private lazy val langs = maps.value.langs
+
+  override def eval(input: InternalRow): Any =
+    score(left.eval(input).asInstanceOf[UTF8String],
+          right.eval(input).asInstanceOf[UTF8String])
+
+  /** The one shared body behind both the interpreted `eval` and the
+    * generated code (which calls it through a reference object), so
+    * the two execution modes cannot drift. Public because generated
+    * Java must reach it. */
+  def score(text: UTF8String, lang: UTF8String): InternalRow = {
+    if (text == null || lang == null)
       return new GenericInternalRow(Array[Any](0L, null))
-    val lm = maps.value.langs.getOrElse(langAny.asInstanceOf[UTF8String], null)
-    val bytes = textAny.asInstanceOf[UTF8String].getBytes
+    val lm = langs.getOrElse(lang, null)
+    val bytes = text.getBytes
     // token spans + gram hashes — the ONE shared LmEntries scan
     // ([[WordBigramScan]]), so the two arms' tokenizers cannot drift
     val s = WordBigramScan.spans(bytes)
@@ -150,6 +167,24 @@ case class LmScore(left: Expression, right: Expression,
       // prefix unigram (conditioning token): +lp(c₁ + V)
       onUnigram = h => xent += lp(lm.uni.getOrZero(h) + lm.v))
     new GenericInternalRow(Array[Any](nPos, xent))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("lmScore", this, classOf[LmScore].getName)
+    val rowCls = classOf[InternalRow].getName
+    val u8 = classOf[UTF8String].getName
+    // non-null output struct even for NULL inputs (see the class doc),
+    // so isNull is the FALSE literal and only the operands branch
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $rowCls ${ev.value} = $ref.score(
+          ${l.isNull} ? ($u8) null : ${l.value},
+          ${r.isNull} ? ($u8) null : ${r.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

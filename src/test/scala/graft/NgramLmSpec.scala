@@ -141,6 +141,76 @@ class NgramLmSpec extends AnyFunSuite with SparkTestSession {
     assert(trained.maps eq trained.maps)
   }
 
+  test("LmScore doGenCode: generated scoring ≡ interpreted bit-for-bit, projection inside ONE whole-stage span (r19)") {
+    val docs = Seq(
+      (0L, "a b a b c a", "en"),
+      (10L, "x y x z", "de"),
+      (1L, "a b c", "en"),
+      (2L, "q r s t", "en"),
+      (3L, "z", "en"),
+      (4L, "", "en"),
+      (5L, null.asInstanceOf[String], "en"),
+      (6L, "a b", null.asInstanceOf[String]),
+      (7L, "a b", "fr"),
+      (9L, "日本語 then a b ascii", "en")) ++
+      (20L until 50L).map(i => (i, s"a tok${i % 5} b tok${(i * 3) % 5} c", "en"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val trained = NgramLm.train(df.filter(col("doc_id") % 10 === 0))
+    assert(trained.entries <= NgramLm.BroadcastEntries,
+      "spec LM must sit in the map-fold regime for the pin to bite")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).orNull,
+        r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).sortBy(_._1).toSeq
+    def withConfs(kvs: (String, String)*)(body: => Seq[Any]): Seq[Any] = {
+      val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // generated path, loud-fail: a doGenCode compile error must not
+    // silently fall back to interpreted eval
+    val gen = withConfs("spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(
+      canon(NgramLm.scoreRows(df, trained)))
+    // interpreted path: whole-stage off AND expression codegen off
+    val interp = withConfs("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(
+      canon(NgramLm.scoreRows(df, trained)))
+    assert(gen == interp)
+    // the r18 CodegenFallback split the projection OUT of whole-stage
+    // codegen (CollapseCodegenStages excludes fallback expressions);
+    // pin that the scoring projection now sits inside a span. A local
+    // relation would constant-fold the whole plan away, so pin over a
+    // parquet scan — the real q93 shape
+    val pq = java.nio.file.Files.createTempDirectory("lmscore-cg").toString + "/docs"
+    df.write.parquet(pq)
+    val exec = NgramLm.scoreRows(spark.read.parquet(pq), trained)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.{InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    // walk only the operators INSIDE a span — a node below an
+    // InputAdapter is outside it (subtree toString would lie here: it
+    // prints through the adapter, which is exactly how the r18 split
+    // plan could still "contain" lm_score)
+    def inSpan(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: InputAdapter => Nil
+      case other => other +: other.children.flatMap(inSpan)
+    }
+    val spanned = exec.collect {
+      case w: WholeStageCodegenExec => inSpan(w.child) }.flatten
+    assert(spanned.exists {
+        case p: ProjectExec =>
+          p.projectList.exists(_.exists(_.isInstanceOf[graft.functions.LmScore]))
+        case _ => false
+      },
+      s"lm_score projection must be inside a WholeStageCodegen span:\n$exec")
+  }
+
   test("scores are partitioning-invariant (exact integer aggregation, no float order hazard)") {
     val docs = (0L until 40L).map(i =>
       (i, s"tok${i % 7} tok${(i * 3) % 7} tok${(i * 5) % 7} tok${i % 7}", "en"))
