@@ -1993,6 +1993,33 @@ object SparkEntry {
       ops.EpochShuffle.landManifests(
         Tables.documents(s, dir), mDir, epochs = Seq(7, 8), tokensPerShard = 2000L)
       ops.EpochShuffle.manifestSummary(s, mDir)
+    }),
+
+    // ---- ANN: the occupancyBits PRODUCTION sizing policy, oracled ----
+    // q36/q55 pin fixed (bits, bands) knobs; this carrier runs the
+    // policy a production ingest actually uses — bits grown with the
+    // corpus so expected bucket occupancy stays ~8 and candidate pairs
+    // stay LINEAR in n (tools/OccupancyBitsProbe measured ×17–20 pairs
+    // per ×10 corpus vs ×100 under fixed bits). One count job sizes the
+    // code; the oracle recomputes the identical width from COUNT(*) in
+    // SQL, so the policy arithmetic AND the plane codes at that width
+    // are both value-checked at every scale factor (the chosen width
+    // rides along as a column). Occupancy summary per band on top: the
+    // policy's TARGET (mean occupancy ≈ 8, never a quadratic bucket)
+    // is what the carrier asserts, not just the code bits.
+    "q99_occupancy_policy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = Similarity.occupancyBits(emb.count())
+      Similarity.bandedBuckets(emb, bits = bits, bands = AnnBands)
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("occupancy"))
+        .groupBy(col("band"))
+        .agg(lit(bits).as("bits"),
+             count(lit(1)).as("n_buckets"),
+             sum(col("occupancy")).as("n_rows"),
+             max(col("occupancy")).as("max_occupancy"),
+             round(avg(col("occupancy")), 6).as("mean_occupancy"))
+        .orderBy("band")
     })
   )
 
@@ -4171,7 +4198,42 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p
         |GROUP BY 1, 2
-        |ORDER BY epoch, shard""".stripMargin
+        |ORDER BY epoch, shard""".stripMargin,
+
+    // q99: the production occupancyBits policy, both sides data-driven.
+    // bits = min(24, max(4, ceil(log2(max(1, n div 8))))) is recomputed
+    // from COUNT(*) in SQL (the dynamic twin of Similarity.occupancyBits),
+    // and the per-band codes regenerate the a(j)/b(j) plane formulas
+    // INLINE (sqlLshCode bakes per-plane constants at a fixed width, so
+    // a runtime width needs the closed forms: a(j) = 1 + (37+41j) % 1008,
+    // b(j) = (7+13j) % 1009, j = band*bits + k).
+    "q99_occupancy_policy" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |k AS (SELECT CAST(LEAST(24, GREATEST(4,
+        |        CAST(CEIL(LOG2(GREATEST(1, n // 8))) AS INTEGER))) AS INTEGER) AS bits
+        |      FROM nn),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bd AS (SELECT CAST(UNNEST(range($AnnBands)) AS INTEGER) AS band),
+        |codes AS (
+        |  SELECT vec_id, band, bits,
+        |    CAST(list_sum(list_transform(range(bits), kk ->
+        |      CASE WHEN COALESCE(list_sum(list_transform(range(len(v)),
+        |          d -> v[d+1] * (((((1 + ((37 + 41*(band*bits+kk)) % 1008)) * (d+1)
+        |                           + ((7 + 13*(band*bits+kk)) % 1009)) % 1009) / 1009.0)
+        |                         - 0.5))), 0.0) >= 0
+        |           THEN (CAST(1 AS BIGINT) << kk) ELSE 0 END)) AS INTEGER) AS bucket
+        |  FROM v CROSS JOIN bd CROSS JOIN k),
+        |occ AS (
+        |  SELECT band, bits, bucket, COUNT(*) AS occupancy
+        |  FROM codes GROUP BY 1, 2, 3)
+        |SELECT band, bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(occupancy) AS BIGINT) AS n_rows,
+        |  CAST(MAX(occupancy) AS BIGINT) AS max_occupancy,
+        |  round(AVG(occupancy), 6) AS mean_occupancy
+        |FROM occ
+        |GROUP BY 1, 2
+        |ORDER BY band""".stripMargin
   )
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
