@@ -746,13 +746,21 @@ object SparkEntry {
     // higher id as duplicate, anti-join keeps survivors. (Corpus
     // embeddings are near-orthogonal — max cosine ≈0.43 — so the 0.4
     // threshold exercises the path with a real, small drop set.)
+    // Runs the PRODUCTION occupancyBits sizing (r19): fixed bits=10 at
+    // n=200k meant ~195 vectors/bucket → ~39M cosine confirms, the
+    // suite's worst work-bound sf10 cell (8× gross, variance to
+    // minutes); the policy holds occupancy ~8 so the confirm stays
+    // linear in n at every scale. The oracle recomputes the same width
+    // from COUNT(*) (the q99 construction), so the cell stays
+    // value-exact. Fixed-knob banding behavior remains carried by
+    // q36/q37/q55.
     "q47_embed_dedup" -> ((s, dir) => {
-      val dups = Similarity.bucketJoin(Tables.embeddings(s, dir),
-          bits = AnnBits, bands = AnnBands)
+      val emb = Tables.embeddings(s, dir)
+      val dups = Similarity.bucketJoin(emb,
+          bits = Similarity.occupancyBits(emb.count()), bands = AnnBands)
         .filter(col("cosine") >= 0.4)
         .select(col("id2").as("vec_id")).distinct()
-      Tables.embeddings(s, dir)
-        .join(broadcast(dups), Seq("vec_id"), "left_anti")
+      emb.join(broadcast(dups), Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
@@ -2817,10 +2825,11 @@ object SparkEntry {
         |FROM scored WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
 
+    // q47: candidates at the PRODUCTION occupancyBits width — the nn/k
+    // CTEs recompute the engine's bits from COUNT(*) (q99 construction)
     "q47_embed_dedup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bk AS (
-        |$sqlBandedBuckets),
+        |$sqlDynamicBandedBuckets,
         |pairs AS (
         |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
         |  FROM bk l JOIN bk r
@@ -4208,24 +4217,11 @@ object SparkEntry {
     // a runtime width needs the closed forms: a(j) = 1 + (37+41j) % 1008,
     // b(j) = (7+13j) % 1009, j = band*bits + k).
     "q99_occupancy_policy" ->
-      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-        |k AS (SELECT CAST(LEAST(24, GREATEST(4,
-        |        CAST(CEIL(LOG2(GREATEST(1, n // 8))) AS INTEGER))) AS INTEGER) AS bits
-        |      FROM nn),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bd AS (SELECT CAST(UNNEST(range($AnnBands)) AS INTEGER) AS band),
-        |codes AS (
-        |  SELECT vec_id, band, bits,
-        |    CAST(list_sum(list_transform(range(bits), kk ->
-        |      CASE WHEN COALESCE(list_sum(list_transform(range(len(v)),
-        |          d -> v[d+1] * (((((1 + ((37 + 41*(band*bits+kk)) % 1008)) * (d+1)
-        |                           + ((7 + 13*(band*bits+kk)) % 1009)) % 1009) / 1009.0)
-        |                         - 0.5))), 0.0) >= 0
-        |           THEN (CAST(1 AS BIGINT) << kk) ELSE 0 END)) AS INTEGER) AS bucket
-        |  FROM v CROSS JOIN bd CROSS JOIN k),
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$sqlDynamicBandedBuckets,
         |occ AS (
         |  SELECT band, bits, bucket, COUNT(*) AS occupancy
-        |  FROM codes GROUP BY 1, 2, 3)
+        |  FROM bk GROUP BY 1, 2, 3)
         |SELECT band, bits,
         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |  CAST(SUM(occupancy) AS BIGINT) AS n_rows,
@@ -4235,6 +4231,31 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY band""".stripMargin
   )
+
+  /** CTE chain `nn, k, bd, bk` — banded hyperplane codes at the
+    * PRODUCTION width: `bits` recomputed from COUNT(*) in SQL (the
+    * dynamic twin of [[graft.ops.Similarity.occupancyBits]]) and the
+    * a(j)/b(j) plane formulas inlined as closed forms ([[sqlLshCode]]
+    * bakes per-plane constants at a fixed width, so a runtime width
+    * needs the formulas inline). Expects a prior CTE
+    * `v(vec_id, v DOUBLE[])`; yields bk(vec_id, band, bits, bucket).
+    * Shared by q99 (the policy carrier) and q47 (embed dedup at the
+    * production width). */
+  private def sqlDynamicBandedBuckets: String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      |k AS (SELECT CAST(LEAST(24, GREATEST(4,
+      |        CAST(CEIL(LOG2(GREATEST(1, n // 8))) AS INTEGER))) AS INTEGER) AS bits
+      |      FROM nn),
+      |bd AS (SELECT CAST(UNNEST(range($AnnBands)) AS INTEGER) AS band),
+      |bk AS (
+      |  SELECT vec_id, band, bits,
+      |    CAST(list_sum(list_transform(range(bits), kk ->
+      |      CASE WHEN COALESCE(list_sum(list_transform(range(len(v)),
+      |          d -> v[d+1] * (((((1 + ((37 + 41*(band*bits+kk)) % 1008)) * (d+1)
+      |                           + ((7 + 13*(band*bits+kk)) % 1009)) % 1009) / 1009.0)
+      |                         - 0.5))), 0.0) >= 0
+      |           THEN (CAST(1 AS BIGINT) << kk) ELSE 0 END)) AS INTEGER) AS bucket
+      |  FROM v CROSS JOIN bd CROSS JOIN k)""".stripMargin
 
   /** DuckDB expression mirroring HyperplaneLSH over a column `v`
     * (ARRAY<DOUBLE>): K=8 planes from the same integer formula,

@@ -9,7 +9,7 @@ script makes that forensics a one-liner. In-suite cells normally sit
 the default threshold flags only genuine outlier clusters.
 
 Usage:
-  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1] [--threshold 2.5]
+  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1|sf10] [--threshold 2.5 (sf10 sessions: use --threshold 5 — the in-suite drift band at that scale is 1.5-4x vs pooled minima)]
 
 Defaults: BENCH_FULL.json, sf0.1 column, threshold 2.5x. Exit 1 if any
 cell exceeds the threshold (wire into a round's pre-commit ritual).
@@ -30,21 +30,15 @@ threshold = float(opts.get("threshold", 2.5))
 
 session = json.load(open(session_path))["queries"]
 
-# Parse the recorded-minima table (| query | sf0.1 duck | sf0.1 spark |
-# ratio | sf1 duck | sf1 spark | ratio |); first matching table wins.
+# Recorded minima come from the machine-readable ledger
+# (BASELINE_CELLS.json, maintained by tools/ledger.py — the r19
+# consolidation of the old markdown table + scattered prose cells).
 base = {}
-in_table = False
-for line in open("BASELINE.md"):
-    if line.startswith("| query | sf0.1 duckdb ms |"):
-        in_table = True
-        continue
-    if in_table:
-        m = re.match(r"\| (q\d+_\w+) \| ([\d.]+) \| ([\d.]+) \| [^|]+\| ([\d.]+) \| ([\d.]+) \|", line)
-        if m:
-            spark_ms = float(m.group(3) if col == "sf0.1" else m.group(5))
-            base[m.group(1)] = spark_ms
-        elif base and not line.startswith("|"):
-            break
+cells = json.load(open("BASELINE_CELLS.json"))["cells"]
+for q, per_sf in cells.items():
+    ms = per_sf.get(col, {}).get("spark_ms")
+    if ms is not None:
+        base[q] = float(ms)
 
 flagged = []
 ratios = []

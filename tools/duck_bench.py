@@ -32,13 +32,20 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 out = {}
+errs = {}
 for name in names:
     best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    try:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+    except Exception as e:  # a DNF/OOM oracle must not kill the sweep
+        errs[name] = str(e).splitlines()[0][:200]
+        print(f"{name}: ERROR {errs[name]}", flush=True)
+        continue
     out[name] = round(best, 4)
     print(f"{name}: {best:.3f}s", flush=True)
-print(json.dumps({"sf": sfdir, "queries": out, "total": round(sum(out.values()), 3)}))
+print(json.dumps({"sf": sfdir, "queries": out, "errors": errs,
+                  "total": round(sum(out.values()), 3)}))
