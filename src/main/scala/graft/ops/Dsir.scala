@@ -78,9 +78,17 @@ object Dsir {
   def train(docs: DataFrame, targetPred: Column, textCol: String = "text",
             buckets: Int = 4096): DsirModel = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    // the histogram explode carries 4-byte bucket ints from the fused
+    // single-scan native (r19) — the gram-string explode with md5/conv
+    // layers per gram survives in [[withScoresRelational]]'s grams()
+    // form, and DsirSpec pins the two bucketings identical
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bucketsCol = ColumnBridge.column(graft.functions.DsirBuckets(
+      ColumnBridge.expression(coalesce(col(textCol), lit(""))),
+      ColumnBridge.expression(lit(buckets))))
     val hist: Array[Row] = docs
-      .select(targetPred.as("is_t"), explode(grams(col(textCol))).as("g"))
-      .select(col("is_t"), bucketOf(col("g"), buckets).as("b"))
+      .select(targetPred.as("is_t"), explode(bucketsCol).as("b0"))
+      .select(col("is_t"), col("b0").cast("long").as("b"))
       .groupBy("b")
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("t"),
            sum(when(col("is_t"), 0L).otherwise(1L)).as("s"))
@@ -115,6 +123,32 @@ object Dsir {
     * the three score names (the gate refuses them at start). */
   def withScores(docs: DataFrame, model: DsirModel,
                  textCol: String = "text"): DataFrame = {
+    // ONE byte scan per doc (fused native, r19): grams are bucketed and
+    // the delta fold happens inside the expression — the previous HOF
+    // form (kept below as withScoresRelational, spec-pinned ≡)
+    // materialized the gram-string array, then per gram paid
+    // md5 → substring → conv → element_at interpretation; the A/B read
+    // 1.72 → 0.84 s solo at sf0.1 (BASELINE r19)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val s = ColumnBridge.column(graft.functions.DsirScore(
+      ColumnBridge.expression(col(textCol)),
+      model.delta.toArray, model.constPerGram, model.buckets))
+    docs
+      .withColumn("_dsir", s)
+      .withColumn("n_grams", col("_dsir.n_grams"))
+      .withColumn("logw_micronats", col("_dsir.logw_micronats"))
+      // BIGINT 0/1, not BOOLEAN: integer-only output columns keep
+      // cross-engine hashes canonicalization-free (round-15 lesson)
+      .withColumn("selected", (col("logw_micronats") > 0).cast("bigint"))
+      .drop("_dsir")
+  }
+
+  /** The pre-r19 HOF/relational scoring arm, kept as the A/B twin:
+    * DsirSpec pins [[withScores]] ≡ this row-for-row (same contract as
+    * NgramLm's scoreRows-vs-score pin), so the fused scan and the
+    * compositional form cannot drift. */
+  private[graft] def withScoresRelational(docs: DataFrame, model: DsirModel,
+                                          textCol: String = "text"): DataFrame = {
     val deltaLit = typedLit(model.delta)
     val g = grams(col(textCol))
     docs
@@ -124,8 +158,6 @@ object Dsir {
           (acc, gram) => acc + element_at(deltaLit,
             (bucketOf(gram, model.buckets) + 1).cast("int")))
         + col("n_grams") * lit(model.constPerGram))
-      // BIGINT 0/1, not BOOLEAN: integer-only output columns keep
-      // cross-engine hashes canonicalization-free (round-15 lesson)
       .withColumn("selected", (col("logw_micronats") > 0).cast("bigint"))
   }
 

@@ -80,4 +80,70 @@ class DsirSpec extends AnyFunSuite with SparkTestSession {
         col("source") === "tgt"))
     assert(eE.getMessage.contains("target"))
   }
+
+  // edge-class corpus for the r19 fused-scan A/Bs: unicode (multi-byte
+  // bytes are separators), case folding, digits, punctuation runs,
+  // single token, empty, NULL, repeated grams, long text
+  private val edgeDocs: Seq[(Long, String, String)] = Seq(
+    (0L, "alpha beta alpha beta alpha", "tgt"),
+    (1L, "gamma delta gamma", "src"),
+    (2L, "  Mixed CASE a,b 42x  ", "src"),
+    (3L, "日本語 then alpha beta ascii", "src"),
+    (4L, "one", "src"),
+    (5L, "", "src"),
+    (6L, null.asInstanceOf[String], "src"),
+    (7L, ("alpha beta " * 300).trim, "src"),
+    (8L, "a-b_c.d!e", "src")) ++
+    (20L until 80L).map(i =>
+      (i, s"tok${i % 7} alpha tok${(i * 3) % 7} beta tok${(i * 5) % 7}",
+       if (i % 4 == 0) "tgt" else "src"))
+
+  test("fused-scan scoring ≡ the relational HOF arm row-for-row, codegen ≡ interpreted (r19)") {
+    val df = edgeDocs.toDF("doc_id", "text", "source")
+    val model = Dsir.train(df, col("source") === "tgt")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_grams", "logw_micronats", "selected")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val relational = canon(Dsir.withScoresRelational(df, model))
+    def withConfs(kvs: (String, String)*)(body: => Seq[Any]): Seq[Any] = {
+      val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // generated path loud-fail (a doGenCode bug must not silently fall
+    // back), interpreted path with codegen fully off — both must equal
+    // the relational arm bit-for-bit
+    val gen = withConfs("spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(
+      canon(Dsir.withScores(df, model)))
+    val interp = withConfs("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(
+      canon(Dsir.withScores(df, model)))
+    assert(gen == relational)
+    assert(interp == relational)
+  }
+
+  test("dsir_buckets (train's fused explode) ≡ the relational md5-bridge bucketing per doc (r19)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val b = 4096
+    val df = edgeDocs.toDF("doc_id", "text", "source")
+    val native = ColumnBridge.column(graft.functions.DsirBuckets(
+      ColumnBridge.expression(coalesce(col("text"), lit(""))),
+      ColumnBridge.expression(lit(b))))
+    // the composition train() used pre-r19: 1-grams ++ 2-grams as
+    // strings, md5-bridge bucket per gram, order-preserving
+    val grams = concat(graft.ops.Text.ngramsOfText(coalesce(col("text"), lit("")), 1),
+                       graft.ops.Text.ngramsOfText(coalesce(col("text"), lit("")), 2))
+    val relational = transform(grams, g =>
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % b).cast("int"))
+    val rows = df.select(col("doc_id"), native.as("n"), relational.as("r")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Int](1)} vs relational ${r.getSeq[Int](2)}")
+    }
+  }
 }
