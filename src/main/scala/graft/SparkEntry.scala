@@ -2014,7 +2014,14 @@ object SparkEntry {
     // are both value-checked at every scale factor (the chosen width
     // rides along as a column). Occupancy summary per band on top: the
     // policy's TARGET (mean occupancy ≈ 8, never a quadratic bucket)
-    // is what the carrier asserts, not just the code bits.
+    // is what the carrier asserts, not just the code bits. The mean is
+    // emitted in FIXED-POINT MICRO-UNITS as BIGINT — round-half-up via
+    // exact integer arithmetic, (2e6·rows + buckets) div (2·buckets) —
+    // because a round(avg,6) DOUBLE compared bit-for-bit across engines
+    // is a half-way-boundary hash hazard (Spark rounds BigDecimal
+    // HALF_UP on the shortest-decimal repr, DuckDB float-multiplies
+    // then std::round), the same integer-only-output-columns lesson
+    // the suite learned in round 15.
     "q99_occupancy_policy" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val bits = Similarity.occupancyBits(emb.count())
@@ -2025,9 +2032,35 @@ object SparkEntry {
         .agg(lit(bits).as("bits"),
              count(lit(1)).as("n_buckets"),
              sum(col("occupancy")).as("n_rows"),
-             max(col("occupancy")).as("max_occupancy"),
-             round(avg(col("occupancy")), 6).as("mean_occupancy"))
+             max(col("occupancy")).as("max_occupancy"))
+        .withColumn("mean_occupancy_micro",
+          expr("CAST((2000000 * n_rows + n_buckets) DIV (2 * n_buckets) AS BIGINT)"))
         .orderBy("band")
+    }),
+
+    // ---- aggregate-through-join: q56's PRODUCTION plan, oracled ----
+    // The same answer as q56 over the same tables, computed the way a
+    // 100 TB job should (Skew.aggThroughJoin): orders pre-aggregated
+    // by custkey BEFORE the join — 6M facts collapse to one partial
+    // (count, cents-sum) per customer, the join moves one row per key
+    // instead of one per order (~13× less), and key skew never forms
+    // because a hot customer's orders combine in the map-side partial
+    // aggregate. q56 stays the salting≡plain equivalence carrier; this
+    // carrier oracles the plan production code should actually run.
+    // Plan pin (partial Aggregate BELOW the join) in ScaleOpsSpec;
+    // salted/plain/pre-agg A/B in BASELINE.md (tools/Q56Probe).
+    "q100_agg_through_join" -> ((s, dir) => {
+      val large = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      ops.Skew.aggThroughJoin(large, small, "custkey",
+          partialAggs = Seq(count(lit(1)).as("pn"),
+                            sum(cents(col("o_totalprice"))).as("ps")),
+          groupCols = Seq("c_mktsegment"),
+          finalAggs = Seq(sum(col("pn")).as("n_orders"),
+                          (sum(col("ps")).cast("double") / 100.0).as("revenue")))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -4216,6 +4249,8 @@ object SparkEntry {
     // INLINE (sqlLshCode bakes per-plane constants at a fixed width, so
     // a runtime width needs the closed forms: a(j) = 1 + (37+41j) % 1008,
     // b(j) = (7+13j) % 1009, j = band*bits + k).
+    // mean in fixed-point micro-units, round-half-up via exact integer
+    // arithmetic — never a cross-engine DOUBLE rounding comparison
     "q99_occupancy_policy" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |$sqlDynamicBandedBuckets,
@@ -4226,10 +4261,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |  CAST(SUM(occupancy) AS BIGINT) AS n_rows,
         |  CAST(MAX(occupancy) AS BIGINT) AS max_occupancy,
-        |  round(AVG(occupancy), 6) AS mean_occupancy
+        |  CAST((2000000 * SUM(occupancy) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+        |    AS mean_occupancy_micro
         |FROM occ
         |GROUP BY 1, 2
-        |ORDER BY band""".stripMargin
+        |ORDER BY band""".stripMargin,
+
+    // q100: the same plain join the q56 oracle runs — identical output
+    // proves the aggregate-through-join decomposition exact
+    "q100_agg_through_join" ->
+      s"""SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ${S_DSUM("o_totalprice")} AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 
   /** CTE chain `nn, k, bd, bk` — banded hyperplane codes at the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed
@@ -31,5 +31,41 @@ object Skew {
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Aggregate-through-join: the production plan for `large ⋈ small →
+    * groupBy(smallCols).agg(...)` shapes where the aggregates read
+    * only `large`-side columns. Instead of joining row-per-fact and
+    * aggregating after (the q56 carrier shape — the joined volume is
+    * the FACT table, and a hot key is a hot reducer), pre-aggregate
+    * `large` by the join key first: the join then moves ONE partial
+    * row per key, the final aggregation re-combines partials, and key
+    * skew never forms — a hot key's facts collapse in the map-side
+    * partial aggregate, which is exactly where Spark already handles
+    * repeated keys well. At the 100 TB design point this cuts the
+    * join input by the fact-to-key ratio (orders→custkey ≈ 13×)
+    * regardless of salting or AQE.
+    *
+    * Catalyst cannot derive this rewrite itself when the final
+    * aggregate's grouping column lives on `small` (pushing an
+    * aggregate through a join is not in the optimizer's rule set for
+    * arbitrary aggregates), so the decomposition is the caller's:
+    * `partialAggs` run per join key over `large` and must be
+    * RE-AGGREGABLE — sum→sum, count→sum, min→min, max→max; avg as
+    * (sum, count) pair — and `finalAggs` do that re-aggregation over
+    * the partials' aliases after the join, grouped by `groupCols`
+    * (columns of `small`). Value-equality with the join-then-agg plan
+    * is pinned in ScaleOpsSpec; the q100 carrier oracles it against
+    * the plain-join SQL at every scale factor. */
+  def aggThroughJoin(large: DataFrame, small: DataFrame, key: String,
+                     partialAggs: Seq[Column], groupCols: Seq[String],
+                     finalAggs: Seq[Column]): DataFrame = {
+    require(partialAggs.nonEmpty, "aggThroughJoin: no partial aggregates")
+    require(finalAggs.nonEmpty, "aggThroughJoin: no final aggregates")
+    require(groupCols.nonEmpty, "aggThroughJoin: no grouping columns")
+    val partial = large.groupBy(key).agg(partialAggs.head, partialAggs.tail: _*)
+    partial.join(small, Seq(key))
+      .groupBy(groupCols.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
   }
 }

@@ -54,6 +54,31 @@ object ArtifactPhaseProbe {
       graft.ops.EpochShuffle.fetchShard(d, mDir, epoch = 7L, shard = 3L)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // q78 (r19 verdict item 4): the jsonl interchange cell is also
+    // write-path — decompose the gzip-shard WRITE (the interchange
+    // artifact, paid once per export) from the READ-BACK + aggregate
+    // (the recurring cost, whose parallelism gzip caps at shard
+    // count). `q78 shards` prints the landed file count — the
+    // read-parallelism bound — alongside the split.
+    val docs78 = d.select("doc_id", "text", "lang", "source", "n_chars")
+    val jDir = graft.sources.CorpusJsonl.dirFor(sfDir)
+    minOf("q78 write") {
+      docs78.write.mode("overwrite").option("compression", "gzip").json(jDir)
+    }
+    val jPath = new org.apache.hadoop.fs.Path(jDir)
+    val shardCount = jPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(jPath).count(_.getPath.getName.endsWith(".gz"))
+    println(s"q78 shards: $shardCount (gzip — read parallelism is capped here)")
+    minOf("q78 read") {
+      spark.read.schema(docs78.schema).json(jDir)
+        .groupBy("lang", "source")
+        .agg(org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+             org.apache.spark.sql.functions.sum(
+               org.apache.spark.sql.functions.col("n_chars")).as("sum_chars"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.core.GraftSession
+
+/** Plan-shape fingerprints for the bench gate (r19 verdict item 7):
+  * PlanSpec pins plan properties in ScalaTest, but the bench had no
+  * such guard — a Catalyst upgrade or refactor that reintroduces an
+  * exchange would surface only as a slow cell. This tool executes
+  * every SparkEntry query (AQE-final plans — `.explain` at plan time
+  * hides runtime join choices) and emits ONE JSON line of per-query
+  * shape counts:
+  *
+  *   {"sf":"…","plans":{"q01_…":{"exchanges":1,"reused":0,
+  *     "joins":"BroadcastHashJoin:1","aggregates":2,"scans":1},…}}
+  *
+  * `tools/ledger.py merge-plans <sf> <file>` stores them in the
+  * ledger; `tools/bench_check.py --plans=<file>` diffs a fresh run
+  * against the stored shapes and flags drift (more exchanges, a
+  * broadcast join degraded to sort-merge) BEFORE it costs a round of
+  * bench forensics. Shapes are per scale factor — AQE legitimately
+  * picks different strategies at different input sizes.
+  *
+  *   SPARK_GRAFT_SF_DIR=... graft.tools.PlanFingerprints [out.json]
+  *   (SPARK_GRAFT_BENCH_ONLY=q32,q35 filters, as in graft.Bench)
+  */
+object PlanFingerprints {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse(
+      s"/tmp/plan_fingerprints_${new java.io.File(sfDir).getName}.json")
+    val spark = GraftSession.build("graft-plan-fingerprints")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(f => f.exists(n.startsWith))
+    }
+
+    val joinRe = """\b([A-Za-z]+Join|CartesianProduct)\b""".r
+    def jstr(s: String) =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+
+    val entries = selected.map { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // execute df's OWN QueryExecution so the adaptive plan
+        // finalizes (a noop write would spawn a separate QE)
+        df.foreach(_ => ())
+        val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+        val exchanges = lines.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+        val reused = lines.count(_.contains("ReusedExchange"))
+        val joins = lines.flatMap(l => joinRe.findFirstMatchIn(l).map(_.group(1)))
+          .groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (j, xs) => s"$j:${xs.size}" }.mkString(",")
+        val aggregates = lines.count(_.contains("Aggregate"))
+        val scans = lines.count(l =>
+          """\b(FileScan|BatchScan|Scan)\b""".r.findFirstIn(l).isDefined)
+        name -> (s"""{"exchanges":$exchanges,"reused":$reused,""" +
+          s""""joins":${jstr(joins)},"aggregates":$aggregates,"scans":$scans}""")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[plans] $name failed: $msg")
+          name -> s"""{"error":${jstr(msg.linesIterator.next().take(120))}}"""
+      }
+    }
+    val line = entries.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString(s"""{"sf":${jstr(sfDir)},"plans":{""", ",", "}}")
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[plans] could not write $outPath: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

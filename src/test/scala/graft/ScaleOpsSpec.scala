@@ -27,6 +27,37 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(salts > 1)
   }
 
+  test("aggThroughJoin: same result as join-then-agg, partial Aggregate BELOW the join") {
+    import spark.implicits._
+    // heavy skew: 90% of facts share key 1 — the shape whose joined
+    // volume the pre-aggregation collapses to one partial per key
+    val large = ((1 to 900).map(i => (1L, i.toLong * 10)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "amount")
+    val small = (1L to 10L).map(k => (k, s"seg_${k % 3}")).toDF("k", "segment")
+
+    val direct = large.join(small, "k").groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+      .collect().map(_.toSeq).toSet
+    val preAgg = Skew.aggThroughJoin(large, small, "k",
+      partialAggs = Seq(count(lit(1)).as("pn"), sum(col("amount")).as("ps")),
+      groupCols = Seq("segment"),
+      finalAggs = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("total")))
+    assert(preAgg.collect().map(_.toSeq).toSet == direct)
+
+    // the plan property that IS the operator: the optimized plan's
+    // join has an Aggregate on its large-side input (facts collapse
+    // BEFORE the join), and the final Aggregate sits above the join
+    val plan = preAgg.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected a join in the optimized plan")
+    assert(joins.exists(j =>
+      j.children.exists(c => c.collectFirst { case a: Aggregate => a }.nonEmpty)),
+      s"no partial Aggregate below the join:\n$plan")
+    assert(plan.collectFirst { case a: Aggregate => a }.nonEmpty)
+  }
+
   test("ivfAssign at k=1024: output stays one row per vector, no expansion operators") {
     import spark.implicits._
     // a real coarse quantizer's k — the regime where the old

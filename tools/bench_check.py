@@ -9,13 +9,24 @@ script makes that forensics a one-liner. In-suite cells normally sit
 the default threshold flags only genuine outlier clusters.
 
 Usage:
-  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1|sf10] [--threshold 2.5 (sf10 sessions: use --threshold 5 — the in-suite drift band at that scale is 1.5-4x vs pooled minima)]
+  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1|sf10] [--threshold 2.5 (sf10 sessions: use --threshold 5 — the in-suite drift band at that scale is 1.5-4x vs pooled minima)] [--plans plan_fingerprints.json]
 
 Defaults: BENCH_FULL.json, sf0.1 column, threshold 2.5x. Exit 1 if any
 cell exceeds the threshold (wire into a round's pre-commit ritual).
 A flagged cell means: run the floor-probe discipline (solo min-of-5,
 tools/floor_probe.sh) before reading it as a code regression — and run
 tools/fixture_fingerprint.py first to rule out a fixture change.
+
+--plans diffs a fresh graft.tools.PlanFingerprints dump against the
+plan shapes the ledger recorded at campaign time for the same column:
+a reintroduced exchange or a broadcast join degraded to sort-merge
+flags HERE, as a shape diff, instead of surfacing a round later as an
+unexplained slow cell. Exit 1 on any drift.
+
+The report always states its denominator: how many ledger queries have
+a spark cell for the column, and how many duck cells are measured /
+explicitly oracle-infeasible / missing — a skipped cell is stated,
+never silent (r19 verdict item 1).
 """
 import json
 import re
@@ -35,10 +46,47 @@ session = json.load(open(session_path))["queries"]
 # consolidation of the old markdown table + scattered prose cells).
 base = {}
 cells = json.load(open("BASELINE_CELLS.json"))["cells"]
+duck_measured = duck_infeasible = duck_missing = 0
 for q, per_sf in cells.items():
-    ms = per_sf.get(col, {}).get("spark_ms")
+    cc = per_sf.get(col, {})
+    ms = cc.get("spark_ms")
     if ms is not None:
         base[q] = float(ms)
+    if cc.get("duck_ms") is not None:
+        duck_measured += 1
+    elif "duck_ms" in cc:
+        duck_infeasible += 1
+    else:
+        duck_missing += 1
+print(f"{col} denominator: {len(base)}/{len(cells)} ledger queries have spark cells; "
+      f"duck {duck_measured} measured / {duck_infeasible} oracle-infeasible / "
+      f"{duck_missing} missing")
+
+# ---- plan-shape drift (--plans fresh_fingerprints.json) ----
+if "plans" in opts:
+    fresh = json.load(open(str(opts["plans"])))["plans"]
+    drift = []
+    unpinned = 0
+    for q, shape in sorted(fresh.items()):
+        if "error" in shape:
+            drift.append((q, "fresh run errored: " + shape["error"]))
+            continue
+        pinned = cells.get(q, {}).get(col, {}).get("plan")
+        if pinned is None:
+            unpinned += 1
+            continue
+        diffs = [f"{k}: {pinned[k]} -> {shape.get(k)}"
+                 for k in pinned if shape.get(k) != pinned[k]]
+        if diffs:
+            drift.append((q, "; ".join(diffs)))
+    print(f"plan shapes: {len(fresh) - unpinned} diffed against {col} pins, "
+          f"{unpinned} without a recorded pin")
+    if drift:
+        print(f"{len(drift)} plan(s) drifted from the campaign-time shape:")
+        for q, d in drift:
+            print(f"  {q:28s} {d}")
+        sys.exit(1)
+    print("no plan-shape drift")
 
 flagged = []
 ratios = []

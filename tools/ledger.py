@@ -12,16 +12,24 @@ directly from the JSON (the "no prose archaeology" contract).
 Usage:
   python3 tools/ledger.py merge-spark <sf> <bench.json> [...]
   python3 tools/ledger.py merge-duck  <sf> <duck_bench.json> [...]
-  python3 tools/ledger.py set <sf> <query> <engine> <ms|null> [note]
+  python3 tools/ledger.py merge-plans <sf> <plan_fingerprints.json> [...]
+  python3 tools/ledger.py set <sf> <query> <engine> <ms|null> [why]
   python3 tools/ledger.py render
   python3 tools/ledger.py stats [--sf=sf0.1] [--work-ms=150]
 
 <sf> is one of: sf0.1 sf1 sf10. Engine session JSONs are the one-line
-outputs of graft.Bench / tools/duck_bench.py (seconds; stored as ms).
-A null cell renders "—" and is excluded from ratios (q59's oracle is a
-write-path re-read; q60/q41/q92's committed oracles DNF/OOM at big
-scales — their staged-oracle times are correctness tooling, not an
-engine benchmark, so those cells stay null with a note).
+outputs of graft.Bench / tools/duck_bench.py (seconds; stored as ms);
+plan files come from graft.tools.PlanFingerprints (AQE-final shape
+counts, diffed by bench_check.py --plans to catch a reintroduced
+exchange before it costs a round of forensics).
+
+An EXPLICIT null cell (`set <sf> <q> duck null "<why>"`) marks the
+oracle infeasible at that scale — q59's oracle is a write-path
+re-read; q60/q41/q92's committed oracles DNF/OOM at big scales (their
+staged-oracle times are correctness tooling, not an engine benchmark);
+q85's recursive CTE reads 26 s at sf0.1 already. stats counts
+measured / infeasible / missing separately so the denominator is
+always stated, never silently skipped (r19 verdict item 1).
 """
 import json
 import os
@@ -60,19 +68,33 @@ def merge(led, sf, engine, files):
             old = c.get(key)
             if old is None or ms < old:
                 c[key] = ms
+                # a real measurement supersedes an infeasible marker
+                if old is None and c.get("why") and engine == "duck":
+                    del c["why"]
     save(led)
 
 
-def set_cell(led, sf, q, engine, val, note=None):
+def merge_plans(led, sf, files):
+    assert sf in SFS, sf
+    for f in files:
+        sess = json.load(open(f))
+        for q, shape in sess["plans"].items():
+            if "error" in shape:
+                continue
+            cell(led, q, sf)["plan"] = shape
+    save(led)
+
+
+def set_cell(led, sf, q, engine, val, why=None):
     c = cell(led, q, sf)
     c[f"{engine}_ms"] = None if val == "null" else round(float(val), 1)
-    if note:
-        c["note"] = note
+    if why:
+        c["why"] = why
     save(led)
 
 
 def fmt(ms):
-    return "—" if ms is None else (str(int(ms)) if ms >= 10 else f"{ms:.1f}")
+    return "—" if ms is None else (str(round(ms)) if ms >= 10 else f"{ms:.1f}")
 
 
 def ratio(duck, spark):
@@ -104,20 +126,35 @@ def render(led):
 
 def stats(led, sf, work_ms):
     pairs = []
+    infeasible, missing = [], []
     for q, c in sorted(led["cells"].items()):
         cc = c.get(sf, {})
         d, s = cc.get("duck_ms"), cc.get("spark_ms")
         if d is not None and s is not None:
             pairs.append((q, d, s))
+        elif "duck_ms" in cc and d is None:
+            infeasible.append(q)
+        else:
+            missing.append(q)
+    n_q = len(led["cells"])
+    print(f"{sf}: {n_q} ledger queries — {len(pairs)} comparable, "
+          f"{len(infeasible)} oracle-infeasible ({', '.join(infeasible) or '-'}), "
+          f"{len(missing)} missing a cell ({', '.join(missing) or '-'})")
+    if not pairs:
+        print(f"{sf}: no comparable cells — nothing to rate")
+        return
     gross_d = sum(d for _, d, _ in pairs)
     gross_s = sum(s for _, _, s in pairs)
+    if gross_d > 0:
+        print(f"{sf}: comparable n={len(pairs)} gross duck {gross_d/1000:.2f}s "
+              f"spark {gross_s/1000:.2f}s = {gross_s/gross_d:.2f}x")
+    else:
+        print(f"{sf}: comparable n={len(pairs)} but zero total duck time — no ratio")
     work = [(q, d, s) for q, d, s in pairs if d >= work_ms]
     wd = sum(d for _, d, _ in work)
     ws = sum(s for _, _, s in work)
     wins = sum(1 for _, d, s in work if s < d)
     over2 = [(q, round(s / d, 2)) for q, d, s in work if s / d > 2.0]
-    print(f"{sf}: comparable n={len(pairs)} gross duck {gross_d/1000:.2f}s "
-          f"spark {gross_s/1000:.2f}s = {gross_s/gross_d:.2f}x")
     print(f"{sf}: work-bound (duck>={work_ms}ms) n={len(work)} "
           f"duck {wd/1000:.2f}s spark {ws/1000:.2f}s = "
           f"{(ws/wd if wd else float('nan')):.2f}x; spark wins {wins}/{len(work)}; "
@@ -134,6 +171,8 @@ def main():
         merge(led, args[1], "spark", args[2:])
     elif cmd == "merge-duck":
         merge(led, args[1], "duck", args[2:])
+    elif cmd == "merge-plans":
+        merge_plans(led, args[1], args[2:])
     elif cmd == "set":
         set_cell(led, args[1], args[2], args[3], args[4],
                  args[5] if len(args) > 5 else None)

@@ -6,8 +6,10 @@
 #
 #   tools/ledger_campaign.sh [phase]
 #
-# Phases: sf01 sf1 sf10 (default: all three in order). Expects /tmp/sf1
-# and /tmp/sf10 fixtures (tools/make_sf1.py) for the big phases.
+# Phases: sf01 sf1 sf10 plans (default: all in order). Expects /tmp/sf1
+# and /tmp/sf10 fixtures (tools/make_sf1.py) for the big phases. The
+# plans phase records AQE-final plan shapes per query into the ledger
+# (graft.tools.PlanFingerprints) for bench_check.py --plans drift diffs.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -63,11 +65,25 @@ fi
 
 if [[ "$phase" == "sf10" || "$phase" == "all" ]]; then
   echo "=== sf10: one full spark session + solo min-of-3 on the heavy cells ==="
+  # stale per-query files from an earlier campaign run in this session
+  # (possibly on older code) must not fold into the minima
+  rm -f /tmp/led_spark10_q*.json
   bench /tmp/sf10 /tmp/led_spark10_full.json
   for q in q55_multiprobe_pairs q41_range_join q35_ngram_jaccard q37_ann_sim_join q39_neardup_dedup; do
     bench /tmp/sf10 /tmp/led_spark10_$q.json \
       SPARK_GRAFT_BENCH_ONLY=$q SPARK_GRAFT_BENCH_REPS=3
   done
   python3 tools/ledger.py merge-spark sf10 /tmp/led_spark10_full.json /tmp/led_spark10_q*.json
+fi
+
+if [[ "$phase" == "plans" || "$phase" == "all" ]]; then
+  echo "=== plan fingerprints (AQE-final shapes -> ledger, bench_check --plans diffs them) ==="
+  for sf in /root/testdata/sf0.1 /tmp/sf1 /tmp/sf10; do
+    [[ -d "$sf" ]] || { echo "skip $sf (no fixtures)"; continue; }
+    name=$(basename "$sf")
+    SPARK_GRAFT_SF_DIR="$sf" java $OPENS -Xmx48g -cp "$CP" \
+      graft.tools.PlanFingerprints /tmp/plan_fp_$name.json 2>/dev/null | tail -1 >/dev/null
+    python3 tools/ledger.py merge-plans "$name" /tmp/plan_fp_$name.json
+  done
 fi
 echo "campaign phase '$phase' done"
