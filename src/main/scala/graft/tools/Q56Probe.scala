@@ -61,16 +61,30 @@ object Q56Probe {
              (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
         .orderBy("c_mktsegment")
     }
-    minOf("preagg") {
-      graft.ops.Skew.aggThroughJoin(
-          large.select("custkey", "o_totalprice"), small, "custkey",
-          partialAggs = Seq(count(lit(1)).as("pn"),
-                            sum(cents(col("o_totalprice"))).as("ps")),
-          groupCols = Seq("c_mktsegment"),
-          finalAggs = Seq(sum(col("pn")).as("n_orders"),
-                          (sum(col("ps")).cast("double") / 100.0).as("revenue")))
+    def preagg = graft.ops.Skew.aggThroughJoin(
+        large.select("custkey", "o_totalprice"), small, "custkey",
+        partialAggs = Seq(count(lit(1)).as("pn"),
+                          sum(cents(col("o_totalprice"))).as("ps")),
+        groupCols = Seq("c_mktsegment"),
+        finalAggs = Seq(sum(col("pn")).as("n_orders"),
+                        (sum(col("ps")).cast("double") / 100.0).as("revenue")))
+      .orderBy("c_mktsegment")
+    minOf("preagg")(preagg)
+
+    // the 100 TB regime: the dim does NOT broadcast (a 1.5B-row
+    // customer table at real scale) — the plain join becomes a full
+    // fact-table shuffle into a sort-merge join, which is where the
+    // pre-aggregation's 13× volume cut pays
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    minOf("plainSMJ") {
+      large.join(small, Seq("custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
         .orderBy("c_mktsegment")
     }
+    minOf("preaggSMJ")(preagg)
     spark.stop()
   }
 }
