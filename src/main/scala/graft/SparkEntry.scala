@@ -514,8 +514,13 @@ object SparkEntry {
     // the band bucket — the scale path for many-to-many similarity:
     // shuffle is on (band, bucket) keys, never all-pairs. Estimated
     // Jaccard = fraction of the 4 signature components that agree.
+    // Signatures are MATERIALIZED first (r21, guide §2.4/§5): the
+    // self-join's two sides are canonically different once AQE
+    // broadcast-converts one, so without the checkpoint the corpus
+    // scan + minhash ran TWICE per execution (executed-plan
+    // fingerprint: scans=2, reused=0).
     "q31_neardup_pairs" -> ((s, dir) => {
-      bandedPairs(minhashSigsFrame(s, dir)).orderBy("doc1", "doc2")
+      bandedPairs(minhashSigsCk(s, dir)).orderBy("doc1", "doc2")
     }),
 
     // ---- describe() with exact quartiles (A7, P5; pandas parity) ----
@@ -611,7 +616,7 @@ object SparkEntry {
       // needed-doc semi and the final join) which would each
       // re-execute it — materializing once is the candidate-table
       // analog of the driver-resident codebook discipline.
-      val pairs = bandedPairs(minhashSigsFrame(s, dir))
+      val pairs = bandedPairs(minhashSigsCk(s, dir))
         .select("doc1", "doc2").localCheckpoint()
       // Expensive per-doc features (grams, simhash) are computed ONLY
       // for docs that appear in a candidate pair — at scale the
@@ -630,6 +635,13 @@ object SparkEntry {
           // candidate pair)
           Text.distinctGramHashesOfText(col("text"), 3).as("g3"),
           Text.simhash(Text.tokens(col("text"))).as("sh"))
+        // r21: materialize — the feature table has TWO consumers (the
+        // doc1 and doc2 joins below) and the r20 executed plan shows
+        // both subtrees running in full (scans=2 of documents,
+        // reused=0): the semi-join AND the gram/simhash byte scans
+        // were paid twice per execution. Candidate-bounded rows, so
+        // the checkpoint is small by construction.
+        .localCheckpoint()
       pairs
         .join(docs.select(col("doc_id").as("doc1"), col("g3").as("g3_1"), col("sh").as("sh_1")), "doc1")
         .join(docs.select(col("doc_id").as("doc2"), col("g3").as("g3_2"), col("sh").as("sh_2")), "doc2")
@@ -686,7 +698,7 @@ object SparkEntry {
     // on the (tiny, broadcastable) duplicate-id set — at 100 TB the
     // corpus never shuffles, only the dup ids do.
     "q39_neardup_dedup" -> ((s, dir) => {
-      val dups = bandedPairs(minhashSigsFrame(s, dir))
+      val dups = bandedPairs(minhashSigsCk(s, dir))
         .filter(col("jaccard_est") >= 0.75)
         .select(col("doc2").as("doc_id")).distinct()
       Tables.documents(s, dir)
@@ -1061,7 +1073,7 @@ object SparkEntry {
       // maxIter 50, not the default 25: a star has diameter 2 where
       // the clique had 1, so label propagation can need up to ~2× the
       // rounds on the same bucket-chain — the cap moves with it.
-      val edges = bandedStarEdges(minhashSigsFrame(s, dir))
+      val edges = bandedStarEdges(minhashSigsCk(s, dir))
       ops.ConnectedComponents.minLabel(
           Tables.documents(s, dir), "doc_id", edges, "doc1", "doc2",
           maxIter = 50)
@@ -1604,7 +1616,7 @@ object SparkEntry {
     // EventStreams.ingestNearDup, which lands signature columns with
     // the corpus so this check never re-tokenizes landed text.
     "q82_neardup_incremental" -> ((s, dir) => {
-      val sigs = minhashSigsFrame(s, dir)
+      val sigs = minhashSigsCk(s, dir)
       ops.NearDupIncremental.newDocs(
           corpusSigs = sigs.filter(col("doc_id") % 20 === 0),
           batchSigs = sigs.filter(col("doc_id") % 20 =!= 0))
@@ -2174,6 +2186,24 @@ object SparkEntry {
       .select(col("doc_id"),
         col("sig").getItem(0).as("mh1"), col("sig").getItem(1).as("mh2"),
         col("sig").getItem(2).as("mh3"), col("sig").getItem(3).as("mh4"))
+
+  /** [[minhashSigsFrame]] MATERIALIZED (localCheckpoint) for consumers
+    * that read the signatures more than once per execution (q31's
+    * banding self-join, q35/q39 via [[bandedPairs]], q60's star-edge
+    * hub join, q82's corpus/batch split). Without it each consumer
+    * subtree re-runs the corpus scan + the minhash byte scan: the two
+    * sides of the banding self-join stop being canonically equal the
+    * moment AQE broadcast-converts one, so exchange reuse never fires
+    * (r20 executed-plan fingerprints: q31 scans=2, q39 scans=3,
+    * reused=0). The checkpointed frame is 5 longs/doc — the slim
+    * "decide on proxies, not payloads" table of guide §8 — and is
+    * recomputed from parquet on EVERY execution (a per-run
+    * materialization inside the timed region, not a cross-run cache).
+    * At 100 TB this is exactly the landed-signature-column discipline
+    * the incremental ingest path already uses
+    * (EventStreams.ingestNearDup). */
+  private[graft] def minhashSigsCk(s: SparkSession, dir: String): DataFrame =
+    minhashSigsFrame(s, dir).localCheckpoint()
 
   /** LSH banding self-join (2 bands × 2 rows) over a signature frame:
     * candidate near-dup pairs with estimated Jaccard = fraction of the
