@@ -2128,11 +2128,17 @@ object SparkEntry {
     * role is played by the landing dir itself. */
   private[graft] def fullIngestBase(s: SparkSession, dir: String,
       checkpointCorpus: Boolean = true): (DataFrame, DataFrame) = {
+    // r21: materialize the doc⨝embedding base ONCE — it feeds THREE
+    // subtrees (base, corpus, batch), and without the checkpoint the
+    // r20 executed plan re-ran the two scans + the join per subtree
+    // (q87 scans=11). One join per execution, re-run from parquet
+    // every execution.
     val de = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"),
                 col("embedding").cast("array<double>").as("vec")),
         Seq("doc_id"))
+      .localCheckpoint()
     val base = de.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("base_id"), col("text").as("base_text"),
               col("vec").as("base_v"))
