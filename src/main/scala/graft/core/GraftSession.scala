@@ -97,6 +97,17 @@ object GraftSession {
       // the point of adaptive execution.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         scala.util.Try(cpus.trim.toInt * 8).toOption.getOrElse(256).toString)
+      // r21 (guide §3.1/§9): let the planner AND AQE pick shuffled
+      // hash join where a per-partition build side fits — the
+      // doc-id-keyed flag joins and banding self-joins were all
+      // sort-merge, paying two per-partition sorts for hash-sized
+      // inputs. Static planning still requires the build side under
+      // its size conditions, and the AQE conversion is bounded by the
+      // local-map threshold (per post-shuffle partition), so at the
+      // 100 TB design point oversized partitions keep sort-merge —
+      // the setting is scale-adaptive, not a local[32] tune.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // Dynamic-partition landings (zland, the ingest) produce tens of
       // leaf directories; the default parallelPartitionDiscovery
       // threshold (32) tips those reads into a distributed LISTING JOB
