@@ -78,9 +78,33 @@ object ConnectedComponents {
                maxIter: Int = 25, strict: Boolean = true): (DataFrame, Int) = {
     val e = edges.select(col(srcCol).cast("long").as("a"),
                          col(dstCol).cast("long").as("b"))
-    val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // r21 loop-shape rework (guide §2.4 — remove per-round shuffles):
+    //  - SELF-LOOPS (a,a) for every edge endpoint make each BSP round
+    //    a single join+aggregate: min over neighbors ∪ self ≡
+    //    least(own, min(neighbor)), so the old per-round left join of
+    //    labels against nbrMin — one more join + exchange per round —
+    //    is gone. The labeling TRAJECTORY is unchanged round for
+    //    round, not just the fixpoint.
+    //  - The edge table is REPARTITIONED BY THE JOIN KEY (explicit N:
+    //    exempt from AQE coalescing, so every round's join sees the
+    //    same partitioning) and SORTED WITHIN PARTITIONS before the
+    //    one-time materialization: the per-round join then neither
+    //    re-exchanges nor re-sorts the edge side — at corpus scale the
+    //    edges are the BIG side of every round, and re-shuffling a
+    //    loop-invariant table `diameter` times was the loop's dominant
+    //    avoidable cost. hash(b) co-locates equal (a,b) pairs, so the
+    //    dedup aggregate reuses that exchange instead of adding an
+    //    (a,b)-keyed one.
+    val parts = scala.util.Try(
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(32)
+    val dedup = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
+    val bidir = dedup
+      .union(dedup.select(col("a"), col("a").as("b")))         // self-loops (deduped below)
+      .repartition(parts, col("b"))
       .distinct()
+      .sortWithinPartitions("b")
       .localCheckpoint() // scanned every round: materialize once
     // The label sum is observed on the same materialization that
     // checkpoints the round (verified: Observation fires on the
@@ -99,27 +123,46 @@ object ConnectedComponents {
       (ck, s)
     }
     // Round 1 fuses into the init checkpoint: starting labels are
-    // least(id, min(neighbor)) computed straight off the edge list —
-    // identical to one BSP round from the trivial id-labeling, one
-    // whole action cheaper (and since both directions are present,
-    // groupBy(a) covers every edge-subgraph node).
+    // min over neighbors ∪ self (the self-loop stands in for the old
+    // least(id, ...)) computed straight off the edge list — identical
+    // to one BSP round from the trivial id-labeling, one whole action
+    // cheaper (and since both directions are present, groupBy(a)
+    // covers every edge-subgraph node).
     var (labels, prev) = checkpointWithSum(
-      bidir.groupBy("a").agg(min("b").as("nbrMin"))
-        .select(col("a").as("id"),
-                least(col("a"), col("nbrMin")).as("component")),
+      bidir.groupBy("a").agg(min("b").as("component"))
+        .select(col("a").as("id"), col("component")),
       "cc_init")
     var iter = 1 // the fused init IS propagation round 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = bidir
-        .join(labels.select(col("id").as("b"), col("component").as("bcomp")), "b")
-        .groupBy("a").agg(min("bcomp").as("nbrMin"))
+      // POINTER JUMP then propagate, one action per round (r21).
+      // hop: label ← label(label) — the classic shortcutting step,
+      // run against the PREVIOUS round's materialized table, so both
+      // consumers of `labels` read the checkpointed RDD and nothing
+      // recomputes. Every label value is a node id present in the
+      // table (init labels are edge endpoints; updates take mins of
+      // existing labels), so the inner self-join is total, and the
+      // monotone invariant label(y) ≤ y makes the hop non-increasing
+      // per node. Rounds needed drop from O(diameter) to
+      // O(log diameter) — measured 15 → 5 at sf0.1 where the
+      // per-round action floor, not the per-round shuffle, dominated
+      // the wall (the r7 halving experiment predates the self-loop
+      // single-join round; with today's leaner round the trade
+      // reverses and is re-measured in OPTIMIZATION_r21.md).
+      // prop: min over neighbors ∪ self via the self-loop edges.
+      // Convergence: the sum is unchanged iff hop AND prop were both
+      // the identity, and prop-identity alone is the standard
+      // fixpoint condition; labels stay per-node non-increasing, so
+      // the DECIMAL(38,0) sum test is exactly as before.
+      val hopped = labels
+        .join(labels.select(col("id").as("component"), col("component").as("c2")),
+              Seq("component"))
+        .select(col("id"), col("c2").as("component"))
       val (updated, cur) = checkpointWithSum(
-        labels
-          .join(nbrMin.select(col("a").as("id"), col("nbrMin")), Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbrMin"), col("component")))
-              .as("component")),
+        bidir
+          .join(hopped.select(col("id").as("b"), col("component").as("bcomp")), "b")
+          .groupBy("a").agg(min("bcomp").as("component"))
+          .select(col("a").as("id"), col("component")),
         s"cc_round_$iter")
       converged = cur.compareTo(prev) == 0
       prev = cur
