@@ -1657,7 +1657,12 @@ object SparkEntry {
         .select(col("doc_id"), col("is_new").as("exact_new"))
       val nearFlag = ops.NearDupIncremental.newDocs(
           ops.NearDupIncremental.withSigs(corpus),
-          ops.NearDupIncremental.withSigs(batch))
+          // spread: the checkpointed batch is 1 partition at bench
+          // scale and minhash_sigs is the expensive per-row step of
+          // this chain (guide §2.5; see spreadSmallScan — corpus is
+          // 1/20th the rows, below the win threshold, so only the
+          // batch side opts in)
+          ops.NearDupIncremental.withSigs(spreadSmallScan(batch)))
         .select(col("doc_id"), col("is_new").as("near_new"))
       exactFlag.join(nearFlag, Seq("doc_id"))
         .select(col("doc_id"), (col("exact_new") && col("near_new")).as("is_new"))
@@ -1905,7 +1910,11 @@ object SparkEntry {
       val boiler = "terms of service apply to all content in this corpus " +
         "redistribution prohibited without prior written consent of the " +
         "publisher all rights reserved worldwide"
-      val docs = Tables.documents(s, dir)
+      // spread: word_spans explodes ~len/s spans per doc with an md5
+      // per span — the heaviest per-row step of the query — and the
+      // one-row-group fixture otherwise fuses it into a 1-task scan
+      // (guide §2.5; no-op when the scan already fills the session)
+      val docs = spreadSmallScan(Tables.documents(s, dir))
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           concat(expr("repeat('pad ', CAST(doc_id % 5 AS INT))"),
@@ -2169,6 +2178,11 @@ object SparkEntry {
     val exactFlag = ops.IncrementalDedup.newDocs(
         corpus.select("doc_id", "text"), batch.select("doc_id", "text"))
       .select(col("doc_id"), col("is_new").as("exact_new"))
+    // NOT spread (unlike q83's near chain): measured three A/B pairs
+    // at sf0.1 — the extra exchange+stage in this already ~34-job
+    // query costs ~0.15 s more than the parallelized sig scan saves
+    // (the three flag chains overlap, so the sig task is off the
+    // critical path here); see OPTIMIZATION_r21.md.
     val nearFlag = ops.NearDupIncremental.newDocs(
         ops.NearDupIncremental.withSigs(corpus.select("doc_id", "text")),
         ops.NearDupIncremental.withSigs(batch.select("doc_id", "text")))
@@ -2181,13 +2195,38 @@ object SparkEntry {
     (exactFlag, nearFlag, semFlag)
   }
 
+  /** Spread a scan whose split count under-fills the session across
+    * the cores before an EXPENSIVE per-row expression (guide §2.5's
+    * unsplittable-input fix: parquet cannot split below a row group,
+    * so a single-row-group file pins everything fused into its scan
+    * stage to ONE task no matter the core count). The repartition is
+    * CONDITIONAL on the planned scan parallelism, not unconditional:
+    * at the 100 TB design point the corpus arrives in thousands of
+    * row groups, splits ≥ cores holds, and this is structurally a
+    * no-op — an unconditional repartition there would shuffle the
+    * full text payload, the exact §8 anti-pattern. Partition count
+    * check is plan-time only (split arithmetic; no job runs).
+    * Correctness: every consumer aggregates with order-independent
+    * functions (min/bit_or/exact sums) and ends in a total ORDER BY,
+    * so row placement cannot change any result; round-robin stays
+    * deterministic under retry via sortBeforeRepartition (default
+    * on). Only worth it when the per-row expression dominates the
+    * exchange cost — minhash_sigs (4 perms × every shingle) gains
+    * 0.38 → 0.19 s at sf0.1, while bpe_token_count / gram-hash
+    * scans LOSE ~40 ms to the added exchange (RepartProbe A/B), so
+    * only the signature frame opts in. */
+  private[graft] def spreadSmallScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
+
   /** MinHash signature frame shared by q26 and q31: the native
     * [[graft.functions.MinHashSigs]] expression computes all four
     * permutations in one pass per row (registered by GraftSession;
     * the composed transform+array_min form it replaces ran the HOF
     * lambda interpreted per shingle — 7.5 s vs <1 s at sf0.1). */
   private[graft] def minhashSigsFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    spreadSmallScan(Tables.documents(s, dir))
       .select(col("doc_id"), expr("minhash_sigs(text)").as("sig"))
       .select(col("doc_id"),
         col("sig").getItem(0).as("mh1"), col("sig").getItem(1).as("mh2"),

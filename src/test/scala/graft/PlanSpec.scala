@@ -55,12 +55,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("+- Sort ["), s"unexpected full sort in:\n$p")
   }
 
-  test("q26: per-row minhash is map-only — zero exchanges before the final sort") {
+  test("q26: per-row minhash is map-only — no KEY shuffle before the final sort") {
     val p = plan("q26_minhash_sig")
-    // exactly one exchange: the output ORDER BY (rangepartitioning);
-    // the signature computation itself must not shuffle.
+    // two exchanges: the r21 conditional spread (ROUND-ROBIN — a
+    // deliberate guide-§2.5 repartition that engages every core on
+    // the one-row-group fixture; inert at cluster scale) plus the
+    // output ORDER BY (rangepartitioning). The signature computation
+    // itself must never HASH-shuffle — a hashpartitioning exchange
+    // here would mean the map-only shape regressed to a keyed
+    // regroup.
     val exchanges = "Exchange \\(".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+    assert(exchanges <= 2, s"expected spread + final sort only, got $exchanges:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected keyed exchange in a map-only query:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning") || exchanges == 1,
+      s"extra exchange is not the round-robin spread:\n$p")
   }
 
   test("q08: rank window and output sort share ONE range exchange") {
@@ -335,11 +344,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop detected:\n$p")
     assert(!p.contains("Join"), s"span dedup needs no join at all:\n$p")
     assert(p.contains("Window"), "first-occurrence window missing")
-    // exactly three exchanges: span_h window, doc_id regroup, final
-    // sort — an extra one means the single-aggregation reassembly
-    // regressed to a join-back
+    // exactly four exchanges: the r21 round-robin spread (guide §2.5
+    // — parallelizes the word_spans explode off the one-row-group
+    // fixture; inert at cluster scale), span_h window, doc_id
+    // regroup, final sort. More KEYED exchanges than the two pinned
+    // below means the single-aggregation reassembly regressed to a
+    // join-back.
     val exchanges = "Exchange \\(".r.findAllIn(p).length
-    assert(exchanges == 3, s"expected 3 exchanges (span_h, doc_id, sort), got $exchanges:\n$p")
+    assert(exchanges <= 4, s"expected ≤4 exchanges (spread, span_h, doc_id, sort), got $exchanges:\n$p")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed <= 2, s"expected ≤2 keyed exchanges (span_h, doc_id), got $keyed:\n$p")
     // the span text itself must not ride the shuffle — only its
     // 60-bit fingerprint does
     assert(p.contains("span_h"), "span fingerprint column missing from the plan")
