@@ -84,16 +84,24 @@ object Decontaminate {
                     textCol: String = "text", bits: Int = 0): Unit = {
     val spark = bench.sparkSession
     val t = coalesce(col(textCol), lit(""))
+    // r21 (guide §2.4/§5): materialize the gram set ONCE. The previous
+    // shape ran the benchmark scan + distinct THREE times per landing
+    // (the isEmpty guard, the parquet write, and nbits sizing via
+    // landed.count()); the checkpoint pays the scan once and serves
+    // the guard, the write, and the count from the materialized rows.
+    // Row set, landed files, nbits and blob are byte-identical to the
+    // old shape (same frame, same count), so the artifact contract —
+    // blob aggregated from the LANDED files, stamped with their
+    // fingerprint — is unchanged below.
     val grams = bench
       .select(explode_outer(array_distinct(Text.ngramsOfText(t, 3))).as("g"))
       .filter(col("g").isNotNull).distinct()
       .select(fp(col("g")).as("gram"), xxhash64(col("g")).as("gx"))
+      .localCheckpoint()
     // Refuse a zero-gram landing BEFORE the overwrite (ADVICE r17): a
     // benchmark whose every doc is under 3 tokens (or all-NULL text)
     // would land an empty set — a gate that gates nothing — and the
     // overwrite would also have destroyed the previous good artifact.
-    // (isEmpty re-runs the gram scan; benchmarks are small by
-    // construction, and landing is a rare offline step.)
     require(!grams.isEmpty,
       s"landBenchmark: benchmark produced zero 3-gram keys (every doc " +
       s"under 3 tokens or NULL '$textCol'?) — refusing to land an empty " +
@@ -108,8 +116,11 @@ object Decontaminate {
     // loud start refusal
     val files = landedGxFiles(spark, outDir)
     val landed = spark.read.parquet(files: _*)
+    // sized from the checkpointed frame — the same rows the write just
+    // landed, so the width is identical to sizing from landed.count()
+    // without re-reading the files
     val nbits =
-      if (bits > 0) bits else IncrementalDedup.sizedBits(landed.count())
+      if (bits > 0) bits else IncrementalDedup.sizedBits(grams.count())
     val blob = landed
       .agg(call_function("bloom_agg", col("gx"), lit(nbits), lit(3)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)

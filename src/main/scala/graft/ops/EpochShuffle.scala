@@ -36,12 +36,26 @@ object EpochShuffle {
     * the epoch-`epoch` permutation with greedy `tokensPerShard`
     * packing in permuted order. */
   def shuffleAndPack(docs: DataFrame, epoch: Int, tokensPerShard: Long,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(tokensPerShard >= 1, s"need a positive shard budget, got $tokensPerShard")
-    val toks = docs.select(col(idCol),
-      epochKey(col(idCol), epoch).as("epoch_key"),
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packFromToks(tokenCounts(docs, textCol, idCol), epoch, tokensPerShard, idCol)
+
+  /** The epoch-INDEPENDENT half of [[shuffleAndPack]]: one text scan
+    * producing slim (id, n_tokens) rows. Multi-epoch callers
+    * ([[landManifests]]) materialize this once instead of re-scanning
+    * the corpus text per epoch (guide §2.4 — the token count does not
+    * depend on the epoch salt, only the permutation key does). */
+  private def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
       size(Text.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
-    PrefixSum.runningTotal(toks, Seq("epoch_key", idCol), "n_tokens", "cum_tokens")
+
+  /** The epoch-DEPENDENT half: permutation key + prefix sum + greedy
+    * packing over a precomputed (id, n_tokens) frame. */
+  private def packFromToks(toks: DataFrame, epoch: Int, tokensPerShard: Long,
+                           idCol: String): DataFrame = {
+    require(tokensPerShard >= 1, s"need a positive shard budget, got $tokensPerShard")
+    val keyed = toks.select(col(idCol),
+      epochKey(col(idCol), epoch).as("epoch_key"), col("n_tokens"))
+    PrefixSum.runningTotal(keyed, Seq("epoch_key", idCol), "n_tokens", "cum_tokens")
       .withColumn("shard",
         expr(s"CAST((cum_tokens - n_tokens) div $tokensPerShard AS BIGINT)"))
   }
@@ -79,8 +93,13 @@ object EpochShuffle {
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(epochs.nonEmpty, "need at least one epoch")
     require(epochs.distinct == epochs, s"duplicate epochs in ${epochs.mkString(",")}")
+    // one corpus text scan for ALL epochs: n_tokens is
+    // epoch-independent, so only the slim (id, n_tokens) checkpoint
+    // feeds each epoch's keying + prefix sum (r21; values identical —
+    // same counts, same keys, same packing)
+    val toks = tokenCounts(docs, textCol, idCol).localCheckpoint()
     epochs.map(e =>
-        shuffleAndPack(docs, e, tokensPerShard, textCol, idCol)
+        packFromToks(toks, e, tokensPerShard, idCol)
           .withColumn("epoch", lit(e.toLong)))
       .reduce(_ unionByName _)
       .select(col("epoch"), col("shard"), col(idCol),
