@@ -60,7 +60,11 @@ object PlanFingerprints {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[plans] $name failed: $msg")
-          name -> s"""{"error":${jstr(msg.linesIterator.next().take(120))}}"""
+          // nextOption: an empty exception message must not crash the
+          // whole fingerprint run from inside its own error handler
+          // (ADVICE r20)
+          name -> s"""{"error":${jstr(
+            msg.linesIterator.nextOption().getOrElse("").take(120))}}"""
       }
     }
     val line = entries.map { case (k, v) => s"${jstr(k)}:$v" }

@@ -63,8 +63,20 @@ print(f"{col} denominator: {len(base)}/{len(cells)} ledger queries have spark ce
       f"{duck_missing} missing")
 
 # ---- plan-shape drift (--plans fresh_fingerprints.json) ----
+plan_drift_failed = False
 if "plans" in opts:
-    fresh = json.load(open(str(opts["plans"])))["plans"]
+    if opts["plans"] is True:
+        sys.exit("--plans needs a value: --plans=<plan_fingerprints.json>")
+    fresh_doc = json.load(open(str(opts["plans"])))
+    # Shapes are per scale factor (AQE picks different strategies at
+    # different input sizes) — diffing an sf1 dump against sf0.1 pins
+    # produces bogus drift verdicts, so the dump must name the column
+    # it was captured at (ADVICE r20).
+    fresh_sf = str(fresh_doc.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
+    if fresh_sf != col:
+        sys.exit(f"--plans dump was captured at '{fresh_sf}' but --col is "
+                 f"'{col}': refusing to diff across scale factors")
+    fresh = fresh_doc["plans"]
     drift = []
     unpinned = 0
     for q, shape in sorted(fresh.items()):
@@ -85,8 +97,11 @@ if "plans" in opts:
         print(f"{len(drift)} plan(s) drifted from the campaign-time shape:")
         for q, d in drift:
             print(f"  {q:28s} {d}")
-        sys.exit(1)
-    print("no plan-shape drift")
+        # keep going: one shape diff must not hide timing regressions in
+        # the same invocation (ADVICE r20) — exit nonzero at the end
+        plan_drift_failed = True
+    else:
+        print("no plan-shape drift")
 
 flagged = []
 ratios = []
@@ -109,3 +124,5 @@ if flagged:
         print(f"  {q:28s} recorded {rec:7.0f} ms  session {now:7.0f} ms  {r:4.1f}x")
     sys.exit(1)
 print(f"no cell above {threshold}x — session consistent with recorded minima")
+if plan_drift_failed:
+    sys.exit(1)

@@ -66,10 +66,15 @@ def merge(led, sf, engine, files):
             ms = round(float(sec) * 1000.0, 1)
             c = cell(led, q, sf)
             old = c.get(key)
+            # only an EXPLICIT null (the oracle-infeasible marker) may
+            # delete the cell's 'why' on a first duck measurement — a
+            # merely-absent key must not clobber a 'why' annotating the
+            # spark cell (ADVICE r20)
+            was_infeasible = key in c and c[key] is None
             if old is None or ms < old:
                 c[key] = ms
                 # a real measurement supersedes an infeasible marker
-                if old is None and c.get("why") and engine == "duck":
+                if was_infeasible and c.get("why") and engine == "duck":
                     del c["why"]
     save(led)
 
