@@ -67,6 +67,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.BpeTokenCount.description)
         ext.injectFunction(graft.functions.BpeChunks.description)
         ext.injectFunction(graft.functions.PiiScrub.description)
+        ext.injectFunction(graft.functions.RunningSum.description)
         ext.injectFunction(graft.functions.NfcNormalize.description)
         ext.injectFunction(graft.functions.CleanSpaces.description)
       }

@@ -89,24 +89,40 @@ object Decontaminate {
     // (the isEmpty guard, the parquet write, and nbits sizing via
     // landed.count()); the checkpoint pays the scan once and serves
     // the guard, the write, and the count from the materialized rows.
-    // Row set, landed files, nbits and blob are byte-identical to the
-    // old shape (same frame, same count), so the artifact contract —
-    // blob aggregated from the LANDED files, stamped with their
-    // fingerprint — is unchanged below.
+    // r22: the gram COUNT rides the checkpoint action itself via
+    // `observe` (the ConnectedComponents checkpoint-with-sum trick —
+    // a CollectMetrics node the rows stream through on their way into
+    // the checkpoint), so the empty-set guard and the Bloom `nbits`
+    // sizing no longer run their own jobs over the materialized rows:
+    // the landing is scan+checkpoint → write → blob, three actions
+    // instead of five. Row set, landed files, nbits and blob are
+    // byte-identical to the old shape (same frame, same count), so
+    // the artifact contract — blob aggregated from the LANDED files,
+    // stamped with their fingerprint — is unchanged below.
+    val obs = org.apache.spark.sql.Observation()
     val grams = bench
       .select(explode_outer(array_distinct(Text.ngramsOfText(t, 3))).as("g"))
       .filter(col("g").isNotNull).distinct()
       .select(fp(col("g")).as("gram"), xxhash64(col("g")).as("gx"))
+      .observe(obs, count(lit(1)).as("nGrams"))
       .localCheckpoint()
+    val nGrams = obs.get("nGrams") match {
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalStateException(s"unexpected nGrams $other")
+    }
     // Refuse a zero-gram landing BEFORE the overwrite (ADVICE r17): a
     // benchmark whose every doc is under 3 tokens (or all-NULL text)
     // would land an empty set — a gate that gates nothing — and the
     // overwrite would also have destroyed the previous good artifact.
-    require(!grams.isEmpty,
+    require(nGrams > 0L,
       s"landBenchmark: benchmark produced zero 3-gram keys (every doc " +
       s"under 3 tokens or NULL '$textCol'?) — refusing to land an empty " +
       "set that would mark every document clean")
-    grams.write.mode("overwrite").parquet(outDir)
+    // task-side commit (v2): this is a whole-dir overwrite landing —
+    // a failed job's re-run clears partial output wholesale, the
+    // IvfPqIndex/zland class Committers.forRerun exists for
+    grams.write.options(graft.core.Committers.forRerun(true))
+      .mode("overwrite").parquet(outDir)
     // aggregate the blob from the EXACT file list just landed and
     // stamp that list's fingerprint into the sidecar header: the two
     // halves of the artifact are written sequentially (parquet first,
@@ -116,11 +132,12 @@ object Decontaminate {
     // loud start refusal
     val files = landedGxFiles(spark, outDir)
     val landed = spark.read.parquet(files: _*)
-    // sized from the checkpointed frame — the same rows the write just
-    // landed, so the width is identical to sizing from landed.count()
-    // without re-reading the files
+    // sized from the checkpoint action's observed count — the same
+    // rows the write just landed, so the width is identical to sizing
+    // from landed.count() without re-reading the files (and without
+    // the r21 shape's separate count job over the checkpointed rows)
     val nbits =
-      if (bits > 0) bits else IncrementalDedup.sizedBits(grams.count())
+      if (bits > 0) bits else IncrementalDedup.sizedBits(nGrams)
     val blob = landed
       .agg(call_function("bloom_agg", col("gx"), lit(nbits), lit(3)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)

@@ -98,14 +98,33 @@ object EpochShuffle {
     // feeds each epoch's keying + prefix sum (r21; values identical —
     // same counts, same keys, same packing)
     val toks = tokenCounts(docs, textCol, idCol).localCheckpoint()
-    epochs.map(e =>
-        packFromToks(toks, e, tokensPerShard, idCol)
-          .withColumn("epoch", lit(e.toLong)))
+    // ONE range exchange for ALL epochs (r22, guide §2.4): per-epoch
+    // packFromToks ran the full PrefixSum pipeline — range sampling,
+    // corpus-slim exchange, chunk windows, offset broadcast — once
+    // per epoch over rows that fit a single exchange keyed
+    // (epoch, epoch_key, id). runningTotalPerGroup restarts the
+    // running total at each epoch boundary, so every epoch's
+    // (cum_tokens, shard) values are identical to the per-epoch
+    // pipeline's (EpochShuffleSpec pins landing fidelity against
+    // shuffleAndPack); only the file boundaries may differ, and the
+    // write re-sorts within partitions by (epoch, shard, id) exactly
+    // as before, so per-file shard stats stay tight for the
+    // single-shard fetch's row-group skip.
+    val keyedAll = epochs.map(e =>
+        toks.select(lit(e.toLong).as("epoch"), col(idCol),
+          epochKey(col(idCol), e).as("epoch_key"), col("n_tokens")))
       .reduce(_ unionByName _)
+    PrefixSum.runningTotalPerGroup(keyedAll, "epoch",
+        Seq("epoch_key", idCol), "n_tokens", "cum_tokens")
+      .withColumn("shard",
+        expr(s"CAST((cum_tokens - n_tokens) div $tokensPerShard AS BIGINT)"))
       .select(col("epoch"), col("shard"), col(idCol),
         col("epoch_key"), col("n_tokens"), col("cum_tokens"))
       .sortWithinPartitions("epoch", "shard", idCol)
       .write.partitionBy("epoch")
+      // task-side commit (v2): whole-dir overwrite landing — a failed
+      // job's re-run clears partial output wholesale (Committers doc)
+      .options(graft.core.Committers.forRerun(true))
       .mode("overwrite").parquet(dir)
   }
 

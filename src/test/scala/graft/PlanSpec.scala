@@ -195,19 +195,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
 
   test("q51: running totals never use a global single-partition window") {
     val p = plan("q51_token_shards")
-    // the only single-partition exchanges allowed are the tiny chunk
-    // meta aggregate and the final 1-row paths; the data-bearing
-    // window must be keyed by the chunk id
-    assert(p.contains("windowspecdefinition(__pid"),
-           s"expected chunk-keyed window in:\n$p")
+    // r22: the data rows carry NO window at all — the within-chunk
+    // running total is the stateful running_sum expression evaluated
+    // in the shuffle-read stage (the r21 chunk-keyed window paid a
+    // second full hashpartitioning(__pid) exchange for a clustering
+    // the rows already had); the only window left orders the P chunk
+    // TOTALS (metadata), never data
+    assert(p.contains("running_sum"),
+           s"expected the stateful running_sum projection in:\n$p")
     assert(!p.contains("windowspecdefinition(doc_id#"),
            s"found globally-ordered window over the data in:\n$p")
   }
 
   test("q95: epoch shuffle keeps the distributed-prefix-sum shape under the composite key") {
     val p = plan("q95_epoch_shuffle")
-    assert(p.contains("windowspecdefinition(__pid"),
-           s"expected chunk-keyed window in:\n$p")
+    assert(p.contains("running_sum"),
+           s"expected the stateful running_sum projection in:\n$p")
     assert(!p.contains("windowspecdefinition(epoch_key#"),
            s"found globally-ordered window over the data in:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs detected:\n$p")
@@ -230,8 +233,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // projection — no UDF, no join or extra shuffle added by counting
     assert(p.contains("bpe_token_count"), s"native tokenizer missing from:\n$p")
     // and the running total keeps q51's distributed-prefix-sum shape
-    assert(p.contains("windowspecdefinition(__pid"),
-           s"expected chunk-keyed window in:\n$p")
+    // (r22: stateful running_sum over the range-exchanged rows, no
+    // data window — see the q51 pin)
+    assert(p.contains("running_sum"),
+           s"expected the stateful running_sum projection in:\n$p")
     assert(!p.contains("windowspecdefinition(doc_id#"),
            s"found globally-ordered window over the data in:\n$p")
   }
