@@ -72,12 +72,22 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // 3-decimal (millisecond) floats in the summary line (r22,
+    // VERDICT r21 item 7): the driver's capture tail-truncates long
+    // stdout, and round 20's full-precision ~6 KB line lost its head
+    // that way, nulling a whole round-over-round PERF table. ~2 KB
+    // survives the tail window. Milliseconds lose nothing the bench
+    // can claim anyway — the measurement's own noise floor is ±10-20%.
+    // This changes PRINTED precision only; the timing methodology and
+    // the timed region are byte-unchanged (OPTIMIZATION_r22.md).
+    def fmt(v: Double): String = // ROOT locale: a comma-decimal host locale would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def jstr(s: String) =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The same line also lands in a FILE: the driver's BENCH_r{N}.json
     // capture tail-truncates long stdout, which has repeatedly made the

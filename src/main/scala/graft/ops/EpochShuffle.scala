@@ -96,7 +96,13 @@ object EpochShuffle {
     // one corpus text scan for ALL epochs: n_tokens is
     // epoch-independent, so only the slim (id, n_tokens) checkpoint
     // feeds each epoch's keying + prefix sum (r21; values identical —
-    // same counts, same keys, same packing)
+    // same counts, same keys, same packing). localCheckpoint blocks
+    // are executor-local and unreplicated: at cluster scale an
+    // executor loss mid-land fails the whole job instead of
+    // recomputing — the repo's standing deterministic-rerun trade
+    // (BASELINE.md; the same failure recovery Committers.forRerun
+    // assumes). Use reliable checkpoint/persist if that trade ever
+    // stops holding (ADVICE r21).
     val toks = tokenCounts(docs, textCol, idCol).localCheckpoint()
     // ONE range exchange for ALL epochs (r22, guide §2.4): per-epoch
     // packFromToks ran the full PrefixSum pipeline — range sampling,

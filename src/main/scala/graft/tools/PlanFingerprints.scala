@@ -24,6 +24,35 @@ import graft.core.GraftSession
   *   (SPARK_GRAFT_BENCH_ONLY=q32,q35 filters, as in graft.Bench)
   */
 object PlanFingerprints {
+
+  /** One query's executed-plan shape counts — the unit the ledger
+    * stores and `bench_check --plans` diffs. */
+  final case class Shape(exchanges: Int, reused: Int, joins: String,
+                         aggregates: Int, scans: Int) {
+    override def toString: String =
+      s"exchanges=$exchanges reused=$reused joins=[$joins] " +
+      s"aggregates=$aggregates scans=$scans"
+  }
+
+  private val joinRe = """\b([A-Za-z]+Join|CartesianProduct)\b""".r
+
+  /** EXECUTES the frame (its own QueryExecution, so the adaptive plan
+    * finalizes) and counts the shape. Shared by the bench-gate dump
+    * below and the in-suite golden pins (PlanGoldenSpec, r22). */
+  def shape(df: org.apache.spark.sql.DataFrame): Shape = {
+    df.foreach(_ => ())
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    Shape(
+      exchanges = lines.count(l => l.contains("Exchange") && !l.contains("ReusedExchange")),
+      reused = lines.count(_.contains("ReusedExchange")),
+      joins = lines.flatMap(l => joinRe.findFirstMatchIn(l).map(_.group(1)))
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (j, xs) => s"$j:${xs.size}" }.mkString(","),
+      aggregates = lines.count(_.contains("Aggregate")),
+      scans = lines.count(l =>
+        """\b(FileScan|BatchScan|Scan)\b""".r.findFirstIn(l).isDefined))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = args.headOption.getOrElse(
@@ -35,27 +64,16 @@ object PlanFingerprints {
       only.forall(f => f.exists(n.startsWith))
     }
 
-    val joinRe = """\b([A-Za-z]+Join|CartesianProduct)\b""".r
     def jstr(s: String) =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
 
     val entries = selected.map { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // execute df's OWN QueryExecution so the adaptive plan
-        // finalizes (a noop write would spawn a separate QE)
-        df.foreach(_ => ())
-        val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
-        val exchanges = lines.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
-        val reused = lines.count(_.contains("ReusedExchange"))
-        val joins = lines.flatMap(l => joinRe.findFirstMatchIn(l).map(_.group(1)))
-          .groupBy(identity).toSeq.sortBy(_._1)
-          .map { case (j, xs) => s"$j:${xs.size}" }.mkString(",")
-        val aggregates = lines.count(_.contains("Aggregate"))
-        val scans = lines.count(l =>
-          """\b(FileScan|BatchScan|Scan)\b""".r.findFirstIn(l).isDefined)
-        name -> (s"""{"exchanges":$exchanges,"reused":$reused,""" +
-          s""""joins":${jstr(joins)},"aggregates":$aggregates,"scans":$scans}""")
+        // shape() executes df's OWN QueryExecution so the adaptive
+        // plan finalizes (a noop write would spawn a separate QE)
+        val s = shape(fn(spark, sfDir))
+        name -> (s"""{"exchanges":${s.exchanges},"reused":${s.reused},""" +
+          s""""joins":${jstr(s.joins)},"aggregates":${s.aggregates},"scans":${s.scans}}""")
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -65,11 +65,44 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // here would mean the map-only shape regressed to a keyed
     // regroup.
     val exchanges = "Exchange \\(".r.findAllIn(p).length
-    assert(exchanges <= 2, s"expected spread + final sort only, got $exchanges:\n$p")
     assert(!p.contains("hashpartitioning"),
       s"unexpected keyed exchange in a map-only query:\n$p")
-    assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning") || exchanges == 1,
-      s"extra exchange is not the round-robin spread:\n$p")
+    // r22 (ADVICE r21): the allowed count is CONDITIONAL on whether
+    // the spread actually fires for this fixture (spreadSmallScan
+    // returns the frame unchanged when it opts out) — a double spread
+    // or an extra exchange in a non-spreading configuration both fail
+    val docs = graft.core.Tables.documents(spark, dir)
+    val spreadFires = !(SparkEntry.spreadSmallScan(docs) eq docs)
+    if (spreadFires) {
+      assert(exchanges == 2, s"expected spread + final sort only, got $exchanges:\n$p")
+      assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
+        s"extra exchange is not the round-robin spread:\n$p")
+    } else
+      assert(exchanges == 1, s"expected the final sort alone, got $exchanges:\n$p")
+  }
+
+  test("spreadSmallScan: the bytes bound vetoes the spread on a big payload (r22)") {
+    // The partition-count trigger alone is payload-blind: a few huge
+    // files on many cores would round-robin-shuffle the full payload
+    // (the guide-§8 anti-pattern). The sizeInBytes bound must veto
+    // that BEFORE the partition probe; the bench fixtures (well under
+    // the default bound) must keep spreading exactly as in r21.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val conf = spark.conf
+    // under-filled scan + tiny payload → spreads (the r21 behavior)
+    val spread = SparkEntry.spreadSmallScan(docs)
+    assert(spread.queryExecution.explainString(FormattedMode)
+             .contains("REPARTITION_BY_NUM"),
+           "small fixture scan no longer spreads")
+    // same frame with the bound forced below its size → NO repartition
+    conf.set("spark.graft.spread.maxBytes", "1")
+    try {
+      val vetoed = SparkEntry.spreadSmallScan(docs)
+      val p = vetoed.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("REPARTITION_BY_NUM") && !p.contains("RoundRobinPartitioning"),
+             s"payload above the bytes bound still spread:\n$p")
+    } finally conf.set("spark.graft.spread.maxBytes", "256m")
   }
 
   test("q08: rank window and output sort share ONE range exchange") {

@@ -9,7 +9,7 @@ script makes that forensics a one-liner. In-suite cells normally sit
 the default threshold flags only genuine outlier clusters.
 
 Usage:
-  python3 tools/bench_check.py [session.json] [--col sf0.1|sf1|sf10] [--threshold 2.5 (sf10 sessions: use --threshold 5 — the in-suite drift band at that scale is 1.5-4x vs pooled minima)] [--plans plan_fingerprints.json]
+  python3 tools/bench_check.py [session.json] [--col=sf0.1|sf1|sf10] [--threshold=2.5 (sf10 sessions: use --threshold=5 — the in-suite drift band at that scale is 1.5-4x vs pooled minima)] [--plans=<plan_fingerprints.json>]
 
 Defaults: BENCH_FULL.json, sf0.1 column, threshold 2.5x. Exit 1 if any
 cell exceeds the threshold (wire into a round's pre-commit ritual).
