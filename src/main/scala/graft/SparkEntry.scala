@@ -551,15 +551,34 @@ object SparkEntry {
       // (solo sf1 1.78 s fused vs 1.49 s split, pre-sampling).
       val regimes = ops.Percentiles.profileRegimes(
         li, Seq("l_quantity", "l_extendedprice"), sampleFraction = 0.05)
-      val qtyPcts = ops.Percentiles.exactByRegime(regimes("l_quantity"),
-        li.select(col("l_quantity")), "l_quantity",
-        Seq(0.25, 0.5, 0.75), prefix = "qq")
+      // r22 (guide §2.4): when the chooser picks the VALUE-MAP regime,
+      // its `percentile` aggregate fuses into the stats aggregation —
+      // one scan and one aggregate subtree fewer. This is NOT the r9
+      // rejected fusion (the profile's approx_count_distinct over
+      // every column, which de-codegened a heavy pass): a value-map
+      // column is by definition low-distinct, so the imperative
+      // percentile map stays tiny and the fused pass measured FASTER
+      // (3/3 paired sessions, 0.65–0.82 vs 0.69–0.84 solo min-of-7).
+      // Values identical: l_quantity is already DOUBLE, the exact
+      // input exactByValueMap's cast fed it (oracle gate green).
+      // The other regimes keep their own subtree — their boundedness
+      // machinery (histograms, range sort) cannot ride a global agg.
+      val qtyFused = regimes("l_quantity") == "value-map"
+      val qtyPcts =
+        if (qtyFused) null
+        else ops.Percentiles.exactByRegime(regimes("l_quantity"),
+          li.select(col("l_quantity")), "l_quantity",
+          Seq(0.25, 0.5, 0.75), prefix = "qq")
       val pricePcts = ops.Percentiles.exactByRegime(regimes("l_extendedprice"),
         li.select(col("l_extendedprice")), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), prefix = "pp")
+      val fusedPct =
+        if (qtyFused)
+          Seq(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qpcts"))
+        else Nil
       val agg = li.agg(
         count(lit(1)).as("n"),
-        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p")): _*)
+        (stats("l_quantity", "q") ++ stats("l_extendedprice", "p") ++ fusedPct): _*)
       val nd = col("n").cast("double")
       def out(suffix: String, label: String, pct: Int => Column): Seq[Column] = {
         val d = (col("n").cast(D38) * col(s"ss100_$suffix") -
@@ -573,8 +592,14 @@ object SparkEntry {
           round(pct(2), 6).as(s"q75_$label"),
           col(s"max_$suffix").as(s"max_$label"))
       }
-      agg.crossJoin(pricePcts).crossJoin(qtyPcts).select((col("n") +:
-        (out("q", "qty", i => col(s"qq${25 * (i + 1)}")) ++
+      val joined =
+        if (qtyFused) agg.crossJoin(pricePcts)
+        else agg.crossJoin(pricePcts).crossJoin(qtyPcts)
+      val qtyPick: Int => Column =
+        if (qtyFused) i => col("qpcts").getItem(i)
+        else i => col(s"qq${25 * (i + 1)}")
+      joined.select((col("n") +:
+        (out("q", "qty", qtyPick) ++
          out("p", "price", i => col(s"pp${25 * (i + 1)}")))): _*)
     }),
 
