@@ -1621,9 +1621,16 @@ object SparkEntry {
     "q81_ivfpq_index" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idxDir = ops.IvfPqIndex.dirFor(dir)
-      ops.IvfPqIndex.land(emb, idxDir, coarseK = 16, m = 4, ksub = 16)
+      // train once, share the codebooks with the search (r22): the
+      // land+search flow paid the 16-row codebook collect TWICE per
+      // execution — the search now reuses the tables the training
+      // just derived (one fewer driver action; values unchanged, the
+      // rows are the same by construction)
+      val cb = ops.IvfPqIndex.trainCodebooks(emb, coarseK = 16, ksub = 16)
+      ops.IvfPqIndex.landEncoded(emb, idxDir, m = 4, cb)
       ops.IvfPqIndex.search(s, idxDir, emb, probeIds = Seq(123L, 77L, 401L),
-          coarseK = 16, m = 4, ksub = 16, nprobe = 4, k = 10)
+          coarseK = 16, m = 4, ksub = 16, nprobe = 4, k = 10,
+          codebooksOpt = Some(cb))
         .select(col("probe_id"), col("vec_id"), col("centroid"),
                 round(col("adc"), 6).as("adc"), col("rk"))
         .orderBy("probe_id", "rk")

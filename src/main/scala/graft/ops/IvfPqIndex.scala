@@ -146,9 +146,15 @@ object IvfPqIndex {
   def search(spark: SparkSession, dir: String, emb: DataFrame,
              probeIds: Seq[Long], coarseK: Int, m: Int, ksub: Int,
              nprobe: Int, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             // r22: callers that just trained (the q81 land→search
+             // flow) pass the codebooks they hold instead of paying a
+             // second driver collect of the same rows per execution
+             codebooksOpt: Option[(Seq[Long], Seq[Seq[Double]], Seq[Seq[Double]])] = None)
+      : DataFrame = {
     require(probeIds.nonEmpty, "IvfPqIndex.search: empty probe batch")
-    val (coarseIds, coarse, pq) = codebooks(emb, coarseK, ksub, idCol, vecCol)
+    val (coarseIds, coarse, pq) =
+      codebooksOpt.getOrElse(codebooks(emb, coarseK, ksub, idCol, vecCol))
     val dim = coarse.headOption.map(_.length).getOrElse(0)
     require(dim % m == 0, s"IvfPqIndex.search: dim $dim not divisible into $m subspaces")
     val subLen = dim / m

@@ -43,85 +43,54 @@ object Probe {
 
   /** Scratch space for micro-experiments; edit freely between runs. */
   private def adhoc(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
-    import graft.ops.Text
-    val docs = Tables.documents(spark, sfDir)
-    def dtime(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    // r22: q81 encode/write split — where does the 0.4 s landing job go?
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = graft.ops.IvfPqIndex.trainCodebooks(emb, 16, 16)
+    val (coarseIds, coarse, pq) = cb
+    val m = 4; val dim = coarse.head.length; val subLen = dim / m
+    def encoded(src: org.apache.spark.sql.DataFrame) = {
+      val typed = src.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val assigned = typed
+        .select(col("vec_id"), col("v"),
+          call_function("argmax_dot", col("v"), typedlit(coarse)).as("amc"))
+        .filter(col("amc").isNotNull)
+        .select(col("vec_id"), col("v"),
+          element_at(typedlit(coarseIds), col("amc.idx") + 1).as("centroid"))
+      val ams = (0 until m).map { j =>
+        val sub: Seq[Seq[Double]] = pq.map(_.slice(j * subLen, (j + 1) * subLen))
+        call_function("argmax_dot",
+          slice(col("v"), j * subLen + 1, subLen), typedlit(sub)).as(s"am_$j")
       }
-      println(f"[adhoc] $label%-40s min ${ts.min}%6.3f")
+      val codes = (0 until m).map(j =>
+        col(s"am_$j").getField("idx").cast("int").as(s"code_$j"))
+      assigned.select(col("vec_id") +: col("centroid") +: ams: _*)
+        .select(col("vec_id") +: col("centroid") +: codes: _*)
     }
-    val toks = Text.tokens(col("text"))
-    dtime("tokens only")(docs.select(col("doc_id"), toks.as("t")))
-    dtime("size(tokens)")(docs.select(col("doc_id"), size(toks).as("n")))
-    dtime("size(distinct)")(docs.select(col("doc_id"), size(array_distinct(toks)).as("n")))
-    dtime("ngram2 size")(docs.select(col("doc_id"), size(Text.ngrams(toks, 2)).as("n")))
-    dtime("stopword ratio")(docs.select(col("doc_id"), Text.stopwordRatio(toks).as("r")))
-    dtime("toks once, 4 stats")(docs.select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), size(col("t")).as("a"), size(array_distinct(col("t"))).as("b"),
-              greatest(size(col("t")) - 1, lit(0)).as("c"),
-              Text.stopwordRatio(col("t")).as("d")))
-    val li = Tables.lineitem(spark, sfDir)
     def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"[adhoc] $label%-40s min ${ts.min}%6.3f")
+      println(f"[adhoc] $label%-44s min ${ts.min}%6.3f")
     }
-    li.count() // warm
-    time("count(*)") { li.agg(count(lit(1))).collect() }
-    time("sum(double)") { li.agg(sum(col("l_quantity"))).collect() }
-    time("sum(decimal18_2)") {
-      li.agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))).collect()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("encode fused (noop)") { noop(encoded(emb)) }
+    time("encode spread (noop)") { noop(encoded(emb.repartition(32))) }
+    time("land as-is (parquet, 16 leaves)") {
+      encoded(emb).write.partitionBy("centroid")
+        .options(graft.core.Committers.forRerun(true))
+        .mode("overwrite").parquet("/tmp/q81probe_a")
     }
-    time("6x decimal sums (q01 shape)") {
-      li.agg(
-        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
-        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
-        sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
-        count(col("l_quantity")), count(col("l_extendedprice")), count(col("l_discount"))).collect()
+    time("land spread+centroid-repart") {
+      encoded(emb.repartition(32)).repartition(col("centroid"))
+        .write.partitionBy("centroid")
+        .options(graft.core.Committers.forRerun(true))
+        .mode("overwrite").parquet("/tmp/q81probe_b")
     }
-    time("groupBy(2) 6 decimal sums") {
-      li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
-        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
-        sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2)))).collect()
-    }
-    time("exact percentile(price)") {
-      li.agg(expr("percentile(l_extendedprice, array(0.25D,0.5D,0.75D))")).collect()
-    }
-    time("exact percentile(quantity)") {
-      li.agg(expr("percentile(l_quantity, array(0.25D,0.5D,0.75D))")).collect()
-    }
-    time("sort price") { li.select("l_extendedprice").orderBy("l_extendedprice").write.format("noop").mode("overwrite").save() }
-    time("rdd sortBy+zip+filter") {
-      val values = li.select("l_extendedprice").na.drop().rdd.map(_.getDouble(0))
-      val n = values.count()
-      val need = Seq(0.25, 0.5, 0.75).flatMap { p =>
-        val r = p * (n - 1); Seq(r.floor.toLong, math.ceil(r).toLong) }.toSet
-      values.sortBy(identity).zipWithIndex()
-        .filter { case (_, i) => need.contains(i) }.collect()
-    }
-    time("agg with pct_q + stats") {
-      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      def x100(c: String) = round(col(c) * 100, 0).cast("long")
-      li.agg(count(lit(1)),
-        sum(x100("l_quantity").cast(D38)), sum((x100("l_quantity") * x100("l_quantity")).cast(D38)),
-        sum(x100("l_extendedprice").cast(D38)), sum((x100("l_extendedprice") * x100("l_extendedprice")).cast(D38)),
-        min(col("l_quantity")), max(col("l_quantity")),
-        min(col("l_extendedprice")), max(col("l_extendedprice")),
-        expr("percentile(l_quantity, array(0.25D,0.5D,0.75D))")).collect()
-    }
-    time("agg stats only (no percentile)") {
-      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      def x100(c: String) = round(col(c) * 100, 0).cast("long")
-      li.agg(count(lit(1)),
-        sum(x100("l_quantity").cast(D38)), sum((x100("l_quantity") * x100("l_quantity")).cast(D38)),
-        sum(x100("l_extendedprice").cast(D38)), sum((x100("l_extendedprice") * x100("l_extendedprice")).cast(D38)),
-        min(col("l_quantity")), max(col("l_quantity")),
-        min(col("l_extendedprice")), max(col("l_extendedprice"))).collect()
+    time("land spread only (32x16 files)") {
+      encoded(emb.repartition(32)).write.partitionBy("centroid")
+        .options(graft.core.Committers.forRerun(true))
+        .mode("overwrite").parquet("/tmp/q81probe_c")
     }
   }
 }
