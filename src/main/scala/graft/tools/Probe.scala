@@ -43,29 +43,11 @@ object Probe {
 
   /** Scratch space for micro-experiments; edit freely between runs. */
   private def adhoc(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
-    // r22: q81 encode/write split — where does the 0.4 s landing job go?
-    val emb = Tables.embeddings(spark, sfDir)
-    val cb = graft.ops.IvfPqIndex.trainCodebooks(emb, 16, 16)
-    val (coarseIds, coarse, pq) = cb
-    val m = 4; val dim = coarse.head.length; val subLen = dim / m
-    def encoded(src: org.apache.spark.sql.DataFrame) = {
-      val typed = src.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val assigned = typed
-        .select(col("vec_id"), col("v"),
-          call_function("argmax_dot", col("v"), typedlit(coarse)).as("amc"))
-        .filter(col("amc").isNotNull)
-        .select(col("vec_id"), col("v"),
-          element_at(typedlit(coarseIds), col("amc.idx") + 1).as("centroid"))
-      val ams = (0 until m).map { j =>
-        val sub: Seq[Seq[Double]] = pq.map(_.slice(j * subLen, (j + 1) * subLen))
-        call_function("argmax_dot",
-          slice(col("v"), j * subLen + 1, subLen), typedlit(sub)).as(s"am_$j")
-      }
-      val codes = (0 until m).map(j =>
-        col(s"am_$j").getField("idx").cast("int").as(s"code_$j"))
-      assigned.select(col("vec_id") +: col("centroid") +: ams: _*)
-        .select(col("vec_id") +: col("centroid") +: codes: _*)
-    }
+    import graft.ops.Text
+    // r22: q66/q61 one-task explode+partial-agg scan stages — does the
+    // conditional spread pay HERE (expression + explode + partial agg),
+    // where the r21 RepartProbe only measured the bare expression?
+    val docs = Tables.documents(spark, sfDir)
     def time(label: String)(f: => Unit): Unit = {
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -74,23 +56,26 @@ object Probe {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    time("encode fused (noop)") { noop(encoded(emb)) }
-    time("encode spread (noop)") { noop(encoded(emb.repartition(32))) }
-    time("land as-is (parquet, 16 leaves)") {
-      encoded(emb).write.partitionBy("centroid")
-        .options(graft.core.Committers.forRerun(true))
-        .mode("overwrite").parquet("/tmp/q81probe_a")
-    }
-    time("land spread+centroid-repart") {
-      encoded(emb.repartition(32)).repartition(col("centroid"))
-        .write.partitionBy("centroid")
-        .options(graft.core.Committers.forRerun(true))
-        .mode("overwrite").parquet("/tmp/q81probe_b")
-    }
-    time("land spread only (32x16 files)") {
-      encoded(emb.repartition(32)).write.partitionBy("centroid")
-        .options(graft.core.Committers.forRerun(true))
-        .mode("overwrite").parquet("/tmp/q81probe_c")
-    }
+    def onebit(name: String) =
+      expr(s"""CASE WHEN try_cast(substring($name, 4, 2) as int)
+               BETWEEN 0 AND 63
+               THEN shiftleft(1L, try_cast(substring($name, 4, 2) as int))
+               END""")
+    def q66masks(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("source"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
+      .select(onebit("source").as("m"), explode_outer(col("g3")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("c"))
+    time("q66 masks fused") { noop(q66masks(docs)) }
+    time("q66 masks spread") { noop(q66masks(docs.repartition(32))) }
+    def q61tf(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .repartition(col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    time("q61 tf fused") { noop(q61tf(docs)) }
+    time("q61 tf spread") { noop(q61tf(docs.repartition(32))) }
   }
 }
