@@ -2253,21 +2253,29 @@ object SparkEntry {
     // probe. The count-only trigger was payload-blind — at mid scale
     // (say a 100-file corpus on a 512-core cluster) it would round-
     // robin-shuffle the full text payload, the guide-§8 anti-pattern
-    // this helper documents avoiding. The optimizer's sizeInBytes
-    // estimate (file bytes for a scan frame) gates that out: past the
-    // bound the exchange would move more payload than the fused
-    // single-task expression costs. Parameterised (conf, not a
-    // constant) with a local default that keeps every bench SF firing
-    // exactly as before (documents: 0.6 MB at sf0.1, ~6 MB at sf1);
-    // production sets it per deployment like shuffle.partitions. The
-    // stats check is plan-only and also SHORT-CIRCUITS the .rdd
-    // partition probe below — which builds a full physical plan — so
-    // big frames never pay that planning either (ADVICE r21).
+    // this helper documents avoiding. The bound sums the FILE-BACKED
+    // leaves' sizeInBytes (actual file bytes), NOT the top-level plan
+    // estimate: a checkpointed-RDD input reports unknown/defaulted
+    // stats (q83's batch frame read as Long.MaxValue and lost its
+    // measured spread — caught by the r22 fingerprint drift check),
+    // and join-product estimates inflate the same way. Frames with no
+    // file leaves fall through to the partition probe, exactly the
+    // r21 behavior. Parameterised (conf, not a constant) with a local
+    // default that keeps every bench SF firing exactly as before
+    // (documents: 0.6 MB at sf0.1, ~6 MB at sf1); production sets it
+    // per deployment like shuffle.partitions. The file check is
+    // plan-only and SHORT-CIRCUITS the .rdd partition probe below —
+    // which builds a full physical plan — so big scans never pay
+    // that planning either (ADVICE r21).
     val maxBytes = scala.util.Try(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         df.sparkSession.conf.get("spark.graft.spread.maxBytes", "256m")))
       .getOrElse(256L * 1024 * 1024)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes) df
+    val fileLeafBytes = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.sizeInBytes
+    }.sum
+    if (fileLeafBytes > maxBytes) df
     // partition probe: the INITIAL (non-adaptive) split count — plan-
     // time file-split arithmetic, no job. That is the right quantity
     // here: the question is how many map tasks the SCAN yields (AQE

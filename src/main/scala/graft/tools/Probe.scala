@@ -43,39 +43,24 @@ object Probe {
 
   /** Scratch space for micro-experiments; edit freely between runs. */
   private def adhoc(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
-    import graft.ops.Text
-    // r22: q66/q61 one-task explode+partial-agg scan stages — does the
-    // conditional spread pay HERE (expression + explode + partial agg),
-    // where the r21 RepartProbe only measured the bare expression?
+    // r22: the q98 structural claim, demonstrated directly (VERDICT
+    // r21 item 1) — landManifests' marginal cost per EXTRA epoch vs
+    // the one-epoch base. r20 shape: each epoch re-ran the corpus
+    // text scan (marginal epoch ~ the full base). r21+r22 shape: one
+    // text scan + one shared range exchange for all epochs, so the
+    // marginal epoch is the slim keying/packing work only.
     val docs = Tables.documents(spark, sfDir)
     def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 5).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       println(f"[adhoc] $label%-44s min ${ts.min}%6.3f")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def onebit(name: String) =
-      expr(s"""CASE WHEN try_cast(substring($name, 4, 2) as int)
-               BETWEEN 0 AND 63
-               THEN shiftleft(1L, try_cast(substring($name, 4, 2) as int))
-               END""")
-    def q66masks(src: org.apache.spark.sql.DataFrame) = src
-      .select(col("source"), Text.distinctGramHashesOfText(col("text"), 3).as("g3"))
-      .select(onebit("source").as("m"), explode_outer(col("g3")).as("gram"))
-      .filter(col("gram").isNotNull)
-      .groupBy("gram").agg(expr("bit_or(m)").as("mask"))
-      .groupBy("mask").agg(count(lit(1)).as("c"))
-    time("q66 masks fused") { noop(q66masks(docs)) }
-    time("q66 masks spread") { noop(q66masks(docs.repartition(32))) }
-    def q61tf(src: org.apache.spark.sql.DataFrame) = src
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode_outer(col("toks")).as("term"))
-      .filter(col("term").isNotNull)
-      .repartition(col("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    time("q61 tf fused") { noop(q61tf(docs)) }
-    time("q61 tf spread") { noop(q61tf(docs.repartition(32))) }
+    for (e <- Seq(1, 2, 4, 8)) {
+      val epochs = (7 until 7 + e)
+      time(s"landManifests epochs=$e") {
+        graft.ops.EpochShuffle.landManifests(docs, s"/tmp/q98probe_$e", epochs, 2000L)
+      }
+    }
   }
 }

@@ -37,7 +37,7 @@ class PlanGoldenSpec extends AnyFunSuite with SparkTestSession {
     "q51_token_shards"     -> Shape(5, 0, "BroadcastHashJoin:1", 2, 2),
     "q60_neardup_clusters" -> Shape(3, 0, "ShuffledHashJoin:1", 0, 2),
     "q66_source_overlap"   -> Shape(6, 0, "BroadcastNestedLoopJoin:1", 6, 1),
-    "q83_ingest_pipeline"  -> Shape(9, 0,
+    "q83_ingest_pipeline"  -> Shape(11, 0,
       "BroadcastHashJoin:2,ShuffledHashJoin:1,SortMergeJoin:2", 6, 6),
     "q92_span_dedup"       -> Shape(4, 0, "", 2, 1),
     "q95_epoch_shuffle"    -> Shape(6, 0, "BroadcastHashJoin:1", 2, 2),
